@@ -1,0 +1,27 @@
+"""Temporal helper expressions shared across queries.
+
+Timestamps never leave a comparable query as raw timestamp values (oracle
+engines disagree on sub-second python types); they are exported as epoch
+milliseconds computed with *integer* division — `unix_micros(ts)/1000`
+through double division rounds differently than DuckDB's integer
+`epoch_us(ts)//1000` for a handful of values per 10k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def epoch_ms(col: Column | str) -> Column:
+    """Epoch milliseconds as bigint, truncating (exact integer division).
+
+    floor(µs/1000) is exact: when µs/1000 is an integer it is < 2^53 and
+    representable, so the double division cannot round across the floor.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(F.unix_micros(c) / F.lit(1000)).cast("long")
+
+
+# DuckDB-side equivalent, for oracle SQL strings.
+ORACLE_EPOCH_MS = "CAST(epoch_us({col}) // 1000 AS BIGINT)"

@@ -1,0 +1,174 @@
+"""Ingest dataflow operators (SURVEY.md §2 tier A), Spark-first.
+
+The reference implements these imperatively across three services; here each
+step is a declarative DataFrame transform so Catalyst can fuse, push down and
+reorder them. Citations point at the reference behavior being replicated
+(paths relative to /root/reference/):
+
+- validity gate        publisher/internal/api/handler.go:59-81 (json.Valid)
+- auth semi-join       publisher/internal/auth/auth.go:33-59
+- lenient typed parse  consumer2/.../processing/MessageProcessor.kt:22-46
+                       (ignoreUnknownKeys, all-nullable, drop-bad-continue)
+- fixed projection     consumer/.../service/ClickHouseWriterService.kt:53-56,109-117
+- enrichment           consumer2/.../persistence/ClickHouseRepository.kt:75
+                       (receivedAt = now()); consumer/clickhouse/init-db.sh:28-29
+                       (_raw_data, _received_at)
+
+All of it is built-in expression work — no UDFs, fully inside whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed event record: consumer2/.../data/IngestedData.kt:7-16 — every field
+# nullable. `timestamp` stays a string at parse time (the reference stores it
+# as Nullable(String) in init-clickhouse.sql:8).
+INGESTED_DATA_SCHEMA = StructType(
+    [
+        StructField("sensorId", StringType(), True),
+        StructField("temperature", DoubleType(), True),
+        StructField("timestamp", StringType(), True),
+        StructField("value", IntegerType(), True),
+        StructField("message", StringType(), True),
+    ]
+)
+
+# consumer 1 projection order: ClickHouseWriterService.kt:109-117
+CONSUMER1_COLUMNS = ("sensor_id", "temperature", "timestamp", "humidity", "location")
+
+
+def filter_nonempty(df: DataFrame, payload_col: str = "value") -> DataFrame:
+    """A2: reject empty bodies (handler.go:67-71)."""
+    c = F.col(payload_col)
+    return df.filter(c.isNotNull() & (F.length(c) > 0))
+
+
+def json_validity_gate(df: DataFrame, payload_col: str = "value") -> DataFrame:
+    """A3: keep only payloads that parse as JSON (handler.go:74-78).
+
+    ``json.Valid`` accepts any JSON value; we use try-parse-as-variant so
+    scalars, arrays and objects all pass, mirroring Go's semantics.
+    """
+    return df.filter(F.try_parse_json(F.col(payload_col).cast("string")).isNotNull())
+
+
+def parse_typed(
+    df: DataFrame,
+    payload_col: str = "value",
+    schema: StructType = INGESTED_DATA_SCHEMA,
+    keep_raw: bool = True,
+    drop_malformed: bool = True,
+) -> DataFrame:
+    """A9/A16: lenient typed JSON parse, malformed rows dropped not failed.
+
+    `from_json` is natively lenient the same way kotlinx with
+    ``ignoreUnknownKeys`` is: unknown keys ignored, missing keys → null,
+    malformed document → null struct (PERMISSIVE). The drop-don't-fail
+    semantics of MessageProcessor.kt:36-46 become a null filter.
+    """
+    raw = F.col(payload_col).cast("string")
+    out = df.withColumn("_parsed", F.from_json(raw, schema))
+    if keep_raw:
+        # A13: optional raw-payload retention (init-db.sh:28 `_raw_data`)
+        out = out.withColumn("_raw_data", raw)
+    if drop_malformed:
+        out = out.filter(F.col("_parsed").isNotNull())
+    return out.select("_parsed.*", *(["_raw_data"] if keep_raw else []))
+
+
+def parse_dynamic(df: DataFrame, payload_col: str = "value") -> DataFrame:
+    """A10: schema-free map parse (ClickHouseWriterService.kt:78-87).
+
+    Jackson's ``Map<String, Any>`` becomes ``map<string,string>``; non-object
+    or malformed payloads parse to null and are dropped (mapNotNull).
+    """
+    raw = F.col(payload_col).cast("string")
+    out = df.withColumn("_map", F.from_json(raw, "map<string,string>"))
+    return out.filter(F.col("_map").isNotNull())
+
+
+def project_fixed(
+    df: DataFrame, columns: tuple[str, ...] = CONSUMER1_COLUMNS
+) -> DataFrame:
+    """A11: schema-on-write fixed projection; absent keys surface as null.
+
+    Works over either the typed-parse output (struct fields as columns) or
+    the dynamic map (``_map`` column).
+    """
+    if "_map" in df.columns:
+        return df.select(*[F.col("_map").getItem(c).alias(c) for c in columns])
+    present = set(df.columns)
+    return df.select(
+        *[(F.col(c) if c in present else F.lit(None)).alias(c) for c in columns]
+    )
+
+
+def enrich_received_at(df: DataFrame, col_name: str = "received_at") -> DataFrame:
+    """A12: ingestion-timestamp enrichment (ClickHouseRepository.kt:75)."""
+    return df.withColumn(col_name, F.current_timestamp())
+
+
+def observe_parse_quality(
+    df: DataFrame, payload_col: str = "value", name: str = "parse"
+) -> DataFrame:
+    """A16: per-batch valid/invalid counts without a second pass.
+
+    The reference counts and logs parse failures per batch
+    (MessageProcessor.kt:33-52). `observe` attaches the metric to the same
+    scan — zero extra jobs; read via QueryExecutionListener /
+    StreamingQueryListener.
+    """
+    parsed = F.try_parse_json(F.col(payload_col).cast("string"))
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(parsed.isNull(), 1)).alias("invalid"),
+    )
+
+
+def auth_gate(
+    events: DataFrame,
+    api_keys: DataFrame,
+    event_key: str | Column = "api_key",
+    dim_key: str = "api_key",
+    active_col: str = "is_active",
+) -> DataFrame:
+    """A4/A5: API-key auth as a broadcast left-semi join.
+
+    The reference does `SELECT EXISTS(... WHERE api_key=$1 AND is_active)`
+    per request (auth.go:38) behind an LRU+TTL cache (caching.go:43-77).
+    Distributed equivalent: broadcast the (small) active-keys dimension and
+    semi-join — the broadcast is shipped once per executor and reused across
+    micro-batches, subsuming the cache. At 100 TB of events this never
+    shuffles the fact side.
+    """
+    keys = api_keys.filter(F.col(active_col)).select(F.col(dim_key))
+    ek = F.col(event_key) if isinstance(event_key, str) else event_key
+    return events.join(
+        F.broadcast(keys), on=ek == keys[dim_key], how="left_semi"
+    )
+
+
+def auth_rejects(
+    events: DataFrame,
+    api_keys: DataFrame,
+    event_key: str | Column = "api_key",
+    dim_key: str = "api_key",
+    active_col: str = "is_active",
+) -> DataFrame:
+    """Complement of :func:`auth_gate` — the 401 path (handler.go:41-56)."""
+    keys = api_keys.filter(F.col(active_col)).select(F.col(dim_key))
+    ek = F.col(event_key) if isinstance(event_key, str) else event_key
+    return events.join(
+        F.broadcast(keys), on=ek == keys[dim_key], how="left_anti"
+    )

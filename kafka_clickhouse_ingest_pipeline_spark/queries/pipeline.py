@@ -1,0 +1,209 @@
+"""Tier-A queries: the reference's ingest dataflow replayed in batch mode.
+
+The `events` table stands in for the Kafka topic (FIXTURES.md §4): `props`
+is the raw JSON payload, `user_id` the API-key analog, `ts` the event time.
+Every query here exercises an operator from SURVEY.md §2 tier A against the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.temporal import epoch_ms
+from ..operators import ingest
+from ..registry import query
+from ..tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "pipeline_flagship",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      ROUND(SUM(value), 4) AS sum_value,
+      ROUND(AVG(value), 4) AS avg_value,
+      ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM events
+    WHERE props IS NOT NULL AND json_valid(props)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="End-to-end pipeline slice: validate -> parse -> project -> "
+    "aggregate -> sort (SURVEY.md §7 step 1).",
+)
+def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ev = ingest.filter_nonempty(ev, "props")  # A2
+    ev = ingest.json_validity_gate(ev, "props")  # A3
+    # A9-lenient parse + A11 projection of the one real payload field
+    ev = ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ingest_parse_project",
+    oracle="""
+    SELECT
+      event_id,
+      TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      json_extract_string(props, '$.missing_field') AS missing_field
+    FROM events
+    """,
+    description="A9/A11: lenient from_json — unknown keys ignored, missing "
+    "keys null (MessageProcessor.kt:22, IngestedData.kt:7-16).",
+)
+def ingest_parse_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k int, missing_field string")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.getField("missing_field").alias("missing_field"),
+    )
+
+
+@query(
+    "ingest_validity_gate",
+    oracle="""
+    WITH corrupted AS (
+      SELECT CASE WHEN event_id % 10 = 0 THEN '{' || props ELSE props END AS payload
+      FROM events
+    )
+    SELECT
+      COUNT(*) AS total,
+      CAST(SUM(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+      CAST(SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS BIGINT) AS invalid
+    FROM corrupted
+    """,
+    description="A3/A16: malformed payloads are counted and dropped, never "
+    "fail the batch (handler.go:74-78, MessageProcessor.kt:33-52). A tenth "
+    "of payloads are synthetically corrupted to exercise the gate.",
+)
+def ingest_validity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # NB: corruption must be a *prefix* — Spark's try_parse_json stops at the
+    # first complete JSON document and tolerates trailing garbage, DuckDB's
+    # json_valid does not.
+    payload = F.when(
+        F.col("event_id") % 10 == 0, F.concat(F.lit("{"), F.col("props"))
+    ).otherwise(F.col("props"))
+    valid = F.try_parse_json(payload).isNotNull()
+    return ev.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(valid, 1).otherwise(0)).alias("valid"),
+        F.sum(F.when(valid, 0).otherwise(1)).alias("invalid"),
+    )
+
+
+@query(
+    "ingest_dynamic_map_parse",
+    oracle="""
+    SELECT
+      event_id,
+      json_extract_string(props, '$.k') AS k_text
+    FROM events
+    WHERE json_valid(props)
+    """,
+    description="A10: schema-free map<string,string> parse "
+    "(ClickHouseWriterService.kt:78-87).",
+)
+def ingest_dynamic_map_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    parsed = ingest.parse_dynamic(ev, "props")
+    return parsed.select(
+        "event_id", F.col("_map").getItem("k").alias("k_text")
+    )
+
+
+@query(
+    "auth_semi_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE e.user_id IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    )
+    """,
+    description="A4/A5: API-key auth gate = broadcast left-semi join against "
+    "the active-keys dimension (auth.go:38; customer stands in for api_keys, "
+    "c_acctbal>0 for is_active).",
+)
+def auth_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "is_active", F.col("c_acctbal") > 0
+    )
+    gated = ingest.auth_gate(
+        ev, cust, event_key="user_id", dim_key="c_custkey", active_col="is_active"
+    )
+    return gated.select("event_id", "user_id", "event_type")
+
+
+@query(
+    "auth_anti_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE e.user_id NOT IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    )
+    """,
+    description="A4 reject path (401): left-anti join complement "
+    "(handler.go:41-56).",
+)
+def auth_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "is_active", F.col("c_acctbal") > 0
+    )
+    rejected = ingest.auth_rejects(
+        ev, cust, event_key="user_id", dim_key="c_custkey", active_col="is_active"
+    )
+    return rejected.select("event_id", "user_id", "event_type")
+
+
+@query(
+    "ingest_projection_enrich",
+    oracle="""
+    SELECT
+      event_id,
+      event_type AS sensor_id,
+      value AS temperature,
+      CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms,
+      props AS _raw_data
+    FROM events
+    """,
+    description="A11/A12/A13: fixed-list projection + raw-payload retention "
+    "(received_at enrichment excluded from oracle output because now() is "
+    "nondeterministic; see test_ingest.py for its unit test).",
+)
+def ingest_projection_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = ev.select(
+        "event_id",
+        F.col("event_type").alias("sensor_id"),
+        F.col("value").alias("temperature"),
+        epoch_ms("ts").alias("ts_ms"),
+        F.col("props").alias("_raw_data"),
+    )
+    # A12 enrichment happens here in the real sink path; dropped from the
+    # comparable output because current_timestamp() can't hash-match.
+    return out

@@ -1,0 +1,760 @@
+"""Tier-B relational surface + core tier-C relational operators (C1-C8).
+
+Tier B is what the reference's own DDL/tests exercise against ClickHouse
+(SURVEY.md §2: scan, count, equality filter, projection, order-by, null
+semantics). Tier C1-C8 extends that to the full analytical surface the
+engine must offer: multi-key aggregation, distinct, joins, rollup/cube,
+windows, top-k, set ops, scalar functions. Everything here is pure
+DataFrame API over Catalyst — no UDFs, no shuffles beyond the semantic
+minimum (dimension joins broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.temporal import epoch_ms
+from ..registry import query
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Tier B: the surface the reference's tests exercise
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_count",
+    oracle="SELECT COUNT(*) AS n FROM lineitem",
+    description="B1/B2: full scan + COUNT(*) "
+    "(ClickHouseRepositoryIntegrationTest.kt:110).",
+)
+def scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "filter_eq_project_sort",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'click'
+    ORDER BY event_id
+    """,
+    description="B3/B4/B5: equality filter + projection + ORDER BY "
+    "(ClickHouseRepositoryIntegrationTest.kt:168).",
+)
+def filter_eq_project_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    SELECT
+      COUNT(*) AS total,
+      COUNT(value) AS value_not_null,
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_null,
+      ROUND(AVG(value), 4) AS avg_value_ignoring_nulls
+    FROM events
+    """,
+    description="B6: NULL fidelity — COUNT skips nulls, AVG ignores nulls "
+    "(ClickHouseRepositoryIntegrationTest.kt:194-236).",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("value").alias("value_not_null"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("value_null"),
+        F.round(F.avg("value"), 4).alias("avg_value_ignoring_nulls"),
+    )
+
+
+@query(
+    "range_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_discount BETWEEN 0.05 AND 0.07
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    description="B3 range variant; predicates reach the parquet scan as "
+    "PushedFilters (verified in test_plans.py).",
+)
+def range_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 45) & F.col("l_discount").between(0.05, 0.07))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# C1/C2: aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 4) AS sum_qty,
+      ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+      ROUND(AVG(l_quantity), 4) AS avg_qty,
+      ROUND(AVG(l_extendedprice), 4) AS avg_price,
+      ROUND(AVG(l_discount), 4) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="C1: TPC-H Q1-style pricing summary — multi-key hash "
+    "aggregate with partial (map-side) combine, expression arithmetic.",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_minmax_by_group",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      ROUND(MIN(o_totalprice), 4) AS min_price,
+      ROUND(MAX(o_totalprice), 4) AS max_price,
+      ROUND(SUM(o_totalprice), 4) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="C1: min/max/sum/count per group.",
+)
+def agg_minmax_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "distinct_count",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    description="C2: exact distinct aggregation (expand + two-phase agg "
+    "under the hood).",
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "approx_distinct",
+    oracle=None,  # HLL implementations differ across engines by design;
+    # bounded-error property is asserted in tests/test_relational.py instead.
+    description="C2: approx_count_distinct (HyperLogLog++) — the 100 TB "
+    "path where exact distinct would shuffle every key.",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# C3: joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_orders_customer_agg",
+    oracle="""
+    SELECT
+      c.c_mktsegment,
+      COUNT(*) AS n_orders,
+      ROUND(SUM(o.o_totalprice), 4) AS revenue,
+      ROUND(AVG(o.o_totalprice), 4) AS avg_order
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    description="C3: fact-dimension inner equi-join; customer side is "
+    "broadcast so the orders fact table never shuffles.",
+)
+def join_orders_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_order"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle="""
+    SELECT
+      r.r_name AS region,
+      n.n_name AS nation,
+      COUNT(*) AS n_orders,
+      ROUND(SUM(o.o_totalprice), 4) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+    """,
+    description="C3: star-schema snowflake join chain; every dimension "
+    "broadcasts (one fact scan, zero fact shuffles before the agg).",
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "join_left_null_handling",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      COUNT(o.o_orderkey) AS n_orders,
+      ROUND(COALESCE(SUM(o.o_totalprice), 0), 4) AS revenue
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+    description="C3: left outer join — customers with zero orders survive "
+    "with count 0 (null-preserving side).",
+)
+def join_left_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 4).alias("revenue"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "semi_anti_join_parts",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM part p
+        WHERE p.p_partkey IN (SELECT l_partkey FROM lineitem)) AS parts_ordered,
+      (SELECT COUNT(*) FROM part p
+        WHERE p.p_partkey NOT IN (SELECT l_partkey FROM lineitem)) AS parts_never_ordered
+    """,
+    description="C3: left-semi and left-anti joins (existence / absence).",
+)
+def semi_anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    ordered = part.join(li, part.p_partkey == li.l_partkey, "left_semi").count()
+    never = part.join(li, part.p_partkey == li.l_partkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(ordered, never)], "parts_ordered long, parts_never_ordered long"
+    )
+
+
+# --------------------------------------------------------------------------
+# C4: rollup / cube / grouping sets
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rollup_sales",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*) AS n,
+      ROUND(SUM(l_extendedprice), 4) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    description="C4: ROLLUP hierarchy totals (grand total + per-flag "
+    "subtotals) in one pass.",
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "cube_sales",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n,
+      ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    description="C4: CUBE — all grouping-set combinations in one shuffle.",
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C5: window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_top_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM (
+      SELECT *,
+        ROW_NUMBER() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+        ) AS rn
+      FROM orders
+    )
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    description="C5: ranking window (row_number) — top order per customer "
+    "with a deterministic tie-break.",
+)
+def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "window_lag_lead_sessions",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms,
+      CAST(epoch_us(LAG(ts) OVER w) // 1000 AS BIGINT) AS prev_ts_ms,
+      LEAD(event_type) OVER w AS next_event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts_ms, event_id
+    """,
+    description="C5: analytic lag/lead over per-user event streams.",
+)
+def window_lag_lead_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        epoch_ms("ts").alias("ts_ms"),
+        epoch_ms(F.lag("ts").over(w)).alias("prev_ts_ms"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    ).orderBy("user_id", "ts_ms", "event_id")
+
+
+@query(
+    "window_running_revenue",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      ROUND(SUM(o_totalprice) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ), 4) AS running_revenue
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    description="C5: explicit ROWS frame — per-customer running total.",
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 4).alias("running_revenue"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT
+      p_brand,
+      p_partkey,
+      RANK() OVER w AS price_rank,
+      DENSE_RANK() OVER w AS price_dense_rank,
+      NTILE(4) OVER w AS price_quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    ORDER BY p_brand, price_rank, p_partkey
+    """,
+    description="C5: rank / dense_rank / ntile ranking family.",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+            F.ntile(4).over(w).alias("price_quartile"),
+        )
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# C6: top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    description="C6: ORDER BY + LIMIT → TakeOrderedAndProject (per-partition "
+    "top-k then k-way merge; never a full sort at scale).",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C7: set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_union_intersect_except",
+    oracle="""
+    WITH big_spenders AS (
+      SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey
+      HAVING SUM(o_totalprice) > 300000
+    ),
+    building AS (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT custkey FROM big_spenders UNION SELECT custkey FROM building)) AS n_union,
+      (SELECT COUNT(*) FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM building)) AS n_intersect,
+      (SELECT COUNT(*) FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM building)) AS n_except
+    """,
+    description="C7: UNION / INTERSECT / EXCEPT with set (distinct) "
+    "semantics.",
+)
+def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .filter(F.col("rev") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    n_union = big.union(building).distinct().count()
+    n_intersect = big.intersect(building).count()
+    n_except = big.exceptAll(building).distinct().count()
+    return spark.createDataFrame(
+        [(n_union, n_intersect, n_except)],
+        "n_union long, n_intersect long, n_except long",
+    )
+
+
+# --------------------------------------------------------------------------
+# C8: scalar function surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT
+      p_partkey,
+      LOWER(p_name) AS name_lower,
+      UPPER(p_brand) AS brand_upper,
+      LENGTH(p_name) AS name_len,
+      SUBSTRING(p_name, 1, 5) AS name_prefix,
+      regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS INTEGER) AS n_words,
+      REPLACE(p_type, ' ', '_') AS type_snake
+    FROM part
+    ORDER BY p_partkey
+    """,
+    description="C8: string functions — lower/upper/length/substring/"
+    "regexp_extract/replace/split.",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.lower("p_name").alias("name_lower"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+            F.size(F.split("p_name", " ")).alias("n_words"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+      CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+      CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS order_day,
+      strftime(o_orderdate, '%Y-%m') AS order_yyyymm,
+      CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    description="C8: date functions — year/month/day extraction, yyyyMM "
+    "bucketing (the MergeTree toYYYYMM partition key analog, "
+    "init-db.sh:35), datediff.",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_yyyymm"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("days_since_95"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+      ROUND(LN(l_extendedprice + 1), 4) AS price_ln,
+      ROUND(POW(l_discount, 2), 4) AS disc_sq,
+      CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+      CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+      ABS(l_quantity - 25) AS qty_dev,
+      CAST(l_partkey % 7 AS BIGINT) AS partkey_mod
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    description="C8: math functions — sqrt/ln/pow/floor/ceil/abs/mod.",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+            F.round(F.pow("l_discount", F.lit(2)), 4).alias("disc_sq"),
+            F.floor("l_quantity").alias("qty_floor"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+            (F.col("l_partkey") % 7).alias("partkey_mod"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "case_when_conditional",
+    oracle="""
+    SELECT
+      price_band,
+      COUNT(*) AS n,
+      ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM (
+      SELECT
+        CASE
+          WHEN o_totalprice < 50000 THEN 'small'
+          WHEN o_totalprice < 200000 THEN 'medium'
+          ELSE 'large'
+        END AS price_band,
+        o_totalprice
+      FROM orders
+    )
+    GROUP BY price_band
+    ORDER BY price_band
+    """,
+    description="C8: CASE WHEN banding + aggregation.",
+)
+def case_when_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(band.alias("price_band"), "o_totalprice")
+        .groupBy("price_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("price_band")
+    )

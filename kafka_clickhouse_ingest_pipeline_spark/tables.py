@@ -1,0 +1,61 @@
+"""Testdata table catalog.
+
+Loads the driver-generated parquet tables (/root/testdata/sf*/ — see
+TESTDATA.md) and registers them as temp views so both the DataFrame API and
+spark.sql() can address them. Mirrors the reference's "declared at sink"
+schema discipline (consumer/src/main/kotlin/.../ClickHouseWriterService.kt:91-96
+warns against inferring columns from data): table names are a fixed list, not
+a directory glob.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # The caller may hand us a vanilla SparkSession (the driver does);
+        # events.parquet is TIMESTAMP(NANOS) which Spark rejects unless the
+        # legacy long fallback is on. Runtime-settable, so set it here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos long.
+    # The data carries only microsecond precision (verified: no sub-µs
+    # components), so the µs conversion is lossless. Integer `div`, not `/`:
+    # epoch-nanos ≈ 1.7e18 exceeds double's 2^53 integer range, and float
+    # division rounds a few rows to the wrong microsecond.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view; returns the frames."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
