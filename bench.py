@@ -1,0 +1,84 @@
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query materializes through the `noop` sink — full execution on the
+executors, no driver-side collect tax, so the number measures the engine,
+not py4j row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from kafka_clickhouse_ingest_pipeline_spark.session import build_session  # noqa: E402
+
+# Representative slice of SURVEY.md §2: ingest dataflow, heavy aggregation,
+# star join, window, top-k, dedup/text/similarity (as they land).
+HEADLINE = [
+    "pipeline_flagship",
+    "agg_pricing_summary",
+    "join_multiway_star",
+    "join_left_null_handling",
+    "window_top_order_per_customer",
+    "window_running_revenue",
+    "rollup_sales",
+    "topk_orders",
+    "distinct_count",
+    "scalar_math_funcs",
+    # tier C (registered in later milestones; silently skipped if absent)
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "text_lang_id",
+    "ann_bruteforce_topk",
+    "tumbling_window_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = build_session(app_name="bench")
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()  # warm (JIT, IO cache)
+        best = float("inf")
+        for _ in range(3):  # best-of-3: single-run noise on a shared box
+            t0 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,17 @@ def parse_typed(
         # A13: optional raw-payload retention (init-db.sh:28 `_raw_data`)
         out = out.withColumn("_raw_data", raw)
     if drop_malformed:
-        out = out.filter(F.col("_parsed").isNotNull())
+        # PERMISSIVE from_json yields an all-null struct (not a null) for
+        # malformed documents, so gate on JSON validity too; and kotlinx
+        # decodeFromString<IngestedData> rejects valid-but-non-object JSON
+        # ('null', '[1,2]'), so require an object (first char '{'). Known
+        # deviation: a complete document followed by trailing garbage
+        # ('{"a":1}junk') passes here but is dropped by kotlinx.
+        out = out.filter(
+            F.try_parse_json(raw).isNotNull()
+            & F.startswith(F.ltrim(raw), F.lit("{"))
+            & F.col("_parsed").isNotNull()
+        )
     return out.select("_parsed.*", *(["_raw_data"] if keep_raw else []))
 
 
@@ -152,10 +162,12 @@ def auth_gate(
     micro-batches, subsuming the cache. At 100 TB of events this never
     shuffles the fact side.
     """
-    keys = api_keys.filter(F.col(active_col)).select(F.col(dim_key))
+    # alias to a private name: the fact side often carries the same column
+    # name (api_key == api_key would be ambiguous)
+    keys = api_keys.filter(F.col(active_col)).select(F.col(dim_key).alias("__auth_key"))
     ek = F.col(event_key) if isinstance(event_key, str) else event_key
     return events.join(
-        F.broadcast(keys), on=ek == keys[dim_key], how="left_semi"
+        F.broadcast(keys), on=ek == F.col("__auth_key"), how="left_semi"
     )
 
 
@@ -167,8 +179,8 @@ def auth_rejects(
     active_col: str = "is_active",
 ) -> DataFrame:
     """Complement of :func:`auth_gate` — the 401 path (handler.go:41-56)."""
-    keys = api_keys.filter(F.col(active_col)).select(F.col(dim_key))
+    keys = api_keys.filter(F.col(active_col)).select(F.col(dim_key).alias("__auth_key"))
     ek = F.col(event_key) if isinstance(event_key, str) else event_key
     return events.join(
-        F.broadcast(keys), on=ek == keys[dim_key], how="left_anti"
+        F.broadcast(keys), on=ek == F.col("__auth_key"), how="left_anti"
     )

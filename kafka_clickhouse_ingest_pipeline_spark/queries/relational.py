@@ -628,7 +628,6 @@ def set_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS INTEGER) AS n_words,
       REPLACE(p_type, ' ', '_') AS type_snake
     FROM part
-    ORDER BY p_partkey
     """,
     description="C8: string functions — lower/upper/length/substring/"
     "regexp_extract/replace/split.",
@@ -646,7 +645,6 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("p_name", " ")).alias("n_words"),
             F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -661,7 +659,6 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       strftime(o_orderdate, '%Y-%m') AS order_yyyymm,
       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95
     FROM orders
-    ORDER BY o_orderkey
     """,
     description="C8: date functions — year/month/day extraction, yyyyMM "
     "bucketing (the MergeTree toYYYYMM partition key analog, "
@@ -680,7 +677,6 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
             ).alias("days_since_95"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -698,7 +694,6 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ABS(l_quantity - 25) AS qty_dev,
       CAST(l_partkey % 7 AS BIGINT) AS partkey_mod
     FROM lineitem
-    ORDER BY l_orderkey, l_linenumber
     """,
     description="C8: math functions — sqrt/ln/pow/floor/ceil/abs/mod.",
 )
@@ -716,7 +711,6 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
             (F.col("l_partkey") % 7).alias("partkey_mod"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 

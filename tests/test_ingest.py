@@ -1,0 +1,153 @@
+"""Unit tests for tier-A ingest operators, mirroring the reference's test
+scenarios (SURVEY.md §5): valid/invalid parse mix, all-invalid batch, NULL
+round-trip, auth accept/reject, enrichment.
+
+Reference scenarios replicated (paths relative to /root/reference/):
+- MessageProcessorTest.kt:30-128  (parse-valid, mixed, all-invalid)
+- handler_test.go:45-182          (auth accept / reject matrix)
+- ClickHouseRepositoryIntegrationTest.kt:194-236 (NULL fidelity)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_ingest_pipeline_spark.operators import ingest
+
+# Payloads lifted from the reference's tests (MessageProcessorTest.kt:32-33,
+# 65-66,113-114 and publisher/README.md:115).
+VALID = '{"sensorId": "A1", "temperature": 25.5, "timestamp": "2023-10-27T10:00:00Z"}'
+VALID_PARTIAL = '{"sensorId": "B2"}'
+VALID_EXTRA_KEYS = '{"sensorId": "C3", "unknown_key": 42, "another": "x"}'
+MALFORMED_TRUNCATED = '{"sensorId": "D4", "value":'
+MALFORMED_COMMAS = '{"sensorId": "F6",,}'
+EMPTY = ""
+
+
+def _payload_df(spark, payloads):
+    return spark.createDataFrame([(p,) for p in payloads], "value string")
+
+
+class TestTypedParse:
+    def test_valid_payload_parses_all_fields(self, spark):
+        out = ingest.parse_typed(_payload_df(spark, [VALID])).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row.sensorId == "A1"
+        assert row.temperature == 25.5
+        assert row.timestamp == "2023-10-27T10:00:00Z"
+        assert row.value is None and row.message is None
+
+    def test_missing_keys_become_null(self, spark):
+        row = ingest.parse_typed(_payload_df(spark, [VALID_PARTIAL])).collect()[0]
+        assert row.sensorId == "B2"
+        assert row.temperature is None
+
+    def test_unknown_keys_ignored(self, spark):
+        row = ingest.parse_typed(_payload_df(spark, [VALID_EXTRA_KEYS])).collect()[0]
+        assert row.sensorId == "C3"
+
+    def test_mixed_batch_drops_only_malformed(self, spark):
+        df = _payload_df(
+            spark, [VALID, MALFORMED_TRUNCATED, VALID_PARTIAL, MALFORMED_COMMAS]
+        )
+        out = ingest.parse_typed(df).collect()
+        assert sorted(r.sensorId for r in out) == ["A1", "B2"]
+
+    def test_all_invalid_batch_yields_empty_not_error(self, spark):
+        # MessageProcessorTest: all-failed batch still commits (empty result,
+        # no exception).
+        df = _payload_df(spark, [MALFORMED_TRUNCATED, MALFORMED_COMMAS])
+        assert ingest.parse_typed(df).count() == 0
+
+    def test_raw_payload_retained(self, spark):
+        row = ingest.parse_typed(_payload_df(spark, [VALID]), keep_raw=True).collect()[0]
+        assert row._raw_data == VALID
+
+
+class TestValidityGate:
+    def test_empty_body_rejected(self, spark):
+        df = _payload_df(spark, [VALID, EMPTY])
+        assert ingest.filter_nonempty(df).count() == 1
+
+    def test_invalid_json_rejected(self, spark):
+        df = _payload_df(spark, [VALID, MALFORMED_COMMAS, "not json at all {{"])
+        assert ingest.json_validity_gate(df).count() == 1
+
+
+class TestDynamicMapParse:
+    def test_object_payload_to_map(self, spark):
+        out = ingest.parse_dynamic(_payload_df(spark, [VALID]))
+        row = out.collect()[0]
+        assert row._map["sensorId"] == "A1"
+
+    def test_malformed_dropped(self, spark):
+        assert ingest.parse_dynamic(_payload_df(spark, [MALFORMED_COMMAS])).count() == 0
+
+
+class TestProjection:
+    def test_fixed_projection_missing_column_is_null(self, spark):
+        df = ingest.parse_typed(_payload_df(spark, [VALID]), keep_raw=False)
+        out = ingest.project_fixed(df, ("sensorId", "temperature", "humidity"))
+        row = out.collect()[0]
+        assert row.sensorId == "A1" and row.humidity is None
+
+    def test_projection_from_map(self, spark):
+        df = ingest.parse_dynamic(_payload_df(spark, [VALID]))
+        out = ingest.project_fixed(df, ("sensorId", "nope"))
+        row = out.collect()[0]
+        assert row.sensorId == "A1" and row.nope is None
+
+
+class TestEnrichment:
+    def test_received_at_added(self, spark):
+        df = ingest.parse_typed(_payload_df(spark, [VALID]), keep_raw=False)
+        out = ingest.enrich_received_at(df)
+        assert "received_at" in out.columns
+        assert out.filter(F.col("received_at").isNotNull()).count() == 1
+
+
+class TestAuthGate:
+    def _keys(self, spark):
+        return spark.createDataFrame(
+            [("key-active", True), ("key-disabled", False)],
+            "api_key string, is_active boolean",
+        )
+
+    def _events(self, spark):
+        return spark.createDataFrame(
+            [(1, "key-active"), (2, "key-disabled"), (3, "key-unknown")],
+            "event_id long, api_key string",
+        )
+
+    def test_active_key_accepted(self, spark):
+        out = ingest.auth_gate(self._events(spark), self._keys(spark))
+        assert [r.event_id for r in out.collect()] == [1]
+
+    def test_inactive_and_unknown_rejected(self, spark):
+        out = ingest.auth_rejects(self._events(spark), self._keys(spark))
+        assert sorted(r.event_id for r in out.collect()) == [2, 3]
+
+    def test_gate_plus_rejects_partition_input(self, spark):
+        ev, keys = self._events(spark), self._keys(spark)
+        n = ingest.auth_gate(ev, keys).count() + ingest.auth_rejects(ev, keys).count()
+        assert n == ev.count()
+
+    def test_auth_join_is_broadcast(self, spark):
+        plan = ingest.auth_gate(
+            self._events(spark), self._keys(spark)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+class TestObservability:
+    def test_observe_counts_invalid(self, spark):
+        from pyspark.sql import Observation  # noqa: F401 — API presence
+
+        df = _payload_df(spark, [VALID, MALFORMED_COMMAS, VALID_PARTIAL])
+        observed = ingest.observe_parse_quality(df)
+        observed.collect()  # metrics require an action
+        # Observation via named observe: read through the listener-free API
+        # is not exposed on plain observe(name, ...); presence of the column
+        # pipeline and a clean run is the assertion here.
+        assert observed.count() == 3

@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the 100 TB design properties SURVEY.md §4
+promises — pushdown, pruning, broadcast joins, whole-stage codegen, partial
+aggregation. Correctness tests prove the small-SF answer; these prove the
+plan would survive the scale-up."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_ingest_pipeline_spark import registry
+from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+registry.load_all()
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _executed_plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45" in plan
+
+
+def test_column_pruning_reads_only_projected_columns(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _executed_plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_star_join_broadcasts_every_dimension(spark):
+    df = registry.REGISTRY["join_multiway_star"].fn(spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_has_partial_and_final_stages(spark, sf_dir):
+    df = registry.REGISTRY["agg_pricing_summary"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    # partial_ prefix = map-side combine before the shuffle
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_hot_path_stays_in_wholestage_codegen(spark, sf_dir):
+    df = registry.REGISTRY["agg_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan only at execution
+    plan = _executed_plan(df)
+    # codegen'd operators carry the "*(n)" stage marker in the final plan
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    df = registry.REGISTRY["topk_orders"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_prunes_columns_before_broadcast(spark, sf_dir):
+    # auth gate only needs key + predicate columns from the dimension side;
+    # the parquet scan must not read the rest (c_name, c_mktsegment, ...)
+    df = registry.REGISTRY["auth_semi_join"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "ReadSchema: struct<c_custkey:bigint,c_acctbal:double>" in plan

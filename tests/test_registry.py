@@ -1,0 +1,53 @@
+"""Contract tests: every registered query runs at sf0.001 with a stable
+schema, and every oracle is valid DuckDB SQL over the same tables."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from kafka_clickhouse_ingest_pipeline_spark import registry
+from kafka_clickhouse_ingest_pipeline_spark.tables import TABLES
+
+registry.load_all()
+ALL = sorted(registry.REGISTRY)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns[0] == "event_type"
+
+
+def test_every_oracle_key_has_query():
+    qs = entrymod.queries()
+    for name in entrymod.oracle_sql():
+        assert name in qs
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_runs_and_oracle_agrees_on_shape(name, spark, sf_dir, duck):
+    q = registry.REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    n_spark = df.count()
+    if q.oracle is None:
+        assert n_spark >= 0
+        return
+    res = duck.execute(q.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(df.columns) == sorted(ocols), f"{name}: column names diverge"
+    assert n_spark == len(orows), f"{name}: row count diverges"
