@@ -1,0 +1,49 @@
+"""Engine-portable hashing expressions.
+
+Spark's xxhash64/hash and DuckDB's hash() are different functions, so any
+dedup operator whose output must be oracle-checkable builds on MD5 — the one
+hash both engines implement identically. A 15-hex-digit prefix (60 bits)
+fits a signed int64 in both.
+
+The MinHash family h_i(x) = (a_i * x + b_i) mod P uses P = 1e9+7 so that
+a*x stays under 2^63 (DuckDB errors on BIGINT overflow; Spark would wrap
+silently and diverge).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+N_MINHASH = 16
+LSH_BANDS = 4
+LSH_ROWS = N_MINHASH // LSH_BANDS
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, P) for _ in range(N_MINHASH)]
+MINHASH_B = [_rng.randrange(0, P) for _ in range(N_MINHASH)]
+
+# 60-bit simhash built from the same portable hash
+SIMHASH_BITS = 60
+
+
+def hash60(col: Column) -> Column:
+    """60-bit integer hash of a string, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hash60`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_expr(h_mod_p: Column, i: int) -> Column:
+    """i-th permutation hash (input already reduced mod P)."""
+    return (F.lit(MINHASH_A[i]) * h_mod_p + F.lit(MINHASH_B[i])) % F.lit(P)
+
+
+def minhash_sql(h_expr: str, i: int) -> str:
+    return f"(({MINHASH_A[i]} * {h_expr} + {MINHASH_B[i]}) % {P})"

@@ -1,1 +1,271 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Tier-C dedup queries over `documents` / `embeddings` with DuckDB oracles.
+
+The corpus has no natural duplicates (every text is distinct at all SFs), so
+the near-dup queries *plant* them deterministically: every 20th document
+gets a variant (doc_id+1_000_000) with the last 3 words dropped — built with
+identical expressions on both engines, so the oracle sees the same corpus.
+
+Oracle-portability backbone: md5 is the only hash both engines share —
+shingle hashes are 60-bit md5 prefixes (functions/hashing.py), and all
+vector math is sequential left-fold double arithmetic so Spark and DuckDB
+produce bit-identical floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    N_MINHASH,
+    P,
+    MINHASH_A,
+    MINHASH_B,
+)
+from ..operators import dedup as D
+from ..registry import query
+from ..tables import load_table
+
+PLANT_EVERY = 20
+PLANT_OFFSET = 1_000_000
+
+
+def _docs_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted near-dup variants (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    variants = (
+        docs.where((F.col("doc_id") % PLANT_EVERY == 0) & (F.size(words) > 6))
+        .select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", F.slice(words, 1, F.size(words) - 3)).alias("text"),
+        )
+    )
+    return docs.unionAll(variants)
+
+
+_PLANTED_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+           array_to_string(w[1:len(w)-3], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE doc_id % {PLANT_EVERY} = 0 AND len(w) > 6
+"""
+
+# DuckDB twin of operators.dedup.shingles (distinct word 3-grams)
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id,
+           unnest([array_to_string(w[i+1:i+3], ' ')
+                   for i in range(0, greatest(len(w)-2, 1))]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ({base}))
+"""
+
+_H60 = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+
+
+def _sig_sql(base: str) -> str:
+    mins = ",\n      ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P}) AS sig{i:02d}"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+    SELECT doc_id, {mins}
+    FROM (
+      SELECT doc_id, {_H60} % {P} AS h
+      FROM ({_SHINGLES_SQL.format(base=base)})
+      WHERE length(shingle) > 0
+    )
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    description="C9: exact dedup by content digest — deterministic "
+    "representative (min id) per distinct text; one shuffle on the digest.",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = D.content_digest(load_table(spark, sf_dir, "documents"), "text")
+    return D.exact_dedup(docs, ["digest"], "doc_id")
+
+
+@query(
+    "dedup_exact_by_key",
+    oracle="""
+    SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    description="C9: key-based dedup — representative + group size per "
+    "(lang, source).",
+)
+def dedup_exact_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=_sig_sql("SELECT doc_id, text FROM documents"),
+    description="C9 near-dup stage 1: 16-component MinHash signatures from "
+    "word-3-gram shingles (portable md5-based hash family).",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, "text", "doc_id")
+
+
+def _lsh_pairs_sql() -> str:
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(sig{b * LSH_ROWS + r:02d} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {cols} AS band_key FROM sig"
+        )
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    agree = " + ".join(
+        f"CASE WHEN a.sig{i:02d} = b.sig{i:02d} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH base AS ({_PLANTED_SQL}),
+    sig AS ({_sig_sql("SELECT * FROM base")}),
+    bands AS (
+      {bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(({agree}) / {N_MINHASH}.0, 4) AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.id_a
+    JOIN sig b ON b.doc_id = p.id_b
+    """
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=_lsh_pairs_sql(),
+    description="C9 near-dup stage 2: LSH banding (4 bands x 4 rows) over "
+    "the signatures; only bucket-mates pair up — never O(n^2). Planted "
+    "truncated variants are the expected catches.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    sig = D.minhash_signatures(docs, "text", "doc_id")
+    return D.lsh_candidate_pairs(sig, "doc_id")
+
+
+def _simhash_sql() -> str:
+    h = "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i:02d}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{i:02d} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, {votes}
+      FROM (SELECT doc_id, {h} AS h FROM toks WHERE length(tok) > 0)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM votes
+    """
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_sql(),
+    description="C9: 60-bit SimHash fingerprints — near-dups differ in few "
+    "bits; dedup becomes a Hamming-radius search over fingerprints.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH base AS ({_PLANTED_SQL}),
+    sh AS ({_SHINGLES_SQL.format(base="SELECT * FROM base")}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+    """,
+    description="C9: exact n-gram Jaccard via inverted shingle index — the "
+    "verification stage behind LSH candidates; threshold 0.2.",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (acc, x) -> acc + x)) AS nrm
+      FROM base
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_reduce(
+               list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+               (acc, x) -> acc + x
+             ) / (a.nrm * b.nrm), 4) AS cosine
+    FROM normed a JOIN normed b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_reduce(
+               list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+               (acc, x) -> acc + x
+             ) / (a.nrm * b.nrm), 4) >= 0.4
+    """,
+    description="C9: embedding-cosine near-dup pairs, label-blocked to stay "
+    "sub-quadratic (prod: LSH bucket / IVF cell as the block). Threshold "
+    "0.4 — this corpus is random vectors, real dup corpora use ~0.95.",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, threshold=0.4)
