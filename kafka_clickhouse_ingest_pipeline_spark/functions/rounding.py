@@ -1,0 +1,24 @@
+"""Engine-portable 4-decimal rounding.
+
+Spark's round() goes through BigDecimal on the double's shortest decimal
+representation (HALF_UP), DuckDB rounds the raw binary double — on an exact
+.xxxx5 tie they disagree (observed: 0.78375 → 0.7838 vs 0.7837). floor(x*1e4
++ 0.5)/1e4 is pure double arithmetic, bit-identical across engines.
+
+Plain ROUND stays fine for values that are *sums/averages of data* where a
+tie is measure-zero; use round4 for derived ratios/scores built from small
+integer arithmetic, which land on ties all the time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round4(col: Column) -> Column:
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+def round4_sql(expr: str) -> str:
+    return f"(FLOOR(({expr}) * 10000.0 + 0.5) / 10000.0)"

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round4
 from ..functions.hashing import (
     LSH_BANDS,
     LSH_ROWS,
@@ -206,8 +207,8 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .where(F.round(jac, 4) >= threshold)
+        .select("id_a", "id_b", round4(jac).alias("jaccard"))
+        .where(round4(jac) >= threshold)
     )
 
 
@@ -261,5 +262,5 @@ def embedding_near_dup_pairs(
     )
     cos = dot / (F.col("na") * F.col("nb"))
     return joined.select(
-        "id_a", "id_b", F.round(cos, 4).alias("cosine")
-    ).where(F.round(cos, 4) >= threshold)
+        "id_a", "id_b", round4(cos).alias("cosine")
+    ).where(round4(cos) >= threshold)

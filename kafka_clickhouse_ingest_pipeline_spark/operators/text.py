@@ -1,0 +1,138 @@
+"""Text-analysis operators (tier C): token stats, language ID, quality
+scoring, fingerprinting, term frequencies.
+
+All built-in expression work (split/regexp/length/aggregate) — the hot path
+never leaves the JVM. Heuristics are deliberately simple and *portable*
+(expressible identically in ANSI SQL) so every operator is oracle-checkable;
+swapping in fastText/CLD3 via a Pandas UDF is a drop-in upgrade at the same
+operator boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import P
+from ..functions.rounding import round4
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Chosen to be disjoint tokens, matched with surrounding spaces so the
+# count is a plain substring count (portable: length-replace trick).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "y"],
+    "zh": ["的", "是", "和"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def substring_count(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring (length-replace trick; portable)."""
+    n = len(needle)
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle)))) / F.lit(n)
+
+
+def marker_score(text: Column, lang: str) -> Column:
+    """Total stopword-marker occurrences for one language."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    score = F.lit(0.0)
+    for m in LANG_MARKERS[lang]:
+        score = score + substring_count(padded, f" {m} ")
+    return score
+
+
+def lang_id(df: DataFrame, text_col: str) -> Column:
+    """Predicted language = argmax marker score, 'und' when all zero.
+
+    Deterministic tie-break: language order as listed (greatest-score wins,
+    earlier language wins ties via strictly-greater comparison chain).
+    """
+    text = F.col(text_col)
+    scores = {lang: marker_score(text, lang) for lang in LANG_MARKERS}
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    # iterate in fixed order; strictly-greater keeps the earlier winner on tie
+    for lang in LANG_MARKERS:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features follow the usual web-corpus filters (length, mean word length,
+    alpha ratio, digit/punct noise, stopword presence); the composite is a
+    transparent linear blend clamped to [0,1].
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_toks = token_count(text)
+    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    stop_hits = marker_score(text, "en")
+    mean_tok_len = F.when(n_toks > 0, (n_chars - (n_toks - 1)) / n_toks).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(n_toks / F.lit(50.0), F.lit(1.0)) * 0.3
+        + (alpha / F.greatest(n_chars, F.lit(1))) * 0.3
+        + F.least(stop_hits / F.lit(5.0), F.lit(1.0)) * 0.2
+        + (1 - F.least(digits / F.greatest(n_chars, F.lit(1)) * 5, F.lit(1.0))) * 0.1
+        + (1 - F.least(punct / F.greatest(n_chars, F.lit(1)) * 5, F.lit(1.0))) * 0.1
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        round4(mean_tok_len).alias("mean_token_len"),
+        round4(alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
+        round4(digits / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        round4(punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        stop_hits.cast("long").alias("en_stopword_hits"),
+        round4(score).alias("quality_score"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over characters: fold(h*31 + ord(c)) mod P.
+
+    Sequential left fold via the `aggregate` higher-order function — stays
+    in codegen, and the identical fold exists in DuckDB (list_reduce), so
+    fingerprints are engine-portable. Mod applied per step to stay in int64.
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(P),
+    )
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """Corpus-level term frequencies (the groupBy-token word count).
+
+    At 100 TB this is the canonical skew case — a handful of stopwords
+    dominate. The partial (map-side) aggregation Catalyst inserts combines
+    each token within every task before the shuffle, so the hot keys move
+    as one row per partition, not one row per occurrence.
+    """
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    out = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    return out.where(F.col("freq") >= min_count)

@@ -1,1 +1,208 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Tier-C text-analysis queries over `documents` with DuckDB oracles.
+
+Heuristics are engine-portable by construction (length/replace arithmetic,
+sequential folds) so the oracle runs the *same* computation, not a
+look-alike. Language-ID accuracy is evaluated separately against the
+corpus's `lang` column (it's a label here, not an input to the operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import P
+from ..operators import text as T
+from ..registry import query
+from ..tables import load_table
+
+
+def _marker_sum_sql(lang: str) -> str:
+    terms = [
+        f"(length(pt) - length(replace(pt, ' {m} ', ''))) / {len(m) + 2}.0"
+        for m in T.LANG_MARKERS[lang]
+    ]
+    return " + ".join(terms)
+
+
+def _lang_id_sql() -> str:
+    scores = ",\n        ".join(
+        f"{_marker_sum_sql(lang)} AS s_{lang}" for lang in T.LANG_MARKERS
+    )
+    langs = list(T.LANG_MARKERS)
+    mx = ", ".join(f"s_{lang}" for lang in langs)
+    whens = "\n        ".join(
+        f"WHEN s_{lang} = mx THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS label_lang,
+        {scores}
+      FROM (SELECT doc_id, lang, ' ' || text || ' ' AS pt FROM documents)
+    ),
+    ranked AS (
+      SELECT *, GREATEST({mx}) AS mx FROM scored
+    )
+    SELECT doc_id, label_lang,
+      CASE WHEN mx <= 0 THEN 'und'
+        {whens}
+        ELSE 'und' END AS pred_lang
+    FROM ranked
+    """
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      n_chars,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+      length(text) AS measured_chars
+    FROM documents
+    """,
+    description="C11: per-document token/char counts (whitespace "
+    "tokenizer).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("measured_chars"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=_lang_id_sql(),
+    description="C11: language ID via stopword-marker scoring (argmax with "
+    "first-wins tie-break); heuristic stage of a fastText-style filter.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        T.lang_id(docs, "text").alias("pred_lang"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT
+      doc_id,
+      length(text) AS n_chars,
+      len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+      (FLOOR(((length(text) - (len(string_split_regex(trim(text), '\\s+')) - 1))
+            / len(string_split_regex(trim(text), '\\s+'))) * 10000.0 + 0.5) / 10000.0) AS mean_token_len,
+      (FLOOR((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+            / GREATEST(length(text), 1)) * 10000.0 + 0.5) / 10000.0) AS alpha_ratio,
+      (FLOOR((length(regexp_replace(text, '[^0-9]', '', 'g'))
+            / GREATEST(length(text), 1)) * 10000.0 + 0.5) / 10000.0) AS digit_ratio,
+      (FLOOR((length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+            / GREATEST(length(text), 1)) * 10000.0 + 0.5) / 10000.0) AS punct_ratio,
+      CAST({_marker_sum_sql("en").replace("pt", "' ' || text || ' '")} AS BIGINT)
+        AS en_stopword_hits,
+      (FLOOR((
+        LEAST(len(string_split_regex(trim(text), '\\s+')) / 50.0, 1.0) * 0.3
+        + (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           / GREATEST(length(text), 1)) * 0.3
+        + LEAST(({_marker_sum_sql("en").replace("pt", "' ' || text || ' '")})
+                / 5.0, 1.0) * 0.2
+        + (1 - LEAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / GREATEST(length(text), 1) * 5, 1.0)) * 0.1
+        + (1 - LEAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / GREATEST(length(text), 1) * 5, 1.0)) * 0.1
+      ) * 10000.0 + 0.5) / 10000.0) AS quality_score
+    FROM documents
+    """,
+    description="C11: web-corpus quality features (length, alpha/digit/"
+    "punct ratios, stopword presence) + transparent linear score.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_features(docs, "text", "doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+                     [CAST(ord(c) AS BIGINT) for c in string_split(text, '')]),
+        (acc, c) -> (acc * 31 + c) % {P}
+      ) AS fingerprint
+    FROM documents
+    """,
+    description="C11: rolling polynomial document fingerprint "
+    "(fold(h*31+ord(c)) mod P) — shift-resistant content id, "
+    "engine-portable.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "text_top_terms",
+    oracle="""
+    SELECT term, freq FROM (
+      SELECT term, COUNT(*) AS freq
+      FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+      )
+      WHERE length(term) > 0
+      GROUP BY term
+    )
+    ORDER BY freq DESC, term
+    LIMIT 20
+    """,
+    description="C11: corpus top-20 terms — the canonical skewed "
+    "aggregation; map-side partial agg collapses hot keys before the "
+    "shuffle.",
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = T.term_frequencies(docs, "text")
+    return tf.orderBy(F.col("freq").desc(), "term").limit(20)
+
+
+@query(
+    "text_ngram_freqs",
+    oracle="""
+    SELECT gram, COUNT(*) AS freq
+    FROM (
+      SELECT doc_id,
+             unnest([array_to_string(w[i+1:i+2], ' ')
+                     for i in range(0, greatest(len(w)-1, 1))]) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    WHERE length(gram) > 0
+    GROUP BY gram
+    HAVING COUNT(*) >= 50
+    ORDER BY freq DESC, gram
+    """,
+    description="C11: word-bigram frequencies (freq >= 50) — n-gram LM "
+    "statistics over the corpus.",
+)
+def text_ngram_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .where(F.length("gram") > 0)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= 50)
+        .orderBy(F.col("freq").desc(), "gram")
+    )
