@@ -1,0 +1,161 @@
+"""Similarity-search operators over embedding columns (tier C10).
+
+Three rungs of the ANN ladder, all pure DataFrame API:
+
+- brute-force cosine top-k: the exactness baseline. One broadcast of the
+  query vector, one pass over the corpus, TakeOrderedAndProject for the
+  top-k — never a global sort.
+- random-hyperplane LSH (SimHash for vectors): 8 signed projections → 8-bit
+  bucket id. At 100 TB the bucket id is the partition/cluster key; search
+  touches one bucket (or Hamming-adjacent buckets for higher recall)
+  instead of the full corpus — the classic sub-linear ANN trade.
+- IVF-style blocked top-k: a coarse partition (here the `label` column;
+  in production, k-means cell ids) prunes the candidate set before exact
+  re-ranking.
+
+Projection planes use ±1 (Rademacher) entries generated from a fixed seed:
+integer-exact literals keep the arithmetic bit-identical across engines,
+and Rademacher projections are a standard LSH family (distribution-free
+Johnson-Lindenstrauss).
+
+All dot products are sequential left folds over doubles (zip_with +
+aggregate) so results are reproducible bit-for-bit anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round4
+
+# 6 planes → 64 buckets: ~8 candidates/bucket on the 500-vector test
+# corpus. At real corpus sizes raise planes so bucket occupancy stays
+# ~constant (planes ≈ log2(n / target_bucket_size)).
+N_PLANES = 6
+EMB_DIM = 64
+
+_rng = random.Random(7)
+PLANES: list[list[float]] = [
+    [float(_rng.choice((-1, 1))) for _ in range(EMB_DIM)] for _ in range(N_PLANES)
+]
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """N_PLANES-bit random-hyperplane bucket id: bit p = sign(<v, plane_p>).
+
+    ±1 planes mean each dot is a plain signed sum of elements — built as
+    left-assoc adds over `element_at` so it matches the fold order of the
+    generic dot() (and the oracle), while staying a flat codegen-friendly
+    expression instead of 8 nested higher-order folds (which took ~100ms
+    *per row* to evaluate).
+    """
+    bucket = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        acc = F.lit(0.0)
+        for i, sign in enumerate(plane):
+            term = F.element_at(vec, i + 1)
+            acc = acc + (term if sign > 0 else -term)
+        bucket = bucket + F.when(acc > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of `query` (single row) against the corpus.
+
+    The query side broadcasts; the corpus is scanned once; LIMIT k compiles
+    to TakeOrderedAndProject (per-partition heaps, k-way merge) — the right
+    plan at any corpus size.
+    """
+    q = query.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    cos = cosine(F.col("v"), F.col("qv"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(F.col(id_col), round4(cos).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bucketed_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: LSH-bucket prune, then exact cosine re-rank.
+
+    Only corpus vectors landing in the query's bucket are scored — ~1/256
+    of the data for 8 planes. Recall < 1 by construction; raise it by
+    probing Hamming-adjacent buckets (multi-probe) or adding tables.
+    """
+    q = query.select(
+        F.col(id_col).alias("q_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(as_double(F.col(vec_col))).alias("q_bucket"),
+    )
+    c = emb.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket(as_double(F.col(vec_col))).alias("bucket"),
+    )
+    cos = cosine(F.col("v"), F.col("qv"))
+    return (
+        c.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(F.col(id_col), F.col("bucket"), round4(cos).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def centroids(
+    emb: DataFrame,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-block elementwise centroid, long format (block, dim, value).
+
+    posexplode + groupBy(block, dim) — one shuffle keyed on (block, dim),
+    perfectly parallel in the embedding dimension; the IVF "train" step.
+    """
+    exploded = emb.select(
+        F.col(block_col),
+        F.posexplode(as_double(F.col(vec_col))).alias("dim", "x"),
+    )
+    return (
+        exploded.groupBy(block_col, "dim")
+        .agg(round4(F.avg("x")).alias("centroid"))
+    )
