@@ -220,11 +220,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
-           (FLOOR((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+           (FLOOR((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE (FLOOR((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5) / 10000.0) >= 0.2
+    WHERE (FLOOR((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5 + 0.000001) / 10000.0) >= 0.2
     """,
     description="C9: exact n-gram Jaccard via inverted shingle index — the "
     "verification stage behind LSH candidates; threshold 0.2.",
@@ -252,13 +252,13 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            (FLOOR((list_reduce(
                list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
                (acc, x) -> acc + x
-             ) / (a.nrm * b.nrm)) * 10000.0 + 0.5) / 10000.0) AS cosine
+             ) / (a.nrm * b.nrm)) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS cosine
     FROM normed a JOIN normed b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE (FLOOR((list_reduce(
                list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
                (acc, x) -> acc + x
-             ) / (a.nrm * b.nrm)) * 10000.0 + 0.5) / 10000.0) >= 0.4
+             ) / (a.nrm * b.nrm)) * 10000.0 + 0.5 + 0.000001) / 10000.0) >= 0.4
     """,
     description="C9: embedding-cosine near-dup pairs, label-blocked to stay "
     "sub-quadratic (prod: LSH bucket / IVF cell as the block). Threshold "

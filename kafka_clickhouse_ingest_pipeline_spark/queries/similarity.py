@@ -55,7 +55,7 @@ def _bucket_sql(vec_expr: str) -> str:
       SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id = {QUERY_VEC_ID}
     )
     SELECT vec_id,
-           (FLOOR(({_COS}) * 10000.0 + 0.5) / 10000.0) AS cosine
+           (FLOOR(({_COS}) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS cosine
     FROM corpus CROSS JOIN q
     WHERE vec_id != q_id
     ORDER BY cosine DESC, vec_id
@@ -106,7 +106,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bucketed WHERE vec_id = {QUERY_VEC_ID}
     )
     SELECT vec_id, bucket,
-           (FLOOR(({_COS}) * 10000.0 + 0.5) / 10000.0) AS cosine
+           (FLOOR(({_COS}) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS cosine
     FROM bucketed JOIN q ON bucket = q_bucket
     WHERE vec_id != q_id
     ORDER BY cosine DESC, vec_id
@@ -126,7 +126,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroids",
     oracle="""
     SELECT label, i - 1 AS dim,
-           (FLOOR(AVG(v[i]) * 10000.0 + 0.5) / 10000.0) AS centroid
+           (FLOOR(AVG(v[i]) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS centroid
     FROM (
       SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings

@@ -98,13 +98,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       length(text) AS n_chars,
       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
       (FLOOR(((length(text) - (len(string_split_regex(trim(text), '\\s+')) - 1))
-            / len(string_split_regex(trim(text), '\\s+'))) * 10000.0 + 0.5) / 10000.0) AS mean_token_len,
+            / len(string_split_regex(trim(text), '\\s+'))) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS mean_token_len,
       (FLOOR((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-            / GREATEST(length(text), 1)) * 10000.0 + 0.5) / 10000.0) AS alpha_ratio,
+            / GREATEST(length(text), 1)) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS alpha_ratio,
       (FLOOR((length(regexp_replace(text, '[^0-9]', '', 'g'))
-            / GREATEST(length(text), 1)) * 10000.0 + 0.5) / 10000.0) AS digit_ratio,
+            / GREATEST(length(text), 1)) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS digit_ratio,
       (FLOOR((length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-            / GREATEST(length(text), 1)) * 10000.0 + 0.5) / 10000.0) AS punct_ratio,
+            / GREATEST(length(text), 1)) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS punct_ratio,
       CAST({_marker_sum_sql("en").replace("pt", "' ' || text || ' '")} AS BIGINT)
         AS en_stopword_hits,
       (FLOOR((
@@ -117,7 +117,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / GREATEST(length(text), 1) * 5, 1.0)) * 0.1
         + (1 - LEAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                      / GREATEST(length(text), 1) * 5, 1.0)) * 0.1
-      ) * 10000.0 + 0.5) / 10000.0) AS quality_score
+      ) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS quality_score
     FROM documents
     """,
     description="C11: web-corpus quality features (length, alpha/digit/"

@@ -1,1 +1,198 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Tier-C12 time-series queries over `events` with DuckDB oracles.
+
+Batch twins of the streaming-window operators (streaming/windows.py runs
+the same shapes under watermarks): tumbling / sliding / session windows,
+plus the stream-dedup batch analog. Window starts are exported as epoch-ms
+bigints.
+
+Alignment note: Spark tumbling windows anchor at the epoch, DuckDB
+time_bucket at 2000-01-01; both anchors are midnight-aligned so any
+interval dividing 24h produces identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round4
+from ..functions.temporal import epoch_ms
+from ..registry import query
+from ..tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT
+      CAST(epoch_us(time_bucket(INTERVAL '10 minutes', ts)) // 1000 AS BIGINT)
+        AS window_start_ms,
+      event_type,
+      COUNT(*) AS n_events,
+      ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="C12: 10-minute tumbling windows per event type — the "
+    "batch twin of the streaming windowed aggregation.",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            epoch_ms(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+    SELECT
+      CAST(epoch_us(ws) // 1000 AS BIGINT) AS window_start_ms,
+      COUNT(*) AS n_events,
+      (FLOOR(AVG(value) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS avg_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS ws,
+             value
+      FROM events
+    )
+    GROUP BY ws
+    """,
+    description="C12: 10-minute windows sliding every 5 — each event lands "
+    "in two windows (explode of the phase-shifted bucket pair).",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.avg("value")).alias("avg_value"),
+        )
+        .select(
+            epoch_ms(F.col("w.start")).alias("window_start_ms"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '{SESSION_GAP_MIN} minutes'
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) // 1000 AS BIGINT) AS session_start_ms,
+           CAST(epoch_us(MAX(ts)) // 1000 AS BIGINT) AS last_event_ms,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    description="C12: gap-based session windows (30-min inactivity) via "
+    "Spark's native session_window; oracle rebuilds sessions with "
+    "lag + running sum.",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            epoch_ms(F.col("w.start")).alias("session_start_ms"),
+            epoch_ms(F.col("last_ts")).alias("last_event_ms"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms,
+           MIN(event_id) AS event_id
+    FROM events
+    GROUP BY user_id, event_type, ts
+    """,
+    description="C9/C12: stream-dedup batch analog — deterministic "
+    "representative per (user, type, ts); the streaming twin is "
+    "withWatermark + dropDuplicates (streaming/pipeline.py).",
+)
+def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type", "ts").agg(
+        F.min("event_id").alias("event_id")
+    ).select(
+        "user_id",
+        "event_type",
+        epoch_ms("ts").alias("ts_ms"),
+        "event_id",
+    )
+
+
+@query(
+    "hourly_rates_by_type",
+    oracle="""
+    SELECT
+      strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_bucket,
+      event_type,
+      COUNT(*) AS n_events,
+      (FLOOR(AVG(value) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS avg_value,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="C12/C8: hourly event rates per type with distinct users — "
+    "date_trunc bucketing.",
+)
+def hourly_rates_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round4(F.avg("value")).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
