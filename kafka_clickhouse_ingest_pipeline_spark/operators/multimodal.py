@@ -1,0 +1,161 @@
+"""Multimodal column plumbing (tier C): image/audio/video as opaque binary
+columns with typed metadata, processed through Arrow-batched Pandas UDFs.
+
+The container ships no codec libraries, so the *decode kernels* are stubs:
+`decode_image` raises NotImplementedError unless `fake=True`, in which case
+a deterministic fake decoder (seeded from the payload digest) stands in.
+Everything around the kernel — schema, batch iteration, partition sizing,
+UDF signatures — is real and tested; swapping in PIL/ffmpeg is a one-line
+change inside the kernel.
+
+Design for 100 TB of media:
+- media stays a `binary` column next to its metadata struct; no
+  row-per-pixel explosion inside the engine.
+- kernels run via mapInPandas (Arrow batches) — per-batch Python overhead,
+  not per-row; spark.sql.execution.arrow.maxRecordsPerBatch bounds batch
+  memory for large blobs.
+- derived features (embeddings, thumbnails) come back as fixed-width
+  array/binary columns so downstream joins/dedup stay columnar.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes | None) -> np.ndarray:
+    """Deterministic stand-in decoder: digest → unit-norm feature vector."""
+    if payload is None:
+        payload = b""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+    vec = (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+    n = float(np.linalg.norm(vec))
+    return vec / n if n else vec
+
+
+def decode_image(payload: bytes | None, fake: bool = False) -> np.ndarray:
+    """Image decode kernel. STUB: real codecs are not in this container.
+
+    Production body: PIL.Image.open(io.BytesIO(payload)) → resize →
+    model.encode(...). The engine-side contract (bytes in, fixed-width
+    float32 vector out) is what the pipeline tests.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; pass fake=True "
+            "for the deterministic stand-in"
+        )
+    return _fake_decode(payload)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    One Python worker call per Arrow batch; payload bytes never transit the
+    driver. Output is a fixed-width float vector per media row, ready for
+    the similarity/dedup operators (operators/similarity.py).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_image(p, fake=fake).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per frame to decode.
+
+    The expensive decode happens later in extract_features; this step is
+    pure metadata arithmetic (sequence over duration), fully JVM-side, and
+    demonstrates how a 2-hour video becomes 7200 decode tasks that
+    parallelize across the cluster instead of one giant task.
+    """
+    n_frames = F.greatest(
+        (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int"),
+        F.lit(1),
+    )
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .withColumn("frame_offset_ms", F.col("frame_idx") * every_ms)
+    )
+
+
+def make_fake_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests (binary payloads)."""
+    rows: list[tuple[Any, ...]] = []
+    kinds = ("image", "audio", "video")
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * (i % 7 + 1)
+        rows.append(
+            (
+                f"m{i:04d}",
+                kind,
+                bytearray(payload),
+                f"{kind}/fake",
+                64 if kind == "image" else None,
+                64 if kind == "image" else None,
+                5000 if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

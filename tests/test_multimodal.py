@@ -1,0 +1,69 @@
+"""Multimodal plumbing tests: binary columns + Arrow-batched kernels.
+
+The decode kernel itself is stubbed (no codecs in this container —
+decode_image raises NotImplementedError without fake=True); what's under
+test is the engine-side contract: schema, mapInPandas batching, feature
+shape, determinism, and the frame-sampling plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_clickhouse_ingest_pipeline_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return M.make_fake_media(spark, n=30)
+
+
+def test_real_decoder_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG...")
+
+
+def test_extract_features_shape_and_schema(spark, media):
+    out = M.extract_features(media, fake=True)
+    assert out.schema == M.DECODED_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == M.FEATURE_DIM for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_features_deterministic_and_content_keyed(spark, media):
+    a = {r.media_id: tuple(r.feature) for r in M.extract_features(media, fake=True).collect()}
+    b = {r.media_id: tuple(r.feature) for r in M.extract_features(media, fake=True).collect()}
+    assert a == b
+    # distinct payloads → distinct features
+    assert len(set(a.values())) == len(a)
+
+
+def test_features_feed_similarity_operators(spark, media):
+    """Decoded features plug straight into the ANN stack (C10)."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import similarity as S
+
+    feats = M.extract_features(media, fake=True).withColumn(
+        "vec_id", F.monotonically_increasing_id()
+    )
+    q = feats.limit(1)
+    top = S.brute_force_topk(feats, q, k=3, vec_col="feature", id_col="media_id")
+    assert top.count() == 3
+
+
+def test_frame_sample_plan_explodes_videos_only(spark, media):
+    plan = M.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert rows, "videos must produce frame tasks"
+    assert all(r.media_id.startswith("m") for r in rows)
+    # 5000 ms at 1 frame/s → 5 frames per video
+    per_video = {}
+    for r in rows:
+        per_video.setdefault(r.media_id, []).append(r.frame_offset_ms)
+    for offsets in per_video.values():
+        assert sorted(offsets) == [0, 1000, 2000, 3000, 4000]
+    # plan stage is pure metadata: no python eval in the plan
+    plan_str = plan._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan_str
