@@ -34,13 +34,18 @@ HEADLINE = [
     "topk_orders",
     "distinct_count",
     "scalar_math_funcs",
-    # tier C (registered in later milestones; silently skipped if absent)
+    # tier C: dedup / text / similarity / time-series
     "dedup_exact_docs",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash",
     "text_token_stats",
     "text_lang_id",
+    "text_top_terms",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "tumbling_window_agg",
+    "session_window_agg",
 ]
 
 
