@@ -1,0 +1,68 @@
+"""UDF surface (tier C13): the three Python extension points, all
+Arrow-batched — scalar pandas_udf, grouped-agg pandas_udf, and
+applyInPandas group transform.
+
+The reference has no UDF surface at all (SURVEY.md §2 notes); this module
+defines the engine's sanctioned escape hatches for logic the built-ins
+can't express. Rules of engagement (enforced by example here):
+
+- Never row-at-a-time `F.udf` — every entry point below receives whole
+  Arrow batches / pandas groups (~10-100× less Python overhead).
+- Python only when the built-ins genuinely can't express it; the operators
+  in this repo that *could* have been UDFs (dot products, hashes, quality
+  scores) are deliberately built-in expressions instead.
+- Grouped transforms must assume nothing about group count or order: the
+  group key is data, the schema is declared, state fits one group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+@F.pandas_udf(DoubleType())
+def l2_norm_udf(vecs: pd.Series) -> pd.Series:
+    """Scalar pandas_udf: L2 norm of an embedding column.
+
+    One numpy call per Arrow batch; the column arrives as a Series of
+    numpy arrays.
+    """
+    return vecs.map(lambda v: float(np.sqrt(np.dot(v, v))))
+
+
+@F.pandas_udf(DoubleType())
+def median_udf(values: pd.Series) -> float:
+    """Grouped-aggregate pandas_udf: exact median (interpolated for even
+    counts, matching ANSI PERCENTILE_CONT 0.5)."""
+    return float(values.median())
+
+
+def grouped_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """applyInPandas group transform: z-score normalize within each group.
+
+    Demonstrates the full-group custom transform path (the reference for
+    per-group model scoring, resampling, fitting). Each group must fit one
+    executor's memory — at 100 TB, group by a key with bounded cardinality
+    per group (here: event_type), or pre-aggregate.
+    """
+    schema = f"{group_col} string, event_id long, {value_col} double, zscore double"
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value_col].std(ddof=1)
+        mean = pdf[value_col].mean()
+        z = (pdf[value_col] - mean) / std if std and std > 0 else pdf[value_col] * 0.0
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                "event_id": pdf["event_id"],
+                value_col: pdf[value_col],
+                "zscore": z,
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(normalize, schema=schema)

@@ -752,3 +752,36 @@ def case_when_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_band")
     )
+
+
+@query(
+    "grouping_sets_sales",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*) AS n,
+      ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    description="C4: explicit GROUPING SETS — per-status, per-priority and "
+    "grand-total aggregates in one pass (SQL surface; rollup/cube cover "
+    "the DataFrame API).",
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          COUNT(*) AS n,
+          ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )

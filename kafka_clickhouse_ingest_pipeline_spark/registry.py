@@ -56,4 +56,5 @@ def load_all() -> None:
         similarity,
         text,
         timeseries,
+        udfs,
     )

@@ -1,0 +1,68 @@
+"""JDBC sink — the ClickHouse writer re-expressed as Spark JDBC options
+(SURVEY.md §2 A14).
+
+Reference behavior (paths relative to /root/reference/):
+- batched INSERT, batch size 100: consumer/src/main/resources/
+  application.yml:53, consumer2/.../persistence/ClickHouseRepository.kt:77-79
+- connection pool max 10: application.yml:42, ClickHouseRepository.kt:41
+- NULL-preserving setObject binds: ClickHouseRepository.kt:69-75
+
+Spark's JDBC writer batches with `batchsize` and opens one connection per
+writing partition — `numPartitions` is therefore the pool-size analog.
+No JDBC server exists in this environment; the option-building is unit
+tested and the write path is exercised against parquet via the same
+foreachBatch seam (streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Parity constants (BASELINE.md)
+JDBC_BATCH_SIZE = 100
+JDBC_MAX_CONNECTIONS = 10
+
+
+def jdbc_writer_options(
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    batch_size: int = JDBC_BATCH_SIZE,
+    max_connections: int = JDBC_MAX_CONNECTIONS,
+) -> dict[str, str]:
+    """Options matching the reference's writer configuration."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "numPartitions": str(max_connections),
+        "isolationLevel": "NONE",  # ClickHouse has no transactions; the
+        # reference's executeBatch is likewise non-transactional
+    }
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    return opts
+
+
+def write_jdbc_batch(df: DataFrame, url: str, table: str, **kw) -> None:
+    """A14: the batched append. Used inside foreachBatch for streaming
+    (at-least-once: a replayed batch re-inserts, exactly like the
+    reference's redelivered Kafka batch)."""
+    opts = jdbc_writer_options(url, table, **kw)
+    writer = df.write.mode("append").format("jdbc")
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def jdbc_foreach_batch(url: str, table: str, **kw):
+    """foreachBatch adapter: stream micro-batches into the JDBC sink —
+    the direct equivalent of the reference's consumer loop."""
+
+    def write(batch_df: DataFrame, _batch_id: int) -> None:
+        write_jdbc_batch(batch_df, url, table, **kw)
+
+    return write

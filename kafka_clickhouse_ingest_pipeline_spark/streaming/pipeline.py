@@ -150,3 +150,37 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicates(
         keys or ["user_id", "event_type", "ts"]
     )
+
+
+def kafka_sink_options(brokers: str, topic: str = KAFKA_TOPIC) -> dict[str, str]:
+    """A6: the producer side (publisher/internal/kafka/publisher.go:34-49).
+
+    Parity mapping — batching 100 msgs / 1 s, leader-only acks, async:
+    kafka-go `BatchSize/BatchTimeout/RequiredAcks` become the producer's
+    `batch.size/linger.ms/acks`. Spark's Kafka sink is naturally async
+    within a task (librdkafka-style buffering in the Java producer), and
+    like the reference's 202-before-ack trade-off, rows are acked to the
+    query only at task completion.
+    """
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "kafka.acks": "1",  # RequireOne, publisher.go:40
+        "kafka.linger.ms": "1000",  # BatchTimeout 1s, publisher.go:46
+        "kafka.batch.size": str(100 * 1024),  # ~100 msgs, publisher.go:45
+    }
+
+
+def write_to_kafka(df: DataFrame, brokers: str, topic: str = KAFKA_TOPIC):
+    """Publish a DataFrame's `value` column (optionally `key`) to Kafka —
+    the publisher's Publish(ctx, key, value) as a batch/stream write.
+    Keyless messages (nil key, handler.go:81) are the default: omit `key`
+    and the partitioner round-robins like kafka-go LeastBytes."""
+    cols = [F.col("value").cast("string").alias("value")]
+    if "key" in df.columns:
+        cols.insert(0, F.col("key").cast("string").alias("key"))
+    out = df.select(*cols)
+    writer = out.write.format("kafka")
+    for k, v in kafka_sink_options(brokers, topic).items():
+        writer = writer.option(k, v)
+    writer.save()
