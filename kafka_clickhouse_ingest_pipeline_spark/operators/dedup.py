@@ -98,7 +98,14 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     pairs ever materialized are bucket-mates, which is the entire point of
     LSH at scale. Output: (id_a, id_b, est_jaccard) with id_a < id_b,
     est_jaccard = fraction of the 16 signature components that agree.
+
+    The signature frame fans out six ways below (4 band branches + both
+    sides of the estimate join); without materialization Spark recomputes
+    the shingle explode + 16-way min-aggregate per branch (observed: 30
+    parquet scans in the plan). persist() truncates that to one
+    computation — at scale this is "write the signature table once".
     """
+    sig = sig.persist()
     bands = []
     for b in range(LSH_BANDS):
         cols = [f"sig{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS)]
@@ -190,6 +197,11 @@ def ngram_jaccard_pairs(
     ever pair up — the inverted index prunes the quadratic space); set
     sizes join in afterwards; J = inter / (|A|+|B|-inter).
     """
+    # sh fans out three ways (sizes + both join sides). NOT persisted:
+    # measured at sf0.1, caching degraded the self-join plan through the
+    # InMemoryRelation boundary (7s -> 57s cold); recomputing the shingle
+    # explode is three cheap scans. At real scale the shingle/inverted
+    # index would be written to storage once and reused across runs.
     sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
