@@ -206,3 +206,63 @@ def text_ngram_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("freq") >= 50)
         .orderBy(F.col("freq").desc(), "gram")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE length(term) > 0 GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           (FLOOR((tf * ln((n_docs + 1.0) / (df + 1.0))) * 10000.0 + 0.5
+                  + 0.000001) / 10000.0) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+                        tf.term
+             ) AS rn
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    WHERE rn <= 3
+    """,
+    description="C11: TF-IDF — tf x ln((N+1)/(df+1)), top-3 scoring terms "
+    "per document; document frequency joins back via a broadcastable "
+    "term dimension.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.rounding import round4
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf_raw",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", round4(F.col("tfidf_raw")).alias("tfidf"))
+    )
