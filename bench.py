@@ -26,6 +26,8 @@ from kafka_clickhouse_ingest_pipeline_spark.session import build_session  # noqa
 HEADLINE = [
     "pipeline_flagship",
     "agg_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
     "join_multiway_star",
     "join_left_null_handling",
     "window_top_order_per_customer",

@@ -1,0 +1,210 @@
+"""Composite analytical queries: multi-join TPC-H-style shapes, exact
+percentiles, correlated subqueries, fuzzy string matching.
+
+These are the "would a ClickHouse user find their workload here" queries —
+each composes several operators (join chains + filters + aggregation +
+top-k) the way real dashboards do, and each is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round4
+from ..registry import query
+from ..tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+      strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 20
+    """,
+    description="TPC-H Q3 shape: selective dimension filter -> fact join "
+    "chain -> grouped revenue -> top-k. Customer broadcasts; lineitem "
+    "never shuffles before the aggregate.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT
+      n.n_name AS nation,
+      ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    description="TPC-H Q5 shape: five-table snowflake join filtered to one "
+    "region; all four dimensions broadcast around the lineitem scan.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@query(
+    "percentiles_by_group",
+    oracle="""
+    SELECT
+      l_returnflag,
+      (FLOOR(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5 + 0.000001)
+        / 10000.0) AS p50,
+      (FLOOR(quantile_cont(l_extendedprice, 0.9) * 10000.0 + 0.5 + 0.000001)
+        / 10000.0) AS p90,
+      (FLOOR(quantile_cont(l_extendedprice, 0.99) * 10000.0 + 0.5 + 0.000001)
+        / 10000.0) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="C1/C2: exact interpolated percentiles (PERCENTILE_CONT "
+    "semantics) per group — p50/p90/p99 latency-style rollups.",
+)
+def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round4(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
+            round4(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90"),
+            round4(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "correlated_subquery_above_avg",
+    oracle="""
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 4) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+      SELECT AVG(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o.o_orderkey
+    """,
+    description="C3/Catalyst: correlated scalar subquery (orders more than "
+    "2x their customer's average) — decorrelated by Catalyst into an "
+    "aggregate + join, no per-row re-execution.",
+)
+def correlated_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, ROUND(o.o_totalprice, 4) AS o_totalprice
+        FROM orders_corr o
+        WHERE o.o_totalprice > 2 * (
+          SELECT AVG(o2.o_totalprice) FROM orders_corr o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    ORDER BY key_a, key_b
+    """,
+    description="C8/C9: fuzzy string matching — brand-blocked self-join "
+    "with Levenshtein radius 5 (blocking keeps the pair space linear per "
+    "block, the classic entity-resolution shape).",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("brand_a") == F.col("brand_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .where(dist <= 5)
+        .select("key_a", "key_b", dist.alias("edit_distance"))
+        .orderBy("key_a", "key_b")
+    )

@@ -50,6 +50,7 @@ def query(name: str, oracle: str | None, description: str = ""):
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .queries import (  # noqa: F401
+        analytics,
         dedup,
         pipeline,
         relational,
