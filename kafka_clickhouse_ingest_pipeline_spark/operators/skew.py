@@ -1,0 +1,71 @@
+"""Skew-mitigation operators: salted two-stage aggregation and bucketed
+co-located joins (SURVEY.md §4 / the 100 TB checklist).
+
+AQE's skew-join splitting handles joins automatically; *aggregation* skew
+on pathological keys (one token = 10% of the corpus) still funnels every
+pre-aggregated partial for that key to one reducer. Salting splits each
+hot key across `n_salts` reducers and re-combines — exact for any
+decomposable aggregate (sum/count/min/max), two shuffles of strictly
+smaller data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation: count(*) (+ sum(value_col)) per key.
+
+    Stage 1 groups by (keys, salt) — a hot key's rows spread over
+    `n_salts` reducers; stage 2 re-combines the ≤ n_salts partials per
+    key. Exact: sum and count are associative-commutative monoids.
+    """
+    # per-row salt (monotonic id is unique per row, so consecutive rows of
+    # a hot key land in different salt cells even inside one input
+    # partition; spark_partition_id would collapse to one cell per task)
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
+    aggs1 = [F.count(F.lit(1)).alias("_cnt")]
+    aggs2 = [F.sum("_cnt").alias("cnt")]
+    if value_col is not None:
+        aggs1.append(F.sum(value_col).alias("_sum"))
+        aggs2.append(F.sum("_sum").alias(f"sum_{value_col}"))
+    partial = df.select(*keys, salt, *( [value_col] if value_col else [] )).groupBy(
+        *keys, "_salt"
+    ).agg(*aggs1)
+    return partial.groupBy(*keys).agg(*aggs2)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join key.
+
+    Two tables bucketed identically on their join key join with ZERO
+    exchanges — the co-location is established once at write time and
+    amortized over every subsequent join. This is the Spark analog of
+    co-partitioned MergeTree shards, and the standard answer to
+    "fact-to-fact join at 100 TB".
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str]
+) -> DataFrame:
+    """Join two co-bucketed tables; with matching bucketing the plan shows
+    no Exchange on either side (asserted in tests/test_skew.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on)

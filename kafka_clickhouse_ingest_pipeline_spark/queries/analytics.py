@@ -208,3 +208,28 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", dist.alias("edit_distance"))
         .orderBy("key_a", "key_b")
     )
+
+
+@query(
+    "salted_skew_aggregate",
+    oracle="""
+    SELECT term, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    )
+    WHERE length(term) > 0
+    GROUP BY term
+    """,
+    description="Skew mitigation: salted two-stage aggregation over the "
+    "(heavily skewed) token stream — oracle is the PLAIN aggregation, "
+    "proving the salt+recombine path is exact.",
+)
+def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum_count
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    return salted_sum_count(toks, ["term"]).select("term", "cnt")

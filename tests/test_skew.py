@@ -1,0 +1,72 @@
+"""Skew + bucketing: salted aggregation is exact; co-bucketed joins are
+exchange-free."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_ingest_pipeline_spark.operators import skew
+from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    """A pathologically hot key (every 'click' event) aggregates to the
+    same totals through the salted two-stage path."""
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type,): (r.cnt, r.sum_value)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    salted = {
+        (r.event_type,): (r.cnt, r.sum_value)
+        for r in skew.salted_sum_count(ev, ["event_type"], "value").collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-6
+
+
+def test_salted_aggregate_spreads_hot_key(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(16)).alias("_salt")
+    partial = ev.select("event_type", salt).groupBy("event_type", "_salt").count()
+    # the hot key occupies multiple salt cells → multiple reducers
+    cells = partial.groupBy("event_type").count().agg(F.max("count")).first()[0]
+    assert cells > 1
+
+
+@pytest.fixture()
+def bucketed_tables(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    skew.write_bucketed(orders, "orders_b", ["o_orderkey"], n_buckets=8)
+    skew.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        ["o_orderkey"],
+        n_buckets=8,
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    # disable broadcast so the join strategy must rely on co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = skew.bucketed_join(spark, lt, rt, ["o_orderkey"])
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
