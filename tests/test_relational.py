@@ -1,0 +1,48 @@
+"""Relational-operator properties not expressible through the DuckDB
+oracle: approximate-distinct error bounds, rollup totals, set-op algebra."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_ingest_pipeline_spark import registry
+from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+registry.load_all()
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """approx_count_distinct(rsd=0.02) lands within a conservative 3×rsd
+    of the exact count (HLL++ guarantee is probabilistic; 6% is ~3σ)."""
+    orders = load_table(spark, sf_dir, "orders")
+    exact = orders.select(F.countDistinct("o_custkey")).first()[0]
+    approx = registry.REGISTRY["approx_distinct"].fn(spark, sf_dir).first()[0]
+    assert abs(approx - exact) <= max(1, 0.06 * exact), (approx, exact)
+
+
+def test_rollup_contains_grand_total(spark, sf_dir):
+    rows = registry.REGISTRY["rollup_sales"].fn(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1
+    assert grand[0].n == li.count()
+
+
+def test_set_ops_algebra(spark, sf_dir):
+    """|A∪B| = |A∩B| + |A\\B| + |B\\A| on the query's own outputs."""
+    row = registry.REGISTRY["set_union_intersect_except"].fn(spark, sf_dir).first()
+    # n_union = n_intersect + n_except + |building \ big_spenders|
+    assert row.n_union >= row.n_intersect + row.n_except
+    assert row.n_intersect >= 0 and row.n_except >= 0
+
+
+def test_topk_is_subset_of_full_sort(spark, sf_dir):
+    top = registry.REGISTRY["topk_orders"].fn(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    true_top = (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert [r.o_orderkey for r in top] == [r.o_orderkey for r in true_top]
