@@ -182,3 +182,57 @@ def test_graceful_shutdown(spark, payload_dir, tmp_path):
     q.awaitTermination(60)
     assert not q.isActive
     assert q.exception() is None
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """C12: stream-stream inner join — clicks joined to purchases by the
+    same user within 30 minutes, both sides watermarked so join state is
+    bounded."""
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "ss_events"
+    src_dir.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:01:00Z", "user": 1, "kind": "click"},
+        {"ts": "2024-01-01T00:10:00Z", "user": 1, "kind": "purchase"},  # +9m: joins
+        {"ts": "2024-01-01T02:00:00Z", "user": 1, "kind": "purchase"},  # +2h: outside window
+        {"ts": "2024-01-01T00:05:00Z", "user": 2, "kind": "click"},     # no purchase
+    ]
+    (src_dir / "f.txt").write_text("\n".join(json.dumps(r) for r in rows))
+
+    raw = P.file_source(spark, str(src_dir))
+    parsed = raw.select(
+        F.from_json("value", "ts timestamp, user long, kind string").alias("p")
+    ).select("p.*")
+    clicks = (
+        parsed.where("kind = 'click'")
+        .select(F.col("user").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        parsed.where("kind = 'purchase'")
+        .select(F.col("user").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + interval 30 minutes
+            """
+        ),
+    )
+    out = str(tmp_path / "ss_out")
+
+    def sink(df, _bid):
+        df.write.mode("append").parquet(out)
+
+    q = joined.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ss_ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert got[0].c_user == 1
