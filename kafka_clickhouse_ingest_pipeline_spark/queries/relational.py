@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round4
 from ..functions.temporal import epoch_ms
 from ..registry import query
 from ..tables import load_table
@@ -785,3 +786,62 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         """
     )
+
+
+@query(
+    "pivot_user_event_matrix",
+    oracle="""
+    SELECT
+      user_id,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    description="C1/C4: pivot — per-user event-type count matrix. Explicit "
+    "value list so the pivot is a single pass (no distinct-values "
+    "pre-query); oracle is the equivalent conditional aggregation.",
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+    )
+    # pivot leaves null for absent combinations; the oracle produces 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "unpivot_price_metrics",
+    oracle="""
+    SELECT o_orderkey, metric,
+           (FLOOR(val * 10000.0 + 0.5 + 0.000001) / 10000.0) AS val
+    FROM (
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'price_k', o_totalprice / 1000.0 FROM orders
+    )
+    """,
+    description="C7/C8: unpivot (wide -> long) via the native unpivot "
+    "operator; oracle is the UNION ALL equivalent.",
+)
+def unpivot_price_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        (F.col("o_totalprice") / 1000.0).alias("price_k"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "price_k"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).select("o_orderkey", "metric", round4(F.col("val")).alias("val"))

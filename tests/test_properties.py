@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis): the lenient-parse semantics hold for
+*arbitrary* payloads, not just the fixtures the reference's tests used.
+(The reference has no property tests — SURVEY.md §5 'Absent'; this goes
+beyond its pyramid on purpose.)"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from kafka_clickhouse_ingest_pipeline_spark.operators import ingest
+
+# payloads in the IngestedData shape, with arbitrary extra/missing keys
+payloads = st.fixed_dictionaries(
+    {},
+    optional={
+        "sensorId": st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters='"\\\x00'),
+            max_size=20,
+        ),
+        "temperature": st.floats(
+            allow_nan=False, allow_infinity=False, width=32
+        ),
+        "value": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "message": st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters='"\\\x00'),
+            max_size=20,
+        ),
+        "unknown_extra": st.integers(),
+        "nested": st.fixed_dictionaries({"a": st.integers()}),
+    },
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(payloads, min_size=1, max_size=8))
+def test_parse_typed_matches_json_module(spark, batch):
+    """For any batch of well-formed JSON objects: every row survives the
+    gate, unknown keys are ignored, present typed keys round-trip, missing
+    keys surface as null."""
+    df = spark.createDataFrame(
+        [(json.dumps(p),) for p in batch], "value string"
+    )
+    rows = ingest.parse_typed(df, keep_raw=True).collect()
+    assert len(rows) == len(batch)
+    by_raw = {r._raw_data: r for r in rows}
+    for p in batch:
+        row = by_raw[json.dumps(p)]
+        assert row.sensorId == p.get("sensorId")
+        assert row.message == p.get("message")
+        assert row.value == p.get("value")
+        t = p.get("temperature")
+        if t is None:
+            assert row.temperature is None
+        else:
+            assert math.isclose(row.temperature, t, rel_tol=1e-6, abs_tol=1e-30)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.text(max_size=40))
+def test_arbitrary_garbage_never_crashes_the_gate(spark, garbage):
+    """Any string at all either parses (JSON object) or is dropped —
+    the batch never fails (MessageProcessor.kt drop-don't-fail)."""
+    df = spark.createDataFrame([(garbage,), ('{"sensorId": "ok"}',)], "value string")
+    rows = ingest.parse_typed(df).collect()
+    kept = {r.sensorId for r in rows}
+    assert "ok" in kept
+    assert len(rows) <= 2
