@@ -845,3 +845,71 @@ def unpivot_price_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     ).select("o_orderkey", "metric", round4(F.col("val")).alias("val"))
+
+
+@query(
+    "array_functions_suite",
+    oracle="""
+    SELECT
+      vec_id,
+      len(embedding) AS dim,
+      (FLOOR(CAST(embedding[1] AS DOUBLE) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS first_el,
+      (FLOOR(list_reduce(list_transform(embedding[1:8],
+            x -> CAST(x AS DOUBLE)), (a, x) -> a + x) * 10000.0 + 0.5
+            + 0.000001) / 10000.0) AS head_sum,
+      CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+      (FLOOR(CAST(list_max(embedding) AS DOUBLE) * 10000.0 + 0.5 + 0.000001)
+        / 10000.0) AS max_el
+    FROM embeddings
+    """,
+    description="C8: array-function surface over the embedding column — "
+    "size/element_at/slice+aggregate/filter/array_max, all JVM-side "
+    "higher-order functions.",
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    vd = F.transform(v, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        round4(F.element_at(v, 1).cast("double")).alias("first_el"),
+        round4(
+            F.aggregate(
+                F.transform(F.slice(v, 1, 8), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("head_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        round4(F.array_max(v).cast("double")).alias("max_el"),
+    )
+
+
+@query(
+    "null_functions_suite",
+    oracle="""
+    SELECT
+      event_id,
+      COALESCE(value, -1.0) AS value_or_default,
+      CASE WHEN value IS NULL THEN 'missing' ELSE 'present' END AS value_state,
+      NULLIF(event_type, 'error') AS type_no_error,
+      IFNULL(json_extract_string(props, '$.absent'), 'n/a') AS absent_or_na
+    FROM events
+    """,
+    description="C8/B6: null-handling functions — coalesce/nullif/ifnull "
+    "and CASE over nullable columns.",
+)
+def null_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("value_or_default"),
+        F.when(F.col("value").isNull(), "missing")
+        .otherwise("present")
+        .alias("value_state"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_no_error"),
+        F.ifnull(
+            F.get_json_object("props", "$.absent"), F.lit("n/a")
+        ).alias("absent_or_na"),
+    )

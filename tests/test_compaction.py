@@ -1,0 +1,42 @@
+"""Compaction: many small files → few target-sized files, data preserved,
+clustering layout restored."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_ingest_pipeline_spark.plans.compaction import compact, dir_stats
+from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+
+def test_compact_preserves_data_and_reduces_files(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "frag")
+    # simulate a micro-batch sink: 40 appends = 40+ tiny files
+    for chunk in range(4):
+        ev.where(F.col("event_id") % 4 == chunk).repartition(10).write.mode(
+            "append"
+        ).parquet(path)
+    n_before, _ = dir_stats(path)
+    assert n_before >= 40
+
+    before_rows = spark.read.parquet(path).count()
+    before_sum = spark.read.parquet(path).agg(F.sum("event_id")).first()[0]
+
+    b, a = compact(spark, path, cluster_cols=("event_type",), target_file_bytes=10**9)
+    assert b == n_before and a < n_before
+
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.agg(F.sum("event_id")).first()[0] == before_sum
+
+
+def test_compact_respects_target_size(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "sized")
+    ev.repartition(30).write.parquet(path)
+    _, total = dir_stats(path)
+    target = max(total // 3, 1)
+    _, after = compact(spark, path, target_file_bytes=target)
+    # ceil(total/target) ≈ 3-4 files (parquet size varies post-rewrite)
+    assert 2 <= after <= 6

@@ -46,3 +46,14 @@ def test_topk_is_subset_of_full_sort(spark, sf_dir):
         .collect()
     )
     assert [r.o_orderkey for r in top] == [r.o_orderkey for r in true_top]
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """approx_percentile tracks the exact interpolated percentile within
+    a few percent — the sketch path for p99 at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.percentile("l_extendedprice", F.lit(0.9))).first()[0]
+    approx = li.select(
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000))
+    ).first()[0]
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
