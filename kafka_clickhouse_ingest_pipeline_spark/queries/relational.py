@@ -913,3 +913,45 @@ def null_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.absent"), F.lit("n/a")
         ).alias("absent_or_na"),
     )
+
+
+@query(
+    "window_range_frame_30d",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      day_no,
+      ROUND(SUM(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY day_no
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+      ), 4) AS revenue_30d
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+               AS day_no
+      FROM orders
+    )
+    """,
+    description="C5: RANGE frame — trailing-30-day revenue per customer; "
+    "value-based frame bounds (all orders within the window, not a fixed "
+    "row count), the time-series rolling-aggregate shape.",
+)
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "day_no",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("revenue_30d"),
+    )
