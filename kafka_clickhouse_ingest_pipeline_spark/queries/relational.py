@@ -955,3 +955,68 @@ def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_no",
         F.round(F.sum("o_totalprice").over(w), 4).alias("revenue_30d"),
     )
+
+
+@query(
+    "group_concat_users",
+    oracle="""
+    SELECT event_type,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users_csv,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE user_id < 25
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="C1/C8: grouped list aggregation (ClickHouse groupArray "
+    "analog) — collect_set sorted then joined, deterministic by "
+    "construction.",
+)
+def group_concat_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 25)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("user_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("users_csv"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "histogram_prices",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0) + 1, 11) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    description="C1/C8: equi-width histogram (manual bucket arithmetic — "
+    "DuckDB 1.0 lacks width_bucket) — the ClickHouse histogram() analog "
+    "as a plain aggregation.",
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.least(F.floor(F.col("o_totalprice") / 50000.0) + 1, F.lit(11))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

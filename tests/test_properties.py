@@ -68,3 +68,38 @@ def test_arbitrary_garbage_never_crashes_the_gate(spark, garbage):
     kept = {r.sensorId for r in rows}
     assert "ok" in kept
     assert len(rows) <= 2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_round4_is_engine_portable(spark, xs):
+    """The rounding helper — the cornerstone of every float oracle — must
+    produce bit-identical results in Spark and DuckDB for arbitrary
+    doubles, including decimal-tie values."""
+    import duckdb
+
+    from kafka_clickhouse_ingest_pipeline_spark.functions.rounding import (
+        round4,
+        round4_sql,
+    )
+
+    # sprinkle in adversarial tie values
+    xs = xs + [0.78375, 0.78125, -0.00005, 123.45675]
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    from pyspark.sql import functions as F
+
+    got_spark = [r[0] for r in df.select(round4(F.col("x"))).collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {round4_sql('CAST(? AS DOUBLE)')}", [float(x)]).fetchone()[0]
+        for x in xs
+    ]
+    assert got_spark == got_duck
