@@ -47,3 +47,17 @@ def test_clustered_write_layout(spark, sf_dir, tmp_path):
     pruned = back.where(F.col("yyyymm") == parts[0].split("=")[1])
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(yyyymm" in plan
+
+
+def test_kafka_source_fails_cleanly_without_connector(spark):
+    """This environment ships no spark-sql-kafka jar; the source must fail
+    with the standard 'Failed to find data source' guidance, not something
+    cryptic (the file_source stand-in covers CI)."""
+    import pytest as _pytest
+
+    from kafka_clickhouse_ingest_pipeline_spark.streaming.pipeline import (
+        kafka_source,
+    )
+
+    with _pytest.raises(Exception, match="Failed to find data source: kafka"):
+        kafka_source(spark, "localhost:9092")

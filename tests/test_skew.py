@@ -70,3 +70,14 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_aqe_skew_join_is_enabled(spark):
+    """AQE skew-join splitting is the no-code-change path for skewed joins
+    at 100 TB; the session enables it. (Forcing an actual runtime split at
+    local test scale proved unreliable — shuffle partitions of a few
+    hundred KB don't trip the detector even with thresholds at 8KB and
+    forceOptimizeSkewedJoin; salting above demonstrates the skew
+    principle with an oracle instead.)"""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
