@@ -1020,3 +1020,41 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "supplier_balance_by_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_suppliers,
+           (FLOOR(AVG(s.s_acctbal) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS avg_balance,
+           CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+    description="C1/C3: supplier account balances rolled up to region "
+    "(completes table coverage: every testdata table now has an "
+    "oracle-checked query).",
+)
+def supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            round4(F.avg("s_acctbal")).alias("avg_balance"),
+            F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0)).alias(
+                "n_negative"
+            ),
+        )
+        .orderBy("region")
+    )
