@@ -102,10 +102,12 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     The signature frame fans out six ways below (4 band branches + both
     sides of the estimate join); without materialization Spark recomputes
     the shingle explode + 16-way min-aggregate per branch (observed: 30
-    parquet scans in the plan). persist() truncates that to one
-    computation — at scale this is "write the signature table once".
+    parquet scans in the plan). localCheckpoint materializes the
+    signatures once (persist() also worked but leaves cache entries and
+    plans through InMemoryRelation) — at scale this is "write the
+    signature table once".
     """
-    sig = sig.persist()
+    sig = sig.localCheckpoint(eager=True)
     bands = []
     for b in range(LSH_BANDS):
         cols = [f"sig{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS)]
@@ -197,12 +199,14 @@ def ngram_jaccard_pairs(
     ever pair up — the inverted index prunes the quadratic space); set
     sizes join in afterwards; J = inter / (|A|+|B|-inter).
     """
-    # sh fans out three ways (sizes + both join sides). NOT persisted:
-    # measured at sf0.1, caching degraded the self-join plan through the
-    # InMemoryRelation boundary (7s -> 57s cold); recomputing the shingle
-    # explode is three cheap scans. At real scale the shingle/inverted
-    # index would be written to storage once and reused across runs.
-    sh = shingles(df, text_col, id_col, n)
+    # sh fans out three ways (sizes + both join sides). localCheckpoint
+    # materializes it once and truncates lineage WITHOUT the
+    # InMemoryRelation stats problem that made persist() degrade the
+    # self-join plan (measured at sf0.1: plain 7.3s cold / persist 57s /
+    # localCheckpoint 2.4s). Trade-off: checkpoint blocks are
+    # executor-local and unrecoverable on executor loss — on a real
+    # cluster, write the inverted index to storage instead.
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
