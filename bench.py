@@ -46,8 +46,11 @@ HEADLINE = [
     "text_top_terms",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "tumbling_window_agg",
     "session_window_agg",
+    "asof_join_latest_order",
+    "range_join_order_windows",
 ]
 
 

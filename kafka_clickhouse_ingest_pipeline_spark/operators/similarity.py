@@ -159,3 +159,59 @@ def centroids(
         exploded.groupBy(block_col, "dim")
         .agg(round4(F.avg("x")).alias("centroid"))
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    nprobe: int = 2,
+    k: int = 10,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: exact top-k restricted to the `nprobe` nearest cells.
+
+    Completes the IVF ladder that `centroids` trains: reassemble each
+    cell's centroid vector, score the (tiny) centroid table against the
+    query, keep the nprobe closest cells, and run the exact cosine re-rank
+    only over corpus rows in those cells. The cell list stays a DataFrame
+    (broadcast join, never collected to the driver), so the whole plan is
+    two small shuffles over the centroid table plus one corpus scan whose
+    filter is the broadcast cell join — at 100 TB, with the corpus
+    clustered/partitioned by cell id, that scan prunes to nprobe/ncells of
+    the data. Centroid components are rounded (4 dp) before the cosine so
+    cell selection is reproducible across engines despite averaging-order
+    ulp noise; ties between cells break on the block id.
+    """
+    cvec = (
+        centroids(emb, block_col=block_col, vec_col=vec_col)
+        .groupBy(block_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("s"))
+        .select(
+            block_col, F.transform("s", lambda st: st["centroid"]).alias("cv")
+        )
+    )
+    q = query.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    probe_cells = (
+        cvec.crossJoin(F.broadcast(q))
+        .select(
+            block_col,
+            round4(cosine(F.col("cv"), F.col("qv"))).alias("c_cos"),
+        )
+        .orderBy(F.col("c_cos").desc(), F.col(block_col))
+        .limit(nprobe)
+        .select(block_col)
+    )
+    c = emb.select(F.col(id_col), F.col(block_col), as_double(F.col(vec_col)).alias("v"))
+    cos = cosine(F.col("v"), F.col("qv"))
+    return (
+        c.join(F.broadcast(probe_cells), block_col)
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(F.col(id_col), F.col(block_col), round4(cos).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -139,3 +139,46 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.centroids(emb)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    cent AS (
+      SELECT label, i - 1 AS dim,
+             (FLOOR(AVG(v[i]) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS c
+      FROM corpus, (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY label, i
+    ),
+    cvec AS (SELECT label, list(c ORDER BY dim) AS v FROM cent GROUP BY label),
+    probe AS (
+      SELECT label
+      FROM cvec CROSS JOIN q
+      ORDER BY (FLOOR(({_COS}) * 10000.0 + 0.5 + 0.000001) / 10000.0) DESC,
+               label
+      LIMIT 2
+    )
+    SELECT vec_id, label,
+           (FLOOR(({_COS}) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS cosine
+    FROM corpus JOIN probe USING (label) CROSS JOIN q
+    WHERE vec_id != q_id
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    description="C10: full IVF search — centroid train (embedding_centroids) "
+    "+ nprobe=2 cell selection + exact cosine re-rank inside the probed "
+    "cells; the partition-pruned scale path (corpus clustered by cell id "
+    "scans nprobe/ncells of the data).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return S.ivf_topk(emb, q, nprobe=2, k=10)

@@ -196,3 +196,109 @@ def hourly_rates_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+from ..operators import temporal_join as TJ  # noqa: E402
+
+
+@query(
+    "asof_join_latest_order",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id,
+             {TJ.ORACLE_PROBE_TS.format(col="event_id")} AS pts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(epoch_us(pts) // 1000 AS BIGINT) AS probe_ms,
+           o_orderkey AS matched_orderkey,
+           o_totalprice AS matched_totalprice,
+           CAST(epoch_us(o_orderdate) // 1000 AS BIGINT) AS matched_orderdate_ms
+    FROM p LEFT JOIN orders o
+      ON o.o_custkey = p.user_id AND o.o_orderdate <= p.pts
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY p.event_id
+      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC
+    ) = 1
+    """,
+    description="As-of join: each event probe matched to the latest order "
+    "of that customer at-or-before the probe instant (left semantics — "
+    "probes before the customer's first order get nulls). Union-sentinel "
+    "implementation: ONE shuffle on the key, no join node "
+    "(operators/temporal_join.py), vs the oracle's O(n·m)-per-key "
+    "inequality join.",
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        TJ.probe_timestamp(F.col("event_id")).alias("pts"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        # parquet TIMESTAMP(ms) loads as NTZ; session tz is pinned UTC so
+        # the cast is a pure type change (epoch_ms needs TIMESTAMP_LTZ).
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    out = TJ.asof_join(
+        ev,
+        orders,
+        key="user_id",
+        probe_ts="pts",
+        build_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+        tiebreak_col="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_ms(F.col("pts")).alias("probe_ms"),
+        F.col("matched.o_orderkey").alias("matched_orderkey"),
+        F.col("matched.o_totalprice").alias("matched_totalprice"),
+        epoch_ms(F.col("matched.o_orderdate")).alias("matched_orderdate_ms"),
+    )
+
+
+@query(
+    "range_join_order_windows",
+    oracle=f"""
+    WITH p AS (
+      SELECT value,
+             {TJ.ORACLE_PROBE_TS.format(col="event_id")} AS pts
+      FROM events
+    )
+    SELECT o.o_orderkey,
+           COUNT(*) AS n_events,
+           (FLOOR(SUM(p.value) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS sum_value
+    FROM p JOIN orders o
+      ON p.pts >= o.o_orderdate
+     AND p.pts < o.o_orderdate + INTERVAL 3 DAY
+    GROUP BY o.o_orderkey
+    """,
+    description="Range (interval) join with NO equi-key: events whose probe "
+    "instant falls in each order's 3-day window, aggregated per order. "
+    "Binned implementation (operators/temporal_join.py): probes "
+    "pre-aggregated to their (midnight) instant, intervals exploded into "
+    "≤2 width-sized bins, equi-join on bin + exact range filter — a hash "
+    "join sized by true match density instead of a cartesian product.",
+)
+def range_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        TJ.probe_timestamp(F.col("event_id")).alias("pts"), "value"
+    )
+    # Probe instants are midnight-aligned by construction, so pre-reduce
+    # the probe side to one row per distinct instant before the range join:
+    # the join fan-out then scales with distinct days, not raw events.
+    per_day = ev.groupBy("pts").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sum")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = TJ.range_join_binned(
+        per_day, orders, probe_ts="pts", interval_start="o_orderdate", width_days=3
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.sum("_n").alias("n_events"),
+        round4(F.sum("_sum")).alias("sum_value"),
+    )
