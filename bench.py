@@ -51,6 +51,9 @@ HEADLINE = [
     "session_window_agg",
     "asof_join_latest_order",
     "range_join_order_windows",
+    "sample_docs_stratified",
+    "dedup_minhash_clusters",
+    "curate_training_corpus",
 ]
 
 

@@ -280,3 +280,75 @@ def embedding_near_dup_pairs(
     return joined.select(
         "id_a", "id_b", round4(cos).alias("cosine")
     ).where(round4(cos) >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components by min-label
+    propagation (the step after pair generation — LSH emits *pairs*, but
+    curation needs whole duplicate *groups* to keep one representative).
+
+    Pregel-style iteration: every node starts labeled with its own id;
+    each round every node takes the min of its label and its neighbors'
+    labels; converges in O(component diameter) rounds — near-dup chains
+    are shallow, so single digits in practice. Each round is one shuffle
+    (edge-label join + min-aggregate); intermediates are localCheckpointed
+    so lineage doesn't stack across rounds (at cluster scale: write the
+    label table per round, or use GraphFrames' optimized large-star /
+    small-star algorithm which converges in O(log n) rounds).
+
+    `pairs` must have columns (id_a, id_b); `nodes` supplies the universe
+    (singletons included). Returns (id_col, cluster_id) where cluster_id
+    is the component's minimum id — a deterministic representative.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Iterate only over nodes that occur in an edge: in a dedup workload
+    # the candidate graph is a vanishing fraction of the corpus (everything
+    # else is a singleton = its own cluster), so the per-round shuffles
+    # touch kilobytes even when `nodes` is the full 100 TB id space.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("old_label"), F.coalesce("nbr_min", "old_label")
+                ).alias("label"),
+                "old_label",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.drop("old_label")
+        if changed == 0:
+            break
+    # Singletons (nodes with no edge) are their own cluster; attach them
+    # with a left join instead of having dragged them through every round.
+    return nodes.select(F.col(id_col)).join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+    )

@@ -1,0 +1,63 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling (`df.sample`, `TABLESAMPLE`) is seed- and partition-
+dependent — reruns and engines disagree, which breaks both oracle checks
+and reproducible dataset releases. A 100 TB curation pipeline wants
+*hash-based* sampling instead: membership is a pure function of the row
+key, so the sample is stable under reruns, repartitioning, engine changes,
+and incremental appends (a row's fate never changes when its neighbors
+do). Built on the md5-derived 60-bit hash (functions/hashing.py) that both
+engines compute identically.
+
+- `bernoulli_sample`: keep rows whose salted hash bucket (of 10000) falls
+  below the rate. Pure filter — pushes into the scan, no shuffle at all.
+- `stratified_fixed_n`: exactly n rows per stratum, chosen by hash order —
+  one shuffle on the stratum key, per-stratum top-n via row_number (heap-
+  friendly; no global sort). The salt gives independent redraws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+
+BUCKETS = 10_000
+
+
+def sample_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, 10000) from a salted key hash."""
+    return hash60(F.concat(F.lit(salt), key.cast("string"))) % F.lit(BUCKETS)
+
+
+def sample_bucket_sql(key_expr: str, salt: str) -> str:
+    h = hash60_sql(f"'{salt}' || CAST({key_expr} AS VARCHAR)")
+    return f"({h} % {BUCKETS})"
+
+
+def bernoulli_sample(
+    df: DataFrame, key_col: str, rate_bp: int, salt: str = "s0"
+) -> DataFrame:
+    """Keep ~rate_bp/10000 of rows, decided per-row by key hash."""
+    return df.where(sample_bucket(F.col(key_col), salt) < F.lit(rate_bp))
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    stratum_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly min(n, stratum size) rows per stratum, in hash order.
+
+    Hash order makes the quota a uniform draw; (bucket-ish hash, key)
+    ordering is total so the result is unique. Adds `sample_rank`.
+    """
+    h = hash60(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )

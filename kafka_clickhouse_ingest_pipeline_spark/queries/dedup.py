@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    hash60_sql,
     LSH_BANDS,
     LSH_ROWS,
     N_MINHASH,
@@ -267,3 +268,110 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@query(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_lsh_pairs_sql()}),
+    nodes AS (SELECT doc_id FROM ({_PLANTED_SQL})),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.d, w.root FROM walk w JOIN edges e ON e.s = w.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_id
+    FROM walk
+    GROUP BY node
+    """,
+    description="C9 near-dup stage 3: duplicate *groups* from the LSH "
+    "pairs — connected components by iterative min-label propagation "
+    "(operators/dedup.connected_components, O(diameter) rounds, one "
+    "shuffle per round); cluster_id = min doc id is the deterministic "
+    "representative. Oracle walks the same graph with a recursive CTE.",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    sig = D.minhash_signatures(docs, "text", "doc_id")
+    pairs = D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+    return D.connected_components(pairs, docs.select("doc_id"), "doc_id")
+
+
+TOKEN_MIN = 8
+CURATE_PER_LANG = 20
+CURATE_SALT = "cur"
+
+
+@query(
+    "curate_training_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_lsh_pairs_sql()}),
+    nodes AS (SELECT doc_id FROM ({_PLANTED_SQL})),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.d, w.root FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(root) AS cluster_id FROM walk GROUP BY node
+    ),
+    reps AS (
+      SELECT d.doc_id, d.lang,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+      WHERE c.cluster_id = c.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, sample_rank
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY
+                 {hash60_sql(f"'{CURATE_SALT}' || CAST(doc_id AS VARCHAR)")},
+                 doc_id
+             ) AS sample_rank
+      FROM reps
+      WHERE n_tokens >= {TOKEN_MIN}
+    )
+    WHERE sample_rank <= {CURATE_PER_LANG}
+    """,
+    description="Flagship curation composite: near-dup clusters (LSH pairs "
+    "-> connected components) -> keep the min-id representative of each "
+    "cluster -> token-count quality gate -> deterministic stratified "
+    f"sample of {CURATE_PER_LANG} docs per language. The whole "
+    "training-data prep path in one plan: candidate graph is tiny vs the "
+    "corpus, sampling is hash-based, so every stage scales linearly.",
+)
+def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SMP
+
+    planted = _docs_with_planted(spark, sf_dir)
+    sig = D.minhash_signatures(planted, "text", "doc_id")
+    pairs = D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+    clusters = D.connected_components(pairs, planted.select("doc_id"), "doc_id")
+    reps = clusters.where(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.join(reps, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") >= TOKEN_MIN)
+    )
+    return SMP.stratified_fixed_n(
+        corpus, "lang", CURATE_PER_LANG, "doc_id", CURATE_SALT
+    ).select("doc_id", "lang", "n_tokens", "sample_rank")

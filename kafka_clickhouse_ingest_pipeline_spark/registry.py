@@ -54,6 +54,7 @@ def load_all() -> None:
         dedup,
         pipeline,
         relational,
+        sampling,
         similarity,
         text,
         timeseries,

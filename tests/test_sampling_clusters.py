@@ -1,0 +1,91 @@
+"""Deterministic sampling and duplicate-cluster formation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+from kafka_clickhouse_ingest_pipeline_spark.operators import sampling as SMP
+from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+
+def test_bernoulli_rate_and_stability(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = SMP.bernoulli_sample(docs, "doc_id", 2_000)  # 20%
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    # 20% ± generous tolerance on a small corpus
+    assert 0.10 * n < len(ids1) < 0.30 * n
+    # exactly reproducible: membership is a pure function of the key
+    ids2 = {r.doc_id for r in SMP.bernoulli_sample(docs, "doc_id", 2_000).select("doc_id").collect()}
+    assert ids1 == ids2
+    # monotone in the rate: a 10% sample is a subset of the 20% sample
+    ids_small = {r.doc_id for r in SMP.bernoulli_sample(docs, "doc_id", 1_000).select("doc_id").collect()}
+    assert ids_small <= ids1
+
+
+def test_bernoulli_salt_gives_independent_draw(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in SMP.bernoulli_sample(docs, "doc_id", 2_000, "s0").select("doc_id").collect()}
+    b = {r.doc_id for r in SMP.bernoulli_sample(docs, "doc_id", 2_000, "s1").select("doc_id").collect()}
+    assert a != b  # different salts re-randomize
+
+
+def test_stratified_quota_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = SMP.stratified_fixed_n(docs, "lang", 7, "doc_id")
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {k: min(7, v) for k, v in full.items()}
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singletons {20}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], ["id"])
+    out = {
+        (r.id, r.cluster_id)
+        for r in D.connected_components(pairs, nodes, "id").collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
+
+
+def test_clusters_catch_planted_duplicates(spark, sf_dir):
+    from kafka_clickhouse_ingest_pipeline_spark.queries.dedup import (
+        PLANT_OFFSET,
+        _docs_with_planted,
+    )
+
+    docs = _docs_with_planted(spark, sf_dir)
+    sig = D.minhash_signatures(docs, "text", "doc_id")
+    pairs = D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+    clusters = D.connected_components(pairs, docs.select("doc_id"), "doc_id")
+
+    # invariant: both endpoints of every pair share a cluster
+    ca = clusters.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "cluster_id", "c_a"
+    )
+    cb = clusters.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "cluster_id", "c_b"
+    )
+    split_edges = (
+        pairs.join(ca, "id_a").join(cb, "id_b").where(F.col("c_a") != F.col("c_b"))
+    )
+    assert split_edges.count() == 0
+
+    # invariant: cluster_id is the component minimum (a member of the cluster)
+    bad_rep = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("lo")).where(
+        F.col("cluster_id") != F.col("lo")
+    )
+    assert bad_rep.count() == 0
+
+    # recall: LSH banding is probabilistic, but the planted 3-word
+    # truncations are near-identical — the vast majority must land in
+    # their original's cluster (originals may legitimately merge further).
+    planted = clusters.where(F.col("doc_id") >= PLANT_OFFSET)
+    n_planted = planted.count()
+    caught = planted.where(F.col("cluster_id") < PLANT_OFFSET).count()
+    assert n_planted > 0
+    assert caught >= 0.8 * n_planted
