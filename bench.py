@@ -54,6 +54,8 @@ HEADLINE = [
     "sample_docs_stratified",
     "dedup_minhash_clusters",
     "curate_training_corpus",
+    "funnel_view_click_purchase",
+    "argmax_last_event",
 ]
 
 

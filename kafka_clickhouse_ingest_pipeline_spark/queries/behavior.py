@@ -1,0 +1,182 @@
+"""Behavioral-analytics queries over `events` — ClickHouse-analog surface.
+
+The reference lands its stream in ClickHouse (`consumer/clickhouse/
+init-db.sh:20-36`), whose users reach for argMax / windowFunnel /
+retention for exactly this kind of event table; these queries provide the
+same semantics as plain Spark aggregations so a reference user keeps
+their behavioral queries after switching.
+
+All three are single-pass or few-pass conditional aggregations — no
+per-user event arrays are ever collected, so per-user event counts can be
+arbitrarily skewed without blowing memory (the ClickHouse implementations
+groupArray internally; this formulation shuffles only aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.temporal import epoch_ms
+from ..registry import query
+from ..tables import load_table
+
+FUNNEL_WINDOW_MIN = 1440  # 24 h: the synthetic stream is day-scale sparse
+WEEKS = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29"]
+
+
+@query(
+    "argmax_last_event",
+    oracle="""
+    SELECT user_id,
+           event_type AS last_type,
+           value AS last_value,
+           CAST(epoch_us(ts) // 1000 AS BIGINT) AS last_ts_ms
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+    description="ClickHouse argMax analog: each user's most recent event "
+    "(type, value, ts), ties broken by event id so the answer is "
+    "deterministic — per-user top-1 via window, one shuffle on user_id.",
+)
+def argmax_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            epoch_ms(F.col("ts")).alias("last_ts_ms"),
+        )
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle=f"""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+        AND e.ts <= t1.t1 + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        AND e.ts <= t1.t1 + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CASE WHEN t3.t3 IS NOT NULL THEN 3
+                WHEN t2.t2 IS NOT NULL THEN 2
+                WHEN t1.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN t1 ON u.user_id = t1.user_id
+    LEFT JOIN t2 ON u.user_id = t2.user_id
+    LEFT JOIN t3 ON u.user_id = t3.user_id
+    """,
+    description="ClickHouse windowFunnel analog: deepest step of "
+    "view -> click -> purchase reached in strict order within 24 h of "
+    "the first view, per user. Built as three conditional min-aggregates "
+    "chained by joins (each one shuffle on user_id) — no per-user event "
+    "array is ever materialized, so step skew can't blow memory.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTE")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t1, "user_id")
+        .join(t2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_level"),
+        )
+    )
+
+
+@query(
+    "retention_weekly",
+    oracle=f"""
+    SELECT
+      CAST(SUM(w1) AS BIGINT) AS cohort,
+      CAST(SUM(w1 * w2) AS BIGINT) AS retained_w2,
+      CAST(SUM(w1 * w3) AS BIGINT) AS retained_w3,
+      CAST(SUM(w1 * w4) AS BIGINT) AS retained_w4
+    FROM (
+      SELECT user_id,
+        MAX(CASE WHEN ts >= TIMESTAMP '{WEEKS[0]}' AND ts < TIMESTAMP '{WEEKS[1]}' THEN 1 ELSE 0 END) AS w1,
+        MAX(CASE WHEN ts >= TIMESTAMP '{WEEKS[1]}' AND ts < TIMESTAMP '{WEEKS[2]}' THEN 1 ELSE 0 END) AS w2,
+        MAX(CASE WHEN ts >= TIMESTAMP '{WEEKS[2]}' AND ts < TIMESTAMP '{WEEKS[3]}' THEN 1 ELSE 0 END) AS w3,
+        MAX(CASE WHEN ts >= TIMESTAMP '{WEEKS[3]}' AND ts < TIMESTAMP '{WEEKS[4]}' THEN 1 ELSE 0 END) AS w4
+      FROM events
+      GROUP BY user_id
+    )
+    """,
+    description="ClickHouse retention analog: of users active in week 1, "
+    "how many returned in weeks 2/3/4 — two chained conditional "
+    "aggregations (user flags, then cohort sums), no joins at all.",
+)
+def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def in_week(i: int):
+        lo = F.lit(WEEKS[i]).cast("timestamp")
+        hi = F.lit(WEEKS[i + 1]).cast("timestamp")
+        return F.max(
+            F.when((F.col("ts") >= lo) & (F.col("ts") < hi), 1).otherwise(0)
+        )
+
+    flags = ev.groupBy("user_id").agg(
+        in_week(0).alias("w1"),
+        in_week(1).alias("w2"),
+        in_week(2).alias("w3"),
+        in_week(3).alias("w4"),
+    )
+    return flags.select(
+        F.sum("w1").cast("long").alias("cohort"),
+        F.sum(F.col("w1") * F.col("w2")).cast("long").alias("retained_w2"),
+        F.sum(F.col("w1") * F.col("w3")).cast("long").alias("retained_w3"),
+        F.sum(F.col("w1") * F.col("w4")).cast("long").alias("retained_w4"),
+    )

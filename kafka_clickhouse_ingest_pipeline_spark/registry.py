@@ -51,6 +51,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .queries import (  # noqa: F401
         analytics,
+        behavior,
         dedup,
         pipeline,
         relational,

@@ -1,0 +1,49 @@
+"""Behavioral analytics (argMax / windowFunnel / retention analogs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_ingest_pipeline_spark.queries.behavior import (
+    argmax_last_event,
+    funnel_view_click_purchase,
+    retention_weekly,
+)
+from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+
+def test_argmax_one_row_per_user_at_max_ts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = argmax_last_event(spark, sf_dir)
+    assert out.count() == ev.select("user_id").distinct().count()
+    maxes = ev.groupBy("user_id").agg(F.max("ts").alias("mx"))
+    joined = out.join(maxes, "user_id").where(
+        F.col("last_ts_ms") != F.floor(F.unix_micros("mx") / 1000).cast("long")
+    )
+    assert joined.count() == 0
+
+
+def test_funnel_levels_monotone_and_exercised(spark):
+    from conftest import SF_ORACLE
+
+    # sf0.001 is too sparse for 3-step funnels; the denser sf0.01 stream
+    # exercises every level
+    out = funnel_view_click_purchase(spark, SF_ORACLE)
+    counts = {
+        r.funnel_level: r.n
+        for r in out.groupBy("funnel_level").agg(F.count("*").alias("n")).collect()
+    }
+    at_least = lambda k: sum(v for lvl, v in counts.items() if lvl >= k)
+    assert at_least(1) >= at_least(2) >= at_least(3)
+    # the synthetic stream is dense enough that full funnels occur
+    assert at_least(3) > 0
+    # and sparse enough that not everyone converts
+    assert at_least(3) < at_least(1)
+
+
+def test_retention_bounded_by_cohort(spark, sf_dir):
+    row = retention_weekly(spark, sf_dir).collect()[0]
+    assert row.cohort >= row.retained_w2
+    assert row.cohort >= row.retained_w3
+    assert row.cohort >= row.retained_w4
+    assert row.cohort > 0
