@@ -540,6 +540,41 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_percent_cume",
+    oracle="""
+    SELECT
+      c_nationkey,
+      c_custkey,
+      (FLOOR((PERCENT_RANK() OVER w) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+        AS bal_pct_rank,
+      (FLOOR((CUME_DIST() OVER w) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+        AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+    description="C5: percent_rank / cume_dist distribution functions — "
+    "completes the ranking family (rank/dense_rank/ntile are in "
+    "window_rank_dense). Ratios of small ints land on .xxxx5 ties, so "
+    "both sides use the portable floor-rounding.",
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            round4(F.percent_rank().over(w)).alias("bal_pct_rank"),
+            round4(F.cume_dist().over(w)).alias("bal_cume_dist"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # C6: top-k
 # --------------------------------------------------------------------------
