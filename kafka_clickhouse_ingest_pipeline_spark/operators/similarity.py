@@ -215,3 +215,34 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization, long format (id, dim, qval, scale).
+
+    Per-vector max-abs scaling to [-127, 127] — the standard trick that
+    cuts embedding storage 4x before ANN indexing. scale is the exact
+    max-|x| element (a raw data value, bit-identical everywhere);
+    round-half-up is the portable floor(x + 0.5) form. All-zero vectors
+    quantize to zeros (scale 0 guard). Scan + explode only — no shuffle.
+    """
+    v = as_double(F.col(vec_col))
+    maxabs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scaled = emb.select(
+        F.col(id_col), v.alias("v"), maxabs.alias("scale")
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.floor(F.col("x") * F.lit(127.0) / F.col("scale") + F.lit(0.5)),
+    ).otherwise(F.lit(0)).cast("long")
+    return scaled.select(
+        F.col(id_col),
+        F.posexplode("v").alias("dim", "x"),
+        "scale",
+    ).select(F.col(id_col), "dim", q.alias("qval"), "scale")

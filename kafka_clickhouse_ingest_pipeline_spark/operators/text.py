@@ -137,3 +137,17 @@ def term_frequencies(
     ).where(F.length("term") > 0)
     out = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
     return out.where(F.col("freq") >= min_count)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for dedup/fingerprint robustness: lowercase,
+    non-alphanumerics to spaces, runs of spaces collapsed, trimmed.
+
+    Pure Catalyst expressions (regexp inside codegen) — the standard
+    pre-pass so near-dup detection isn't fooled by case or punctuation
+    variants. ASCII-safe by construction: everything outside [a-z0-9 ]
+    is already folded to a space before any locale question can arise.
+    """
+    lowered = F.lower(text)
+    alnum = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(alnum, " +", " "))

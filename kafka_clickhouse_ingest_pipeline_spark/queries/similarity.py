@@ -182,3 +182,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
     return S.ivf_topk(emb, q, nprobe=2, k=10)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> abs(x)),
+                         (a, b) -> greatest(a, b)) AS scale
+      FROM corpus
+    )
+    SELECT vec_id, i - 1 AS dim,
+           CAST(CASE WHEN scale > 0
+                     THEN FLOOR(v[i] * 127.0 / scale + 0.5)
+                     ELSE 0 END AS BIGINT) AS qval,
+           scale
+    FROM scaled, (SELECT unnest(range(1, 65)) AS i)
+    """,
+    description="Embedding preprocessing: symmetric int8 quantization "
+    "(per-vector max-abs scale to [-127,127], 4x storage cut before ANN "
+    "indexing), long format — scan + explode, no shuffle. scale is an "
+    "exact data element; round-half-up is the portable floor(x+0.5).",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb)

@@ -266,3 +266,30 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", round4(F.col("tfidf_raw")).alias("tfidf"))
     )
+
+
+@query(
+    "text_normalized",
+    oracle="""
+    SELECT doc_id, norm_text,
+           len(string_split(norm_text, ' ')) AS n_tokens
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    """,
+    description="Text preprocessing: canonical form (lowercase, "
+    "punctuation to spaces, whitespace collapsed) + token count — the "
+    "standard pre-pass so near-dup detection isn't fooled by case or "
+    "punctuation variants. Pure codegen expressions, scan/project only.",
+)
+def text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = T.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+    ).withColumn("n_tokens", F.size(F.split(F.col("norm_text"), " ")))
