@@ -56,6 +56,7 @@ HEADLINE = [
     "curate_training_corpus",
     "funnel_view_click_purchase",
     "argmax_last_event",
+    "multimodal_media_features",
 ]
 
 

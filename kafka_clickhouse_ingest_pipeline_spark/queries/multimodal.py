@@ -1,0 +1,121 @@
+"""Multimodal-column queries with DuckDB oracles.
+
+The driver testdata has no binary media table, so both sides derive one
+deterministically from ``documents``: payload = UTF-8 bytes of ``text``,
+kind = round-robin image/audio/video by ``doc_id``, duration seeded from
+``n_chars``. The Spark side then runs the REAL multimodal plumbing —
+``operators/multimodal.py``'s mapInPandas feature kernel (fake decoder;
+codecs absent in this container) and the JVM-side frame-sampling plan —
+while the oracle recomputes every SQL-expressible output column
+(byte length, md5 fingerprint, feature dimensionality, unit norm, frame
+explosion) so CORRECTNESS_r{N}.json shows value-hash parity for the
+multimodal family, not just rows-only.
+
+Reference parity note: the reference pipeline treats payloads as opaque
+bytes end-to-end (publisher/internal/api/handler.go:59-81 forwards the
+raw body; publisher/internal/kafka/publisher.go:59-63 takes ``value
+[]byte``); this module extends that opaque-binary discipline to media
+columns per the tier-C mandate (SURVEY.md §2 C-tier, multimodal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round4
+from ..operators import multimodal as M
+from ..registry import query
+from ..tables import load_table
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents (both engines can)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        ((F.coalesce(F.col("n_chars"), F.lit(0)) % 10 + 1) * 1000)
+        .cast("int")
+        .alias("duration_ms"),
+    )
+
+
+@query(
+    "multimodal_media_features",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+           md5(coalesce(text, '')) AS payload_md5,
+           16 AS feat_dim,
+           CAST(1.0 AS DOUBLE) AS feat_norm
+    FROM documents
+    """,
+    description="Multimodal: binary payload column -> Arrow-batched "
+    "mapInPandas decode/feature-extract kernel (deterministic fake decoder; "
+    "real codecs are a kernel-body swap). Oracle checks byte length, md5 "
+    "fingerprint, feature width, and unit norm of the extracted vector.",
+)
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_from_documents(spark, sf_dir)
+    feats = M.extract_features(media, fake=True)
+    fingerprints = media.select(
+        "media_id", F.md5(F.col("payload")).alias("payload_md5")
+    )
+    # float32 kernel output -> cast to double before the sequential fold so
+    # the norm lands within round4's epsilon of the oracle's exact 1.0
+    sq_sum = F.aggregate(
+        "feature",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        feats.join(fingerprints, "media_id")
+        .select(
+            "media_id",
+            "kind",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "payload_md5",
+            F.size("feature").alias("feat_dim"),
+            round4(F.sqrt(sq_sum)).alias("feat_norm"),
+        )
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               (coalesce(n_chars, 0) % 10 + 1) AS n_frames
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ),
+    fr AS (
+        SELECT media_id,
+               unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        FROM v
+    )
+    SELECT media_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 1000 AS BIGINT) AS frame_offset_ms
+    FROM fr
+    """,
+    description="Multimodal: video frame-sampling plan — pure JVM metadata "
+    "arithmetic (sequence+explode) that turns one long video row into N "
+    "parallel decode tasks; decode itself stays in the mapInPandas kernel.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_from_documents(spark, sf_dir)
+    plan = M.frame_sample_plan(media, every_ms=1000)
+    return plan.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_offset_ms").cast("long").alias("frame_offset_ms"),
+    )

@@ -53,6 +53,7 @@ def load_all() -> None:
         analytics,
         behavior,
         dedup,
+        multimodal,
         pipeline,
         relational,
         sampling,
