@@ -89,31 +89,40 @@ def decode_image(payload: bytes | None, fake: bool = False) -> np.ndarray:
     return _fake_decode(payload)
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame, fake: bool = True, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     One Python worker call per Arrow batch; payload bytes never transit the
     driver. Output is a fixed-width float vector per media row, ready for
     the similarity/dedup operators (operators/similarity.py).
+
+    ``carry`` names input columns to pass through the kernel unchanged —
+    at scale this keeps sidecar metadata (fingerprints, source tags) in the
+    same single scan instead of re-reading the table and joining back.
     """
+    carried = [media.schema[c] for c in carry]
+    out_schema = StructType(list(DECODED_SCHEMA.fields) + carried)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
                 decode_image(p, fake=fake).tolist() for p in pdf["payload"]
             ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [
-                        len(p) if p is not None else 0 for p in pdf["payload"]
-                    ],
-                    "feature": feats,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [
+                    len(p) if p is not None else 0 for p in pdf["payload"]
+                ],
+                "feature": feats,
+            }
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(kernel, schema=DECODED_SCHEMA)
+    return media.mapInPandas(kernel, schema=out_schema)
 
 
 def frame_sample_plan(

@@ -63,11 +63,12 @@ def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprint, feature width, and unit norm of the extracted vector.",
 )
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = _media_from_documents(spark, sf_dir)
-    feats = M.extract_features(media, fake=True)
-    fingerprints = media.select(
-        "media_id", F.md5(F.col("payload")).alias("payload_md5")
+    media = _media_from_documents(spark, sf_dir).withColumn(
+        "payload_md5", F.md5(F.col("payload"))
     )
+    # md5 is computed JVM-side in the same scan and carried through the
+    # kernel — no second read of the table, no join, zero shuffles
+    feats = M.extract_features(media, fake=True, carry=("payload_md5",))
     # float32 kernel output -> cast to double before the sequential fold so
     # the norm lands within round4's epsilon of the oracle's exact 1.0
     sq_sum = F.aggregate(
@@ -75,16 +76,13 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    return (
-        feats.join(fingerprints, "media_id")
-        .select(
-            "media_id",
-            "kind",
-            F.col("n_bytes").cast("long").alias("n_bytes"),
-            "payload_md5",
-            F.size("feature").alias("feat_dim"),
-            round4(F.sqrt(sq_sum)).alias("feat_norm"),
-        )
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "payload_md5",
+        F.size("feature").alias("feat_dim"),
+        round4(F.sqrt(sq_sum)).alias("feat_norm"),
     )
 
 
