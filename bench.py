@@ -57,6 +57,8 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "argmax_last_event",
     "multimodal_media_features",
+    "text_repetition_scores",
+    "pack_token_bins",
 ]
 
 

@@ -151,3 +151,73 @@ def normalize_text(text: Column) -> Column:
     lowered = F.lower(text)
     alnum = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
     return F.trim(F.regexp_replace(alnum, " +", " "))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str, id_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, most-frequent-word fraction, duplicate-bigram
+    fraction, plus a composite pass/fail gate.
+
+    Everything is computed with array higher-order functions on the row's
+    own token list — no explode, no shuffle, embarrassingly parallel, which
+    is exactly what a 100 TB corpus scrub wants (cost is bounded by document
+    length, not corpus size). The top-word count is an O(distinct × n) scan
+    per row; for web-scale docs (<10k tokens) that is cheaper than the
+    explode + groupBy + window alternative, which would shuffle every token
+    in the corpus twice.
+
+    The reference pipeline has no such operator (SURVEY.md tier C — driver-
+    mandated); thresholds follow the Gopher paper's published cuts.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    n_words = F.when(empty, F.lit(0)).otherwise(F.size(w))
+    n_distinct = F.when(empty, F.lit(0)).otherwise(F.size(F.array_distinct(w)))
+    top_cnt = F.when(empty, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(w),
+                lambda d: F.size(F.filter(w, lambda x: x == d)),
+            )
+        )
+    )
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams)
+    n_distinct_bigrams = F.size(F.array_distinct(bigrams))
+
+    dup_word_frac = F.when(n_words > 0, round4(1.0 - n_distinct / n_words)).otherwise(
+        F.lit(0.0)
+    )
+    top_word_frac = F.when(n_words > 0, round4(top_cnt / n_words)).otherwise(
+        F.lit(0.0)
+    )
+    dup_bigram_frac = F.when(
+        n_bigrams > 0, round4(1.0 - n_distinct_bigrams / n_bigrams)
+    ).otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        dup_word_frac.alias("dup_word_frac"),
+        top_word_frac.alias("top_word_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        (
+            (dup_word_frac <= F.lit(0.30))
+            & (top_word_frac <= F.lit(0.20))
+            & (dup_bigram_frac <= F.lit(0.20))
+        )
+        .cast("int")
+        .alias("passes_repetition_gate"),
+    )

@@ -1,0 +1,189 @@
+"""Corpus-curation queries: Gopher repetition filters and sequence packing.
+
+Tier-C training-data-pipeline operators (driver-mandated; the reference has
+no analog — its batching is count-based, `consumer2/.../MessageProcessor.kt:
+27-71`). Oracles recompute the identical integer/array arithmetic in DuckDB
+so value hashes match bit-for-bit (see functions/rounding.py for the
+portable-rounding rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round4, round4_sql
+from ..operators import packing as PK
+from ..operators import text as T
+from ..registry import query
+from ..tables import load_table
+
+# Per-document repetition signals as a DuckDB subquery — shared by the
+# per-doc query and the aggregated pass-rate query so both oracles run the
+# *same* computation the Spark operator does (1-indexed lists; `/` on
+# integers is double division in both engines).
+_REP_SQL = f"""
+    SELECT
+      doc_id,
+      lang,
+      n_words,
+      n_distinct_words,
+      CASE WHEN n_words > 0
+           THEN {round4_sql("1.0 - n_distinct_words / n_words")}
+           ELSE 0.0 END AS dup_word_frac,
+      CASE WHEN n_words > 0
+           THEN {round4_sql("top_cnt / n_words")}
+           ELSE 0.0 END AS top_word_frac,
+      CASE WHEN n_bigrams > 0
+           THEN {round4_sql("1.0 - n_distinct_bigrams / n_bigrams")}
+           ELSE 0.0 END AS dup_bigram_frac
+    FROM (
+      SELECT
+        doc_id,
+        lang,
+        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END AS n_words,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(list_distinct(w)) END AS n_distinct_words,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE list_max(list_transform(list_distinct(w),
+                    d -> len(list_filter(w, x -> x = d)))) END AS top_cnt,
+        len(bg) AS n_bigrams,
+        len(list_distinct(bg)) AS n_distinct_bigrams
+      FROM (
+        SELECT doc_id, lang, text, w,
+               [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))] AS bg
+        FROM (
+          SELECT doc_id, lang, text,
+                 string_split_regex(trim(text), '\\s+') AS w
+          FROM documents
+        )
+      )
+    )
+"""
+
+_GATE_SQL = (
+    "CAST((dup_word_frac <= 0.30 AND top_word_frac <= 0.20 "
+    "AND dup_bigram_frac <= 0.20) AS INT)"
+)
+
+
+@query(
+    "text_repetition_scores",
+    oracle=f"""
+    SELECT doc_id, n_words, n_distinct_words, dup_word_frac, top_word_frac,
+           dup_bigram_frac, {_GATE_SQL} AS passes_repetition_gate
+    FROM ({_REP_SQL})
+    """,
+    description="C11/curation: Gopher-style repetition filters — duplicate-"
+    "word, top-word, and duplicate-bigram fractions per document with the "
+    "published thresholds as a pass/fail gate. Array higher-order functions "
+    "only: no explode, no shuffle.",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_features(docs, "text", "doc_id")
+
+
+@query(
+    "repetition_pass_rates",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_GATE_SQL}) AS BIGINT) AS n_pass,
+           {round4_sql(f"SUM({_GATE_SQL}) * 1.0 / COUNT(*)")} AS pass_rate,
+           {round4_sql("AVG(dup_word_frac)")} AS avg_dup_word_frac
+    FROM ({_REP_SQL})
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="C11/curation: corpus-level repetition gate pass rates per "
+    "language — the report a curation run emits before dropping documents.",
+)
+def repetition_pass_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # lang is carried through the kernel — one scan, no self-join.
+    rep = T.repetition_features(docs, "text", "doc_id", carry=("lang",))
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("passes_repetition_gate").cast("long").alias("n_pass"),
+            round4(
+                F.sum("passes_repetition_gate") * 1.0 / F.count(F.lit(1))
+            ).alias("pass_rate"),
+            round4(F.avg("dup_word_frac")).alias("avg_dup_word_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TOKENS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+_PACK_SQL = f"""
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(cum_before / {PK.DEFAULT_BUDGET}.0) AS BIGINT) AS bin_id,
+           CAST(cum_before
+                - CAST(FLOOR(cum_before / {PK.DEFAULT_BUDGET}.0) AS BIGINT)
+                  * {PK.DEFAULT_BUDGET} AS BIGINT) AS bin_offset
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum_before
+      FROM (
+        SELECT doc_id, source, {_TOKENS_SQL} AS n_tokens FROM documents
+      )
+    )
+"""
+
+
+@query(
+    "pack_token_bins",
+    oracle=f"SELECT * FROM ({_PACK_SQL})",
+    description="Curation: deterministic sequence packing — documents laid "
+    "out along a per-source token offset, bin = start_offset div budget "
+    "(2048). One hash exchange on the shard key; no global sort. A doc "
+    "straddling a boundary stays in its start bin (bounded overflow).",
+)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    packed = PK.pack_sequential(
+        docs,
+        tokens_col=T.token_count(F.col("text")),
+        order_col="doc_id",
+        group_col="source",
+    )
+    return packed.select("doc_id", "source", "n_tokens", "bin_id", "bin_offset")
+
+
+@query(
+    "pack_bin_stats",
+    oracle=f"""
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           {round4_sql(f"SUM(n_tokens) / {PK.DEFAULT_BUDGET}.0")} AS fill_frac
+    FROM ({_PACK_SQL})
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+    description="Curation: packing efficiency report — docs per bin, token "
+    "fill fraction per (source, bin). Overflow rule means fill_frac can "
+    "exceed 1.0 by at most one document's tokens.",
+)
+def pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    binned = pack_token_bins(spark, sf_dir)
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            round4(F.sum("n_tokens") / F.lit(float(PK.DEFAULT_BUDGET))).alias(
+                "fill_frac"
+            ),
+        )
+        .orderBy("source", "bin_id")
+    )

@@ -1093,3 +1093,59 @@ def supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@query(
+    "join_full_outer_nation_coverage",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_cust,
+             ROUND(SUM(c_acctbal), 4) AS cust_bal
+      FROM customer WHERE c_acctbal > 7000 GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_supp,
+             ROUND(SUM(s_acctbal), 4) AS supp_bal
+      FROM supplier WHERE s_acctbal > 7000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_rich_cust, 0) AS n_rich_cust,
+           COALESCE(n_rich_supp, 0) AS n_rich_supp,
+           cust_bal, supp_bal
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+    description="C3: full outer join — per-nation high-balance customers vs "
+    "suppliers; the differently-filtered sides guarantee unmatched keys in "
+    "both directions, exercising null-fill on each. Completes the join-type "
+    "family (inner/left/semi/anti/full).",
+)
+def join_full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 7000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rich_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("cust_bal"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 7000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rich_supp"),
+            F.round(F.sum("s_acctbal"), 4).alias("supp_bal"),
+        )
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+            F.coalesce("n_rich_supp", F.lit(0)).alias("n_rich_supp"),
+            "cust_bal",
+            "supp_bal",
+        )
+        .orderBy("nationkey")
+    )

@@ -52,6 +52,7 @@ def load_all() -> None:
     from .queries import (  # noqa: F401
         analytics,
         behavior,
+        curation,
         dedup,
         multimodal,
         pipeline,

@@ -1,0 +1,101 @@
+"""Repetition filters, sequence packing, and full-outer join semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_ingest_pipeline_spark.operators import packing as PK
+from kafka_clickhouse_ingest_pipeline_spark.operators import text as T
+
+
+def _rep(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.repetition_features(df, "text", "doc_id")
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_repetition_features_hand_checked(spark):
+    got = _rep(
+        spark,
+        [
+            (1, "a b c d"),  # all unique
+            (2, "a a a a"),  # one word repeated
+            (3, "a b a b"),  # unique bigrams repeat as pairs
+            (4, ""),  # empty → all zeros
+            (5, "solo"),  # single word → no bigrams
+        ],
+    )
+    r1 = got[1]
+    assert (r1.n_words, r1.n_distinct_words) == (4, 4)
+    assert r1.dup_word_frac == 0.0
+    assert r1.top_word_frac == 0.25
+    assert r1.dup_bigram_frac == 0.0
+    assert r1.passes_repetition_gate == 0  # top_word_frac 0.25 > 0.20
+
+    r2 = got[2]
+    assert r2.dup_word_frac == 0.75
+    assert r2.top_word_frac == 1.0
+    assert r2.dup_bigram_frac == 0.6667  # 3 bigrams, 1 distinct (round4)
+    assert r2.passes_repetition_gate == 0
+
+    r3 = got[3]
+    assert r3.dup_word_frac == 0.5
+    # bigrams: "a b","b a","a b" → 3 total, 2 distinct (round4)
+    assert r3.dup_bigram_frac == 0.3333
+
+    r4 = got[4]
+    assert (r4.n_words, r4.dup_word_frac, r4.top_word_frac) == (0, 0.0, 0.0)
+
+    r5 = got[5]
+    assert (r5.n_words, r5.dup_bigram_frac) == (1, 0.0)
+
+
+def test_repetition_gate_passes_clean_text(spark):
+    clean = " ".join(f"w{i}" for i in range(100))
+    got = _rep(spark, [(1, clean)])
+    assert got[1].passes_repetition_gate == 1
+
+
+def test_pack_sequential_invariants(spark):
+    rows = [(i, "s%d" % (i % 2), " ".join(["t"] * n)) for i, n in enumerate(
+        [100, 900, 500, 700, 800, 50, 2100, 10, 300, 600]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    packed = PK.pack_sequential(
+        df,
+        tokens_col=T.token_count(F.col("text")),
+        order_col="doc_id",
+        group_col="source",
+        budget=1000,
+    ).collect()
+
+    by_group: dict[str, list] = {}
+    for r in sorted(packed, key=lambda r: (r.source, r.doc_id)):
+        by_group.setdefault(r.source, []).append(r)
+
+    for rs in by_group.values():
+        # bin ids start at 0 and never decrease along the order column
+        assert rs[0].bin_id == 0 and rs[0].bin_offset == 0
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.bin_id >= prev.bin_id
+            # start offset = previous start + previous tokens (mod budget walk)
+            assert cur.bin_id * 1000 + cur.bin_offset == (
+                prev.bin_id * 1000 + prev.bin_offset + prev.n_tokens
+            )
+        # a doc belongs to the bin its start offset falls in
+        for r in rs:
+            assert 0 <= r.bin_offset < 1000
+
+    # oversized doc (2100 tokens) still lands in exactly one bin
+    big = [r for r in packed if r.n_tokens == 2100]
+    assert len(big) == 1
+
+
+def test_full_outer_join_fills_both_directions(spark):
+    left = spark.createDataFrame([(1, 10), (2, 20)], "k long, a long")
+    right = spark.createDataFrame([(2, 200), (3, 300)], "k long, b long")
+    out = {
+        r.k: (r.a, r.b)
+        for r in left.join(right, "k", "full_outer").collect()
+    }
+    assert out == {1: (10, None), 2: (20, 200), 3: (None, 300)}
