@@ -59,6 +59,7 @@ HEADLINE = [
     "multimodal_media_features",
     "text_repetition_scores",
     "pack_token_bins",
+    "dedup_substring_spans",
 ]
 
 

@@ -352,3 +352,47 @@ def connected_components(
         F.col(id_col),
         F.coalesce("label", F.col(id_col)).alias("cluster_id"),
     )
+
+
+def doc_chunks(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Non-overlapping k-word chunks per document: (id, chunk).
+
+    The Spark-friendly approximation of exact-substring dedup (Lee et al.
+    2021 use suffix arrays; a distributed port fingerprints fixed-width
+    chunks instead — trailing words that don't fill a chunk are dropped).
+    Unlike :func:`shingles` this keeps duplicates (occurrence counts
+    matter) and explodes only ~n_words/k rows per doc, so the shuffle is
+    k× smaller than the shingle explode at the same corpus size.
+    """
+    w = F.split(F.col(text_col), " ")
+    m = F.floor(F.size(w) / F.lit(k)).cast("int")
+    chunks = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda j: F.concat_ws(" ", F.slice(w, j * k + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(chunks).alias("chunk"))
+
+
+def duplicated_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Corpus-wide duplicated k-word spans: (chunk, n_occurrences, n_docs).
+
+    One explode + one groupBy(chunk); partial aggregation collapses hot
+    spans map-side, and AQE splits any boilerplate-span skew. Spans seen
+    in ≥2 distinct documents are the dedup candidates.
+    """
+    ch = doc_chunks(df, text_col, id_col, k)
+    return (
+        ch.groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

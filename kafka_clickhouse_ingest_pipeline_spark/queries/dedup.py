@@ -25,6 +25,7 @@ from ..functions.hashing import (
     MINHASH_A,
     MINHASH_B,
 )
+from ..functions.rounding import round4
 from ..operators import dedup as D
 from ..registry import query
 from ..tables import load_table
@@ -375,3 +376,73 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.stratified_fixed_n(
         corpus, "lang", CURATE_PER_LANG, "doc_id", CURATE_SALT
     ).select("doc_id", "lang", "n_tokens", "sample_rank")
+
+
+# DuckDB twin of operators.dedup.doc_chunks (non-overlapping 5-word chunks,
+# duplicates kept, trailing partial chunk dropped; 1-indexed inclusive slice)
+_CHUNKS_SQL = """
+    SELECT doc_id,
+           unnest([array_to_string(w[(j*5)+1:(j*5)+5], ' ')
+                   FOR j IN range(0, CAST(floor(len(w)/5) AS INT))]) AS chunk
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    SELECT chunk, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM ({_CHUNKS_SQL})
+    GROUP BY chunk
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_occurrences DESC, chunk
+    """,
+    description="C9: exact-substring dedup candidates — corpus-wide "
+    "duplicated 5-word spans (distributed stand-in for Lee et al. suffix-"
+    "array substring dedup: fixed-width chunk fingerprints, one explode of "
+    "~n_words/5 rows, one partial-aggregated groupBy).",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, "text", "doc_id", 5).orderBy(
+        F.col("n_occurrences").desc(), "chunk"
+    )
+
+
+@query(
+    "dedup_substring_doc_stats",
+    oracle=f"""
+    WITH ch AS ({_CHUNKS_SQL}),
+    cd AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+    SELECT ch.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN cd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           (FLOOR((SUM(CASE WHEN cd.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                   / COUNT(*)) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS dup_chunk_frac
+    FROM ch JOIN cd USING (chunk)
+    GROUP BY ch.doc_id
+    ORDER BY ch.doc_id
+    """,
+    description="C9: per-document duplicated-span load — fraction of a "
+    "doc's 5-word chunks that also appear in other docs (the drop/trim "
+    "signal exact-substring dedup acts on). Chunk-grain join back to the "
+    "span index; AQE handles boilerplate-span skew.",
+)
+def dedup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = D.doc_chunks(docs, "text", "doc_id", 5)
+    cd = ch.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        ch.join(cd, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            round4(F.sum(dup) * 1.0 / F.count(F.lit(1))).alias("dup_chunk_frac"),
+        )
+        .orderBy("doc_id")
+    )

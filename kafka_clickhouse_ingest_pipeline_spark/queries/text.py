@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import P
+from ..functions.rounding import round4, round4_sql
 from ..operators import text as T
 from ..registry import query
 from ..tables import load_table
@@ -293,3 +294,42 @@ def text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         norm.alias("norm_text"),
     ).withColumn("n_tokens", F.size(F.split(F.col("norm_text"), " ")))
+
+
+# f-string expressions can't contain backslashes → build the pieces first
+_WS_CNT_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+_BPE_CNT_SQL = "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+_BPE_RATIO_SQL = round4_sql(
+    f"{_BPE_CNT_SQL} * 1.0 / GREATEST({_WS_CNT_SQL}, 1)"
+)
+
+
+@query(
+    "text_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           {_WS_CNT_SQL} AS n_ws_tokens,
+           {_BPE_CNT_SQL} AS n_bpe_tokens,
+           {_BPE_RATIO_SQL} AS bpe_per_ws
+    FROM documents
+    """,
+    description="C11: BPE-ish regex token counting — letter runs, digit "
+    "runs, and single punctuation as separate tokens (the pre-tokenizer "
+    "split GPT-style BPE applies), vs the whitespace count; the ratio is "
+    "the cost multiplier a token-budgeted pipeline plans with. Same "
+    "character-class regex runs on both engines.",
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    n_ws = T.token_count(F.col("text"))
+    n_bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        round4(n_bpe * 1.0 / F.greatest(n_ws, F.lit(1))).alias("bpe_per_ws"),
+    )

@@ -99,3 +99,36 @@ def test_full_outer_join_fills_both_directions(spark):
         for r in left.join(right, "k", "full_outer").collect()
     }
     assert out == {1: (10, None), 2: (20, 200), 3: (None, 300)}
+
+
+def test_doc_chunks_and_duplicated_spans(spark):
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    rows = [
+        (1, "a b c d e f g h i j k"),  # 2 full chunks of 5, 1 word dropped
+        (2, "a b c d e x y z w v"),  # shares chunk "a b c d e" with doc 1
+        (3, "short text"),  # < 5 words → no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = D.doc_chunks(df, "text", "doc_id", 5).collect()
+    by_doc: dict[int, list[str]] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk)
+    assert sorted(by_doc[1]) == ["a b c d e", "f g h i j"]
+    assert sorted(by_doc[2]) == ["a b c d e", "x y z w v"]
+    assert 3 not in by_doc
+
+    spans = D.duplicated_spans(df, "text", "doc_id", 5).collect()
+    assert len(spans) == 1
+    assert spans[0].chunk == "a b c d e"
+    assert spans[0].n_occurrences == 2 and spans[0].n_docs == 2
+
+
+def test_duplicated_spans_requires_distinct_docs(spark):
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    # the same span twice within ONE doc is not a cross-doc duplicate
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e")], "doc_id long, text string"
+    )
+    assert D.duplicated_spans(df, "text", "doc_id", 5).count() == 0
