@@ -60,6 +60,7 @@ HEADLINE = [
     "text_repetition_scores",
     "pack_token_bins",
     "dedup_substring_spans",
+    "dedup_semdedup_keep",
 ]
 
 

@@ -446,3 +446,62 @@ def dedup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_semdedup_keep",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (acc, x) -> acc + x)) AS nrm
+      FROM base
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM normed a JOIN normed b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE (FLOOR((list_reduce(
+                 list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                 (acc, x) -> acc + x
+               ) / (a.nrm * b.nrm)) * 10000.0 + 0.5 + 0.000001) / 10000.0) >= 0.4
+    ),
+    drops AS (
+      SELECT id_b AS vec_id, COUNT(*) AS n_lower_dups
+      FROM pairs GROUP BY id_b
+    )
+    SELECT e.vec_id, e.label,
+           COALESCE(d.n_lower_dups, 0) AS n_lower_dups,
+           CAST(d.vec_id IS NULL AS INT) AS keep
+    FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+    ORDER BY e.vec_id
+    """,
+    description="C9: SemDeDup-style semantic dedup decision — within each "
+    "block (label; IVF cell in production) drop any vector that has a "
+    "lower-id neighbor above the cosine threshold, keeping exactly one "
+    "representative per near-dup set without connected components (the "
+    "keep rule is local to pairs). Output: per-vector keep/drop + how many "
+    "lower-id near-dups forced the drop.",
+)
+def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.4)
+    drops = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_lower_dups")
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("n_lower_dups", F.lit(0)).alias("n_lower_dups"),
+            F.col("n_lower_dups").isNull().cast("int").alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

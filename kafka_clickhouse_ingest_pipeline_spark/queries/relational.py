@@ -1149,3 +1149,43 @@ def join_full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      FIRST_VALUE(o_totalprice) OVER w AS first_price,
+      LAST_VALUE(o_totalprice) OVER w AS last_price,
+      NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    description="C5: first_value / last_value / nth_value navigation "
+    "functions over an explicit full frame (the default growing frame "
+    "makes last_value useless — a classic window-frame trap; customers "
+    "with a single order get NULL second_price on both engines). "
+    "Completes C5: ranking, distribution, offset, navigation, aggregate "
+    "windows with ROWS and RANGE frames.",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

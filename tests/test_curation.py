@@ -132,3 +132,21 @@ def test_duplicated_spans_requires_distinct_docs(spark):
         [(1, "a b c d e a b c d e")], "doc_id long, text string"
     )
     assert D.duplicated_spans(df, "text", "doc_id", 5).count() == 0
+
+
+def test_semdedup_keep_rule(spark):
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    # ids 1,2 identical direction (dup pair), 3 orthogonal, 9 in other block
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [2.0, 0.0]),  # cosine 1.0 with id 1 → dropped (higher id)
+        (3, 0, [0.0, 1.0]),  # orthogonal → kept
+        (9, 1, [1.0, 0.0]),  # same direction but different block → kept
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.9)
+    got = {(r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()}
+    assert got == {(1, 2)}
