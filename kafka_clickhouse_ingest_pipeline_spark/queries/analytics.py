@@ -233,3 +233,45 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
     ).where(F.length("term") > 0)
     return salted_sum_count(toks, ["term"]).select("term", "cnt")
+
+
+@query(
+    "stats_aggregates_by_flag",
+    oracle="""
+    SELECT
+      l_returnflag,
+      (FLOOR(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5 + 0.000001)
+        / 10000.0) AS qty_price_corr,
+      (FLOOR(stddev_samp(l_discount) * 10000.0 + 0.5 + 0.000001)
+        / 10000.0) AS discount_stddev,
+      (FLOOR(var_samp(l_discount) * 10000.0 + 0.5 + 0.000001)
+        / 10000.0) AS discount_var,
+      (FLOOR((stddev_samp(l_extendedprice) / AVG(l_extendedprice))
+             * 10000.0 + 0.5 + 0.000001) / 10000.0) AS price_cv
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="C1: statistical aggregates — correlation, sample stddev/"
+    "variance, coefficient of variation per group. All outputs are O(1)-"
+    "scaled (corr, cv, small-valued discount moments) so the portable 4dp "
+    "rounding absorbs partial-agg merge-order noise; raw variances of "
+    "large-valued columns would sit above the epsilon and are deliberately "
+    "exported as ratios instead.",
+)
+def stats_aggregates_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round4(F.corr("l_quantity", "l_extendedprice")).alias(
+                "qty_price_corr"
+            ),
+            round4(F.stddev_samp("l_discount")).alias("discount_stddev"),
+            round4(F.var_samp("l_discount")).alias("discount_var"),
+            round4(
+                F.stddev_samp("l_extendedprice") / F.avg("l_extendedprice")
+            ).alias("price_cv"),
+        )
+        .orderBy("l_returnflag")
+    )
