@@ -163,53 +163,86 @@ def repetition_features(
     Everything is computed with array higher-order functions on the row's
     own token list — no explode, no shuffle, embarrassingly parallel, which
     is exactly what a 100 TB corpus scrub wants (cost is bounded by document
-    length, not corpus size). The top-word count is an O(distinct × n) scan
-    per row; for web-scale docs (<10k tokens) that is cheaper than the
-    explode + groupBy + window alternative, which would shuffle every token
-    in the corpus twice.
+    length, not corpus size). The top-word count is a sort + run-length
+    fold (O(n log n)), not the naive O(distinct × n) count-each-distinct
+    scan, and far cheaper than the explode + groupBy + window alternative,
+    which would shuffle every token in the corpus twice.
+
+    Staged projections matter here: each expensive HOF is aliased once and
+    every consumer references the *attribute*. A single flat select repeats
+    the subtree per consumer (the gate alone would triple the bigram
+    build) — observed 19 s → ~2 s at sf0.1. CollapseProject leaves the
+    stages alone because the produced expressions are non-cheap and
+    multiply referenced.
 
     The reference pipeline has no such operator (SURVEY.md tier C — driver-
     mandated); thresholds follow the Gopher paper's published cuts.
     """
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     empty = F.length(F.trim(F.col(text_col))) == 0
-    n_words = F.when(empty, F.lit(0)).otherwise(F.size(w))
-    n_distinct = F.when(empty, F.lit(0)).otherwise(F.size(F.array_distinct(w)))
-    top_cnt = F.when(empty, F.lit(0)).otherwise(
-        F.array_max(
-            F.transform(
-                F.array_distinct(w),
-                lambda d: F.size(F.filter(w, lambda x: x == d)),
-            )
-        )
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.when(empty, F.array().cast("array<string>")).otherwise(w).alias("__w"),
+    )
+
+    wa = F.col("__w")
+    # longest run in the sorted token list == count of the most frequent
+    # token; the fold is a runtime loop, not an unrolled expression tree
+    top_cnt = F.aggregate(
+        F.array_sort(wa),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     bigrams = F.when(
-        n_words >= 2,
+        F.size(wa) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
+            F.sequence(F.lit(1), F.size(wa) - 1),
             lambda i: F.concat(
-                F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+                F.element_at(wa, i), F.lit(" "), F.element_at(wa, i + 1)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_bigrams = F.size(bigrams)
-    n_distinct_bigrams = F.size(F.array_distinct(bigrams))
 
-    dup_word_frac = F.when(n_words > 0, round4(1.0 - n_distinct / n_words)).otherwise(
-        F.lit(0.0)
-    )
-    top_word_frac = F.when(n_words > 0, round4(top_cnt / n_words)).otherwise(
-        F.lit(0.0)
-    )
-    dup_bigram_frac = F.when(
-        n_bigrams > 0, round4(1.0 - n_distinct_bigrams / n_bigrams)
-    ).otherwise(F.lit(0.0))
-
-    return df.select(
+    counts = base.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
-        n_words.alias("n_words"),
-        n_distinct.alias("n_distinct_words"),
+        F.size(wa).alias("n_words"),
+        F.size(F.array_distinct(wa)).alias("n_distinct_words"),
+        top_cnt.alias("__top_cnt"),
+        F.size(bigrams).alias("__n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("__n_distinct_bigrams"),
+    )
+
+    n_words = F.col("n_words")
+    dup_word_frac = F.when(
+        n_words > 0, round4(1.0 - F.col("n_distinct_words") / n_words)
+    ).otherwise(F.lit(0.0))
+    top_word_frac = F.when(
+        n_words > 0, round4(F.col("__top_cnt") / n_words)
+    ).otherwise(F.lit(0.0))
+    dup_bigram_frac = F.when(
+        F.col("__n_bigrams") > 0,
+        round4(1.0 - F.col("__n_distinct_bigrams") / F.col("__n_bigrams")),
+    ).otherwise(F.lit(0.0))
+
+    return counts.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        "n_words",
+        "n_distinct_words",
         dup_word_frac.alias("dup_word_frac"),
         top_word_frac.alias("top_word_frac"),
         dup_bigram_frac.alias("dup_bigram_frac"),
