@@ -275,3 +275,100 @@ def stats_aggregates_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "regression_by_flag",
+    oracle="""
+    SELECT
+      l_returnflag,
+      (FLOOR(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.5
+             + 0.000001) / 10000.0) AS price_per_qty_slope,
+      (FLOOR(regr_intercept(l_extendedprice, l_quantity) * 10000.0 + 0.5
+             + 0.000001) / 10000.0) AS price_intercept,
+      (FLOOR(regr_r2(l_extendedprice, l_quantity) * 10000.0 + 0.5
+             + 0.000001) / 10000.0) AS price_r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="C1: linear-regression aggregates (slope/intercept/R2 of "
+    "price on quantity per flag) — single-pass moment accumulation, "
+    "partial+final like any hash aggregate.",
+)
+def regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round4(F.regr_slope(y, x)).alias("price_per_qty_slope"),
+            round4(F.regr_intercept(y, x)).alias("price_intercept"),
+            round4(F.regr_r2(y, x)).alias("price_r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_boolean_suite",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      bool_and(o_totalprice > 1000) AS all_over_1k,
+      bool_or(o_totalprice > 400000) AS any_over_400k,
+      count_if(o_orderstatus = 'F') AS n_finished,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_open
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="C1: boolean aggregates — every/any/count_if predicates "
+    "per group (data-quality assertion queries).",
+)
+def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+            ).cast("long").alias("n_open"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "string_agg_nations",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+    description="C1/C7: ordered string aggregation (ClickHouse "
+    "groupArray->arrayStringConcat / SQL LISTAGG analog) — sort inside "
+    "the collected array makes the result deterministic under any "
+    "partial-agg merge order.",
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("region")
+    )
