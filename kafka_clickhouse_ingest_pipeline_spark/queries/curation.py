@@ -187,3 +187,78 @@ def pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+# Benchmark decontamination: flag training documents that share any word
+# 5-gram with a held-out benchmark set (here a deterministic 1/97 slice of
+# the corpus — at production scale the benchmark is an external table).
+# Scale shape: the benchmark's distinct-gram set is tiny relative to the
+# corpus, so the contamination probe is a *broadcast* inner join against
+# the exploded training grams — the 100 TB side never shuffles; one hash
+# exchange on doc_id for the per-doc count.
+_GRAMS_SQL = """
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]
+             )) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 5
+"""
+
+
+@query(
+    "decontaminate_train_docs",
+    oracle=f"""
+    WITH grams AS ({_GRAMS_SQL}),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT grams.doc_id, COUNT(*) AS n_overlap
+      FROM grams JOIN bench USING (gram)
+      WHERE grams.doc_id % 97 <> 0
+      GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap_grams,
+           CAST(COALESCE(n_overlap, 0) > 0 AS INT) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits USING (doc_id)
+    """,
+    description="Curation: benchmark decontamination — per training doc, "
+    "the count of distinct 5-grams shared with the benchmark slice and a "
+    "contaminated flag. Broadcast inner join on the gram key (benchmark "
+    "side is small by construction); no shuffle of the corpus grams.",
+)
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Small parquet files scan as one partition locally; spread the gram
+    # explode across cores first (at scale the scan is already parallel).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    w = F.split(F.col("text"), " ")
+    grams5 = F.when(
+        F.size(w) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 4),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
+            )
+        ),
+    )  # null otherwise; explode drops null arrays, matching WHERE len>=5
+    # The gram frame fans out (benchmark side + training side); materialize
+    # it once — at cluster scale, write the gram table to storage instead.
+    grams = docs.select("doc_id", F.explode(grams5).alias("gram")).localCheckpoint(
+        eager=True
+    )
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = grams.where(is_bench).select("gram").distinct()
+    hits = (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    train = docs.select("doc_id").where(~is_bench)
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap_grams"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )

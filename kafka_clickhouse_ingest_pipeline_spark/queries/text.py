@@ -333,3 +333,74 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         round4(n_bpe * 1.0 / F.greatest(n_ws, F.lit(1))).alias("bpe_per_ws"),
     )
+
+
+# PII redaction. The synthetic corpus carries no real PII, so (same
+# fixture strategy as the prefix-corrupted JSON in pipeline.py) we embed
+# deterministic doc_id-derived contact strings into every third document,
+# then run the actual operator: pattern-count + global regexp_replace.
+# Both regexes are plain character classes + bounded quantifiers, which
+# Java regex and DuckDB RE2 interpret identically.
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z0-9]"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_PII_TEXT_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' Contact user' || doc_id
+                       || '@mail.example.com or call 555-'
+                       || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+                       || ' now.'
+                  ELSE text END AS pii_text
+      FROM documents
+"""
+
+
+@query(
+    "text_pii_redacted",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(pii_text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g') AS redacted_text
+    FROM ({_PII_TEXT_SQL})
+    """,
+    description="Curation: PII redaction — count and mask email/phone "
+    "patterns (synthetic fixtures embedded deterministically; see module "
+    "comment). Pure codegen regex, scan/project only: no shuffle at any "
+    "scale.",
+)
+def text_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call 555-"),
+            F.lpad((F.col("doc_id") * 7 % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") * 13 % 10000).cast("string"), 4, "0"),
+            F.lit(" now."),
+        ),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", pii_text.alias("pii_text"))
+    return staged.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("pii_text"), F.lit(_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("pii_text"), F.lit(_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii_text"), _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted_text"),
+    )
