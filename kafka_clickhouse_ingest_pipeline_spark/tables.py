@@ -40,14 +40,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # legacy long fallback is on. Runtime-settable, so set it here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos long.
-    # The data carries only microsecond precision (verified: no sub-µs
-    # components), so the µs conversion is lossless. Integer `div`, not `/`:
-    # epoch-nanos ≈ 1.7e18 exceeds double's 2^53 integer range, and float
-    # division rounds a few rows to the wrong microsecond.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # events.ts has shipped in two physical forms across testdata
+    # generations; normalize both to session-TZ TIMESTAMP (session TZ is
+    # pinned UTC in session.py, matching DuckDB's naive-as-UTC epoch math):
+    #  - TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong it
+    #    arrives as epoch-nanos long. Integer `div`, not `/`: epoch-nanos
+    #    ≈ 1.7e18 exceeds double's 2^53 integer range, and float division
+    #    rounds a few rows to the wrong microsecond.
+    #  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    #    TIMESTAMP_NTZ; cast reinterprets the wall-clock in the (UTC)
+    #    session zone — lossless.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
