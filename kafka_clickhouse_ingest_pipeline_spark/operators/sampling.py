@@ -61,3 +61,37 @@ def stratified_fixed_n(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    boundaries_bp: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row to a named dataset split by key hash.
+
+    ``boundaries_bp`` maps split name -> exclusive upper bucket bound (of
+    10000), in ascending order — e.g. ``{"train": 8000, "valid": 9000,
+    "test": 10000}`` for an 80/10/10 split. Membership is a pure function
+    of (salt, key): stable under reruns, repartitioning, and appends, and
+    rows never migrate between splits when the corpus grows — the property
+    a reproducible training-data release needs. Adds a ``split`` column;
+    no shuffle (pure projection).
+    """
+    bucket = sample_bucket(F.col(key_col), salt)
+    expr = None
+    for name, upper in boundaries_bp.items():
+        cond = bucket < F.lit(upper)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def hash_split_sql(key_expr: str, boundaries_bp: dict[str, int], salt: str = "split") -> str:
+    """DuckDB CASE expression twin of :func:`hash_split`."""
+    b = sample_bucket_sql(key_expr, salt)
+    arms = " ".join(
+        f"WHEN {b} < {upper} THEN '{name}'"
+        for name, upper in boundaries_bp.items()
+    )
+    return f"CASE {arms} END"

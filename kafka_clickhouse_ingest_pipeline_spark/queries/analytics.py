@@ -372,3 +372,115 @@ def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@query(
+    "agg_bitwise_suite",
+    oracle="""
+    SELECT
+      l_returnflag,
+      bit_and(CAST(l_linenumber AS BIGINT)) AS line_bit_and,
+      bit_or(CAST(l_linenumber AS BIGINT)) AS line_bit_or,
+      bit_xor(CAST(l_quantity AS BIGINT)) AS qty_bit_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="C1: bitwise aggregates (ClickHouse groupBitAnd/Or/Xor "
+    "analogs) — commutative+associative, so partial+final hash "
+    "aggregation is exact under any merge order.",
+)
+def agg_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and(F.col("l_linenumber").cast("long")).alias("line_bit_and"),
+            F.bit_or(F.col("l_linenumber").cast("long")).alias("line_bit_or"),
+            F.bit_xor(F.col("l_quantity").cast("long")).alias("qty_bit_xor"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_entropy_user_behavior",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           COUNT(*) AS n_types,
+           (FLOOR((log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS type_entropy
+    FROM c
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="C1: Shannon entropy of each user's event-type "
+    "distribution (ClickHouse entropy() analog). Identity "
+    "H = log2(T) - sum(c*log2 c)/T turns it into two chained hash "
+    "aggregations — no collect, no UDF; both engines evaluate the same "
+    "closed form so 4dp rounding holds.",
+)
+def agg_entropy_user_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            round4(
+                F.log2(F.sum("cnt"))
+                - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt")
+            ).alias("type_entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_moments_by_flag",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             AVG(l_discount) AS m1,
+             AVG(l_discount * l_discount) AS p2,
+             AVG(l_discount * l_discount * l_discount) AS p3,
+             AVG(l_discount * l_discount * l_discount * l_discount) AS p4
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (FLOOR(((p3 - 3 * m1 * p2 + 2 * m1 * m1 * m1)
+                   / POW(p2 - m1 * m1, 1.5))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS discount_skew,
+           (FLOOR(((p4 - 4 * m1 * p3 + 6 * m1 * m1 * p2 - 3 * m1 * m1 * m1 * m1)
+                   / POW(p2 - m1 * m1, 2.0) - 3.0)
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS discount_kurt
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    description="C1: higher-moment aggregates — population skewness and "
+    "excess kurtosis of l_discount per flag (ClickHouse skewPop/kurtPop "
+    "analogs). Spark side is the native single-pass skewness()/kurtosis(); "
+    "oracle reconstructs the same population moments from raw power sums "
+    "(safe here: l_discount is O(0.1) so the power-sum cancellation stays "
+    "~12 digits above double noise, and 4dp rounding absorbs the rest).",
+)
+def agg_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round4(F.skewness("l_discount")).alias("discount_skew"),
+            round4(F.kurtosis("l_discount")).alias("discount_kurt"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -66,3 +66,36 @@ def sample_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.stratified_fixed_n(
         docs, "lang", PER_STRATUM, "doc_id", SALT
     ).select("doc_id", "lang", "sample_rank")
+
+
+SPLITS = {"train": 8000, "valid": 9000, "test": 10000}
+
+
+@query(
+    "split_train_valid_test",
+    oracle=f"""
+    SELECT {SMP.hash_split_sql("doc_id", SPLITS)} AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY split, source
+    """,
+    description="Deterministic 80/10/10 train/valid/test split of the "
+    "document corpus by salted key hash (operators/sampling.hash_split): "
+    "membership is a pure per-row function — no shuffle, no seed, rows "
+    "never migrate between splits as the corpus grows. Aggregated per "
+    "(split, source) to verify both the assignment and the proportions.",
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SMP.hash_split(docs, "doc_id", SPLITS)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "source")
+    )

@@ -302,3 +302,64 @@ def range_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n_events"),
         round4(F.sum("_sum")).alias("sum_value"),
     )
+
+
+@query(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hb,
+             COUNT(*) AS n,
+             (FLOOR(AVG(value) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+               AS raw_avg
+      FROM events
+      WHERE event_type = 'purchase' AND value > 90
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(hb) FROM hourly),
+                                    (SELECT MAX(hb) FROM hourly),
+                                    INTERVAL 1 HOUR)) AS hb
+    )
+    SELECT CAST(epoch_us(s.hb) // 1000 AS BIGINT) AS hour_ms,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           last_value(h.raw_avg IGNORE NULLS) OVER (
+             ORDER BY s.hb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_locf
+    FROM spine s LEFT JOIN hourly h ON s.hb = h.hb
+    """,
+    description="C12: gap-filled hourly series (ClickHouse ORDER BY ... "
+    "WITH FILL + INTERPOLATE analog): sparse purchase events bucketed "
+    "per hour, missing hours materialized from a sequence-exploded dense "
+    "spine, counts zero-filled, average carried forward (LOCF) with "
+    "last(ignorenulls). Scale shape: raw events reduce to per-hour rows "
+    "FIRST (partial+final hash agg), so the spine join and the single "
+    "ordered window touch only O(hours) rows — ~9k rows/year no matter "
+    "whether the input is 1 GB or 100 TB.",
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.avg("value")).alias("raw_avg"),
+    )
+    rng = hourly.agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+    spine = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hb")
+    )
+    # The window is a global sort over the hour spine — bounded O(hours)
+    # rows by construction, so the single-partition window is fine.
+    w = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(hourly, "hb", "left")
+        .select(
+            epoch_ms(F.col("hb")).alias("hour_ms"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("raw_avg", ignorenulls=True).over(w).alias("avg_value_locf"),
+        )
+    )

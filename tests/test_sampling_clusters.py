@@ -89,3 +89,28 @@ def test_clusters_catch_planted_duplicates(spark, sf_dir):
     caught = planted.where(F.col("cluster_id") < PLANT_OFFSET).count()
     assert n_planted > 0
     assert caught >= 0.8 * n_planted
+
+
+def test_hash_split_total_stable_proportional(spark, sf_dir):
+    from kafka_clickhouse_ingest_pipeline_spark.operators.sampling import hash_split
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    splits = {"train": 8000, "valid": 9000, "test": 10000}
+    out = hash_split(docs, "doc_id", splits)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = docs.count()
+    # every row lands in exactly one split
+    assert sum(counts.values()) == total
+    # proportions within a loose tolerance of 80/10/10
+    assert abs(counts["train"] / total - 0.8) < 0.1
+    # deterministic: re-running yields the identical assignment
+    again = hash_split(docs, "doc_id", splits)
+    assert (
+        out.join(again.withColumnRenamed("split", "split2"), "doc_id")
+        .where(F.col("split") != F.col("split2"))
+        .count()
+        == 0
+    )
