@@ -61,6 +61,10 @@ HEADLINE = [
     "pack_token_bins",
     "dedup_substring_spans",
     "dedup_semdedup_keep",
+    "agg_entropy_user_behavior",
+    "events_gap_fill_locf",
+    "split_train_valid_test",
+    "mix_corpus_by_lang",
 ]
 
 

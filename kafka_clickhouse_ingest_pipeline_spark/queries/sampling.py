@@ -99,3 +99,83 @@ def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# Target mixture weights by language (shares of the sampled char budget)
+# and the global budget as a fraction of total corpus chars.
+MIX_WEIGHTS = {"en": 0.40, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+MIX_BUDGET = 0.5
+MIX_SALT = "mix0"
+
+_MIX_W_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items()
+) + " ELSE 0.0 END"
+
+
+@query(
+    "mix_corpus_by_lang",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS lang_chars
+      FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, lang_chars,
+             CAST(LEAST(10000.0, FLOOR(
+               ({_MIX_W_SQL}) * {MIX_BUDGET}
+               * (SELECT SUM(lang_chars) FROM lt) / lang_chars * 10000.0
+             )) AS BIGINT) AS rate_bp
+      FROM lt
+    )
+    SELECT d.lang, r.rate_bp,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {SMP.sample_bucket_sql("d.doc_id", MIX_SALT)} < r.rate_bp
+    GROUP BY d.lang, r.rate_bp
+    ORDER BY d.lang
+    """,
+    description="Data-mixture construction: resample the corpus so each "
+    "language's share of a 50%-of-corpus char budget matches target "
+    "weights. Two-pass: (1) per-language char totals (tiny partial+final "
+    "agg), keep-rate = min(1, weight*budget/lang_chars) quantized to "
+    "hash buckets; (2) broadcast the 5-row rate table back and keep rows "
+    "by deterministic salted key hash — a pure filter, reproducible "
+    "across engines, reruns, and appends. The shape every LLM pretrain "
+    "mix job needs; rate math is identical IEEE double arithmetic on "
+    "both sides so the quantized rates agree exactly.",
+)
+def mix_corpus_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lt = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("double").alias("lang_chars")
+    )
+    total = lt.agg(F.sum("lang_chars").alias("total_chars"))
+    w = None
+    for k, v in MIX_WEIGHTS.items():
+        cond = F.col("lang") == k
+        w = F.when(cond, v) if w is None else w.when(cond, v)
+    w = w.otherwise(0.0)
+    rates = (
+        lt.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.least(
+                F.lit(10000.0),
+                F.floor(
+                    w * F.lit(MIX_BUDGET) * F.col("total_chars")
+                    / F.col("lang_chars") * F.lit(10000.0)
+                ).cast("double"),
+            ).cast("long").alias("rate_bp"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(SMP.sample_bucket(F.col("doc_id"), MIX_SALT) < F.col("rate_bp"))
+        .groupBy("lang", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
