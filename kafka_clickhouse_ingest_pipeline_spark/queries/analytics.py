@@ -484,3 +484,43 @@ def agg_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    SELECT l_returnflag,
+           (FLOOR(quantile_cont(l_extendedprice, 0.5)
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS wmedian_price,
+           CAST(COUNT(*) AS BIGINT) AS total_weight
+    FROM (
+      SELECT l_returnflag, l_extendedprice,
+             unnest(generate_series(1, CAST(l_quantity AS BIGINT))) AS rep
+      FROM lineitem
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="C1: quantity-weighted median price per flag (ClickHouse "
+    "quantileExactWeighted analog) via Spark's native "
+    "percentile(x, 0.5, frequency) — single-pass, no row expansion. The "
+    "oracle proves the frequency semantics by literally expanding each "
+    "row quantity times (range cross join) and taking the plain "
+    "interpolated median; both definitions are (N-1)*p over the expanded "
+    "multiset, so they agree exactly.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round4(
+                F.expr(
+                    "percentile(l_extendedprice, 0.5,"
+                    " CAST(l_quantity AS BIGINT))"
+                )
+            ).alias("wmedian_price"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

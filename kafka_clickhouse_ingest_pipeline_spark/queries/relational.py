@@ -1189,3 +1189,39 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           (FLOOR(quantile_cont(o_totalprice, 0.5) OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+            ) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS rolling_median_price
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    description="C5: rolling median — exact interpolated percentile as a "
+    "windowed aggregate over the customer's trailing 7 orders. Partition-"
+    "local (shuffle on o_custkey only); the frame holds <=7 values so the "
+    "per-row exact quantile is O(1), scale-independent.",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            round4(F.expr("percentile(o_totalprice, 0.5)").over(w)).alias(
+                "rolling_median_price"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
