@@ -1225,3 +1225,160 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "json_roundtrip_suite",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             to_json(struct_pack(ok := o_orderkey, st := o_orderstatus,
+                                 pr := o_orderpriority)) AS doc
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(json_extract_string(doc, '$.ok') AS BIGINT) AS ok_back,
+           json_extract_string(doc, '$.st') AS st_back,
+           json_extract_string(doc, '$.pr') AS pr_back,
+           json_extract_string(doc, '$.absent') AS absent_field
+    FROM j
+    ORDER BY o_orderkey
+    """,
+    description="C8: JSON construction + extraction round-trip — "
+    "to_json(struct(...)) then get_json_object/json_tuple back out, "
+    "missing path -> null. Only extracted values are exported (raw JSON "
+    "text would differ in number formatting across engines). Pure "
+    "projection: codegen'd, no shuffle.",
+)
+def json_roundtrip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+    )
+    return (
+        o.select("o_orderkey", doc.alias("doc"))
+        .select(
+            "o_orderkey",
+            F.get_json_object("doc", "$.ok").cast("long").alias("ok_back"),
+            F.json_tuple(F.col("doc"), "st", "pr").alias("st_back", "pr_back"),
+            F.get_json_object("doc", "$.absent").alias("absent_field"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "regexp_suite",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           COALESCE(regexp_extract_all(text, '[0-9]+')[1], '') AS first_number,
+           len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_runs,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked_prefix
+    FROM (
+      SELECT doc_id, substr(text, 1, 120) AS text FROM documents
+    )
+    ORDER BY doc_id
+    """,
+    description="C8: regexp family — extract-all (count + first match), "
+    "vowel-run count, global replace, over a 120-char prefix. Patterns "
+    "restricted to character classes, which Java regex and RE2 interpret "
+    "identically.",
+)
+def regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.substring("text", 1, 120)
+    nums = F.regexp_extract_all(t, F.lit("[0-9]+"), 0)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(nums).alias("n_numbers"),
+            F.coalesce(F.try_element_at(nums, F.lit(1)), F.lit("")).alias(
+                "first_number"
+            ),
+            F.size(F.regexp_extract_all(t, F.lit("[aeiou]+"), 0)).alias(
+                "n_vowel_runs"
+            ),
+            F.regexp_replace(t, "[0-9]+", "#").alias("masked_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "temporal_arith_suite",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           strftime(o_orderdate - INTERVAL 7 DAY, '%Y-%m-%d') AS minus_7d,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    description="C8: temporal arithmetic — add_months (end-of-month "
+    "clamped in both engines), date_sub, last_day, quarter, ISO week, "
+    "ISO day-of-week (Spark weekday()+1 == DuckDB isodow). Dates exported "
+    "as strings.",
+)
+def temporal_arith_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+            F.date_format(F.date_sub(d, 7), "yyyy-MM-dd").alias("minus_7d"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.quarter(d).alias("q"),
+            F.weekofyear(d).alias("iso_week"),
+            (F.weekday(d) + F.lit(1)).cast("int").alias("iso_dow"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_int_bit_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_orderkey & 255) AS key_low_byte,
+           (l_orderkey | 4096) AS key_or_bit,
+           xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS key_xor_line,
+           (CAST(l_linenumber AS BIGINT) << 4) AS line_shl4,
+           (l_orderkey >> 8) AS key_shr8,
+           (l_orderkey % 97) AS key_mod97,
+           CAST(abs(l_orderkey - 3000) AS BIGINT) AS key_dist,
+           CAST(sign(l_orderkey - 3000) AS INT) AS key_side
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    description="C8: integer & bitwise scalar ops — and/or/xor, shifts, "
+    "mod, abs, sign (ClickHouse bitAnd/bitOr/bitXor/bitShift* analogs). "
+    "Operands kept positive so %-sign semantics can't diverge.",
+)
+def scalar_int_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    ln = F.col("l_linenumber").cast("long")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            k.bitwiseAND(F.lit(255)).alias("key_low_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("key_or_bit"),
+            k.bitwiseXOR(ln).alias("key_xor_line"),
+            F.shiftleft(ln, 4).alias("line_shl4"),
+            F.shiftright(k, 8).alias("key_shr8"),
+            (k % 97).alias("key_mod97"),
+            F.abs(k - 3000).cast("long").alias("key_dist"),
+            F.signum(k - 3000).cast("int").alias("key_side"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
