@@ -1382,3 +1382,116 @@ def scalar_int_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "explode_with_position",
+    oracle="""
+    SELECT doc_id, s.w AS word, s.p AS pos
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_slice(string_split(text, ' '), 1, 5),
+               (x, i) -> struct_pack(w := x, p := i)
+             )) AS s
+      FROM documents
+    )
+    ORDER BY doc_id, pos
+    """,
+    description="C8: positional explode (LATERAL VIEW posexplode / "
+    "ClickHouse ARRAY JOIN ... AS idx analog) — first five words of each "
+    "doc with their 1-based positions. Generator runs inline per row: "
+    "linear, no shuffle before the presentation sort.",
+)
+def explode_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.slice(F.split("text", " "), 1, 5)
+    return (
+        docs.select("doc_id", F.posexplode(words).alias("pos0", "word"))
+        .select("doc_id", "word", (F.col("pos0") + 1).alias("pos"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "map_event_type_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_types,
+           COALESCE(MAX(CASE WHEN event_type = 'click' THEN cnt END), 0)
+             AS clicks,
+           COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN cnt END), 0)
+             AS purchases
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="C8: MapType column construction + lookup (ClickHouse "
+    "Map(String,UInt64) / sumMap analog): per-user map event_type->count "
+    "built with map_from_entries(collect_list(struct)), read back with "
+    "element_at. The map stays executor-side (bounded by |event types|); "
+    "the oracle verifies the observable lookups via conditional "
+    "aggregation.",
+)
+def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct("event_type", "cnt"))
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(m.alias("type_counts"))
+        .select(
+            "user_id",
+            F.size("type_counts").alias("n_types"),
+            F.coalesce(
+                F.element_at("type_counts", F.lit("click")), F.lit(0)
+            ).alias("clicks"),
+            F.coalesce(
+                F.element_at("type_counts", F.lit("purchase")), F.lit(0)
+            ).alias("purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "scalar_conditional_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (FLOOR(greatest(l_extendedprice, l_quantity * 1000.0)
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS hi,
+           (FLOOR(least(l_discount, l_tax)
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS lo,
+           nullif(l_linenumber, 1) AS line_or_null,
+           ifnull(nullif(l_returnflag, 'N'), 'neutral') AS flag_defaulted
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    description="C8: conditional scalars — greatest/least, nullif, "
+    "ifnull (ClickHouse greatest/least/nullIf/ifNull analogs). Pure "
+    "projection.",
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            round4(
+                F.greatest(F.col("l_extendedprice"), F.col("l_quantity") * 1000.0)
+            ).alias("hi"),
+            round4(F.least(F.col("l_discount"), F.col("l_tax"))).alias("lo"),
+            F.nullif(F.col("l_linenumber"), F.lit(1)).alias("line_or_null"),
+            F.ifnull(
+                F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("neutral")
+            ).alias("flag_defaulted"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
