@@ -180,3 +180,64 @@ def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w1") * F.col("w3")).cast("long").alias("retained_w3"),
         F.sum(F.col("w1") * F.col("w4")).cast("long").alias("retained_w4"),
     )
+
+
+@query(
+    "conversion_latency",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             last_value(CASE WHEN event_type = 'view' THEN ts END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_view_ts
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_conversions,
+           (FLOOR(AVG(CAST(epoch_us(ts) // 1000
+                           - epoch_us(prev_view_ts) // 1000 AS BIGINT)
+                      / 1000.0)
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS avg_latency_s
+    FROM marked
+    WHERE event_type = 'purchase' AND prev_view_ts IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="Behavioral: view->purchase conversion latency — for each "
+    "purchase, time since the user's most recent preceding view, then "
+    "per-user averages (ClickHouse windowFunnel-latency companion). One "
+    "window pass with a conditional last(ignorenulls) navigation — no "
+    "self-join, no per-user arrays; state per partition is one timestamp.",
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    marked = ev.withColumn("prev_view_ts", prev_view)
+    from ..functions.rounding import round4
+
+    return (
+        marked.where(
+            (F.col("event_type") == "purchase")
+            & F.col("prev_view_ts").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            round4(
+                F.avg(
+                    (epoch_ms(F.col("ts")) - epoch_ms(F.col("prev_view_ts")))
+                    / 1000.0
+                )
+            ).alias("avg_latency_s"),
+        )
+        .orderBy("user_id")
+    )

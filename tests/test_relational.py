@@ -57,3 +57,29 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
         F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000))
     ).first()[0]
     assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+def test_hll_sketch_union_matches_direct(spark, sf_dir):
+    """Partial HLL sketches unioned across splits == one whole-table sketch.
+
+    This is the 100 TB distinct-count story: per-partition (or per-day)
+    sketches are mergeable state, so distinct counts compose incrementally
+    without reshuffling raw keys (SCALE.md section 2).
+    """
+    from pyspark.sql import functions as F
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    whole = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("n")
+    ).first()["n"]
+    merged = (
+        o.withColumn("part", F.col("o_orderkey") % 7)
+        .groupBy("part")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .first()["n"]
+    )
+    assert whole == merged
+    exact = o.select("o_custkey").distinct().count()
+    assert abs(whole - exact) / exact < 0.05
