@@ -1495,3 +1495,88 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "set_ops_all_variants",
+    oracle="""
+    WITH f AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+         s AS (SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+               AND l_quantity > 40)
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT * FROM f UNION ALL SELECT * FROM s))
+        AS n_union_all,
+      (SELECT COUNT(*) FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM s))
+        AS n_intersect_all,
+      (SELECT COUNT(*) FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM s))
+        AS n_except_all
+    """,
+    description="C7: multiset (ALL) set operations — duplicate-preserving "
+    "union/intersect/except over supplier keys from two lineitem slices. "
+    "intersectAll/exceptAll plan as count-matching via hash aggregation "
+    "on the key — shuffle scales with distinct keys, not rows.",
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.where(F.col("l_returnflag") == "R").select("l_suppkey")
+    s = li.where(
+        (F.col("l_linestatus") == "F") & (F.col("l_quantity") > 40)
+    ).select("l_suppkey")
+    n_union_all = f.unionAll(s).count()
+    n_intersect_all = f.intersectAll(s).count()
+    n_except_all = f.exceptAll(s).count()
+    return spark.createDataFrame(
+        [(n_union_all, n_intersect_all, n_except_all)],
+        "n_union_all long, n_intersect_all long, n_except_all long",
+    )
+
+
+@query(
+    "having_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT o.o_orderkey, c.c_name, o.o_orderpriority,
+           ROUND(o.o_totalprice, 4) AS o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    description="C1/C3/C6: TPC-H Q18 shape — aggregate lineitem to order "
+    "grain, HAVING gate on the aggregate, join the survivors back to "
+    "orders and customer, top-100 by price. The HAVING filter runs on "
+    "post-aggregation rows (orders grain, already reduced), so the "
+    "join fan-in is the filtered key set, not the fact table.",
+)
+def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .where(F.col("raw_qty") > 150)
+        .select(
+            "l_orderkey", F.round("raw_qty", 4).alias("total_qty")
+        )
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            "o_orderpriority",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
