@@ -1580,3 +1580,41 @@ def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT
+      COALESCE(o_orderstatus, '<all>') AS status,
+      COALESCE(o_orderpriority, '<all>') AS priority,
+      CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      COUNT(*) AS n,
+      ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+    description="C4: ROLLUP with grouping_id — the bitmask that "
+    "distinguishes subtotal NULLs from genuine NULL data (identical "
+    "bit order in both engines), with subtotal labels folded in via "
+    "coalesce.",
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+            "revenue",
+        )
+        .orderBy("gid", "status", "priority")
+    )
