@@ -65,6 +65,8 @@ HEADLINE = [
     "events_gap_fill_locf",
     "split_train_valid_test",
     "mix_corpus_by_lang",
+    "having_large_orders",
+    "window_rolling_median",
 ]
 
 

@@ -1618,3 +1618,56 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "status", "priority")
     )
+
+
+@query(
+    "array_set_ops_suite",
+    oracle="""
+    WITH w AS (
+      SELECT p_partkey,
+             string_split(p_name, ' ') AS name_words,
+             string_split(p_type, ' ') AS type_words
+      FROM part
+    )
+    SELECT p_partkey,
+           array_to_string(list_sort(list_distinct(
+             name_words || type_words)), ',') AS union_words,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_intersect(name_words, type_words))), ','), '')
+             AS common_words,
+           COALESCE(array_to_string(list_sort(list_filter(
+             list_distinct(name_words),
+             x -> NOT list_contains(type_words, x))), ','), '')
+             AS name_only_words,
+           list_contains(name_words, 'data') AS mentions_data,
+           len(list_intersect(name_words, type_words)) > 0 AS has_overlap
+    FROM w
+    ORDER BY p_partkey
+    """,
+    description="C8: array set algebra — union/intersect/except/"
+    "contains/overlaps over word arrays (ClickHouse arrayIntersect/"
+    "arrayConcat/has analogs). Both engines' set ops are order-"
+    "unspecified, so results are sorted and joined before export. Pure "
+    "projection, codegen'd.",
+)
+def array_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    nw = F.split("p_name", " ")
+    tw = F.split("p_type", " ")
+    return (
+        p.select(
+            "p_partkey",
+            F.array_join(F.array_sort(F.array_union(nw, tw)), ",").alias(
+                "union_words"
+            ),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.array_intersect(nw, tw))), ","
+            ).alias("common_words"),
+            F.array_join(
+                F.array_sort(F.array_except(nw, tw)), ","
+            ).alias("name_only_words"),
+            F.array_contains(nw, "data").alias("mentions_data"),
+            F.arrays_overlap(nw, tw).alias("has_overlap"),
+        )
+        .orderBy("p_partkey")
+    )
