@@ -22,9 +22,10 @@ registry.load_all()
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    # The driver supplies its own SparkSession; testdata at the smallest SF
-    # stores ts as TIMESTAMP(NANOS) which Spark can't read natively, so turn
-    # on the legacy long fallback (tables.load_table converts back to µs).
+    # The driver supplies its own SparkSession. events.ts has shipped as
+    # TIMESTAMP(NANOS) (needs this legacy long fallback) and as ntz micros;
+    # tables.load_table normalizes both, this conf just keeps the nanos
+    # form readable and is harmless otherwise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fn = registry.REGISTRY["pipeline_flagship"].fn
     return fn(spark, "/root/testdata/sf0.001")

@@ -179,3 +179,37 @@ def mix_corpus_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "sample_docs_weighted",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE {SMP.sample_bucket_sql("doc_id", "w0")}
+          < LEAST(10000, CAST(n_chars * 12 AS BIGINT))
+    GROUP BY source
+    ORDER BY source
+    """,
+    description="Length-weighted deterministic sampling: keep probability "
+    "proportional to n_chars (capped at 1) — importance sampling for "
+    "curation, where longer documents carry more training signal. Still "
+    "a pure per-row hash filter: no shuffle, no seed, stable under "
+    "reruns and appends; the weight only moves the per-row threshold.",
+)
+def sample_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    thresh = F.least(
+        F.lit(10000), (F.col("n_chars") * 12).cast("long")
+    )
+    return (
+        docs.where(SMP.sample_bucket(F.col("doc_id"), "w0") < thresh)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
