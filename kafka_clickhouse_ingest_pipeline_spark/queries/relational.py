@@ -1671,3 +1671,50 @@ def array_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "try_arithmetic_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (FLOOR((l_extendedprice / nullif(l_quantity - 25.0, 0.0))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS safe_ratio,
+           TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+           CAST(epoch_us(TRY_CAST('2024-01-15 10:00:00' AS TIMESTAMP)) // 1000
+                AS BIGINT) AS ts_good_ms,
+           TRY_CAST(l_linestatus AS TIMESTAMP) AS ts_bad,
+           ([l_quantity])[5] AS oob_element
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    description="C8: error-safe (try_*) expression family — Spark 4 runs "
+    "ANSI mode by default, so division by zero, bad casts, bad timestamp "
+    "parses, and out-of-bounds array access all THROW unless routed "
+    "through try_divide/try_cast/try_to_timestamp/try_element_at; this "
+    "suite pins the null-on-error semantics (DuckDB's /0 and TRY_CAST "
+    "are natively null-on-error, matching).",
+)
+def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            round4(
+                F.try_divide(
+                    F.col("l_extendedprice"), F.col("l_quantity") - 25.0
+                )
+            ).alias("safe_ratio"),
+            F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias(
+                "flag_as_int"
+            ),
+            epoch_ms(
+                F.try_to_timestamp(F.lit("2024-01-15 10:00:00"))
+            ).alias("ts_good_ms"),
+            F.try_to_timestamp(F.col("l_linestatus")).alias("ts_bad"),
+            F.try_element_at(F.array(F.col("l_quantity")), F.lit(5)).alias(
+                "oob_element"
+            ),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
