@@ -1,0 +1,77 @@
+"""TTL data expiry — the MergeTree `TTL timestamp + INTERVAL n` analog.
+
+ClickHouse tables commonly pair the reference's MergeTree DDL
+(consumer/clickhouse/init-db.sh:20-36) with a TTL clause so the ingest
+store forgets old events without manual DELETEs. On a time-partitioned
+parquet table (plans/layout.py yyyymm, or any zero-padded time format)
+the same contract decomposes into two very different costs:
+
+- **whole expired partitions** — time buckets strictly older than the
+  cutoff bucket — are dropped by deleting the directory: a metadata/
+  filesystem operation that never reads a row, exactly like ClickHouse
+  dropping expired parts. At 100 TB this is the only acceptable form
+  for the bulk of expiry.
+- **the boundary bucket** (contains the cutoff instant) is the only
+  data that needs a rewrite: read just that partition, keep rows >=
+  cutoff, rewrite it. Cost is one bucket of data, not the table.
+
+Rows newer than the cutoff are never touched, read, or rewritten.
+Zero-padded time formats (yyyyMM, yyyyMMdd) make bucket comparison a
+plain string compare.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def expired_partitions(
+    path: str, cutoff_bucket: str, partition_col: str = "yyyymm"
+) -> list[str]:
+    """Partition dirs strictly older than the cutoff bucket."""
+    prefix = f"{partition_col}="
+    out = []
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith(prefix) and entry.split("=", 1)[1] < cutoff_bucket:
+            out.append(entry)
+    return out
+
+
+def apply_ttl(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    cutoff_ts: str,
+    cutoff_bucket: str,
+    partition_col: str = "yyyymm",
+) -> tuple[int, bool]:
+    """Expire rows with ts < cutoff from a time-partitioned table.
+
+    ``cutoff_bucket`` is the partition value containing ``cutoff_ts``
+    (e.g. "202402" for yyyymm). Returns (n_partitions_dropped,
+    boundary_rewritten). Directory drops for fully-expired buckets; one
+    partition-local filter+rewrite for the boundary bucket. Everything
+    newer is untouched.
+    """
+    dropped = 0
+    for part in expired_partitions(path, cutoff_bucket, partition_col):
+        shutil.rmtree(os.path.join(path, part))
+        dropped += 1
+
+    boundary_dir = os.path.join(path, f"{partition_col}={cutoff_bucket}")
+    boundary_rewritten = False
+    if os.path.isdir(boundary_dir):
+        kept = (
+            spark.read.parquet(boundary_dir)
+            .where(F.col(ts_col) >= F.lit(cutoff_ts).cast("timestamp"))
+        )
+        tmp = boundary_dir + "._ttl_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(boundary_dir)
+        os.rename(tmp, boundary_dir)
+        boundary_rewritten = True
+    return dropped, boundary_rewritten

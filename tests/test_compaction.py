@@ -40,3 +40,45 @@ def test_compact_respects_target_size(spark, sf_dir, tmp_path):
     _, after = compact(spark, path, target_file_bytes=target)
     # ceil(total/target) ≈ 3-4 files (parquet size varies post-rewrite)
     assert 2 <= after <= 6
+
+
+def test_ttl_drops_old_partitions_and_rewrites_boundary(spark, sf_dir, tmp_path):
+    from kafka_clickhouse_ingest_pipeline_spark.plans.retention import (
+        apply_ttl,
+        expired_partitions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "yyyymmdd", F.date_format("ts", "yyyyMMdd")
+    )
+    path = str(tmp_path / "events_ttl")
+    ev.write.partitionBy("yyyymmdd").parquet(path)
+
+    days = sorted(
+        str(r["yyyymmdd"])
+        for r in spark.read.parquet(path).select("yyyymmdd").distinct().collect()
+    )
+    assert len(days) >= 3, "need multiple day buckets to exercise TTL"
+    # cutoff at noon inside the third day: days 1-2 fully expire,
+    # day 3 is the boundary rewrite, later days untouched
+    b = days[2]
+    cutoff = f"{b[:4]}-{b[4:6]}-{b[6:]} 12:00:00"
+
+    before = spark.read.parquet(path)
+    expected = before.where(
+        F.col("ts") >= F.lit(cutoff).cast("timestamp")
+    ).count()
+
+    assert expired_partitions(path, b, "yyyymmdd") == [
+        f"yyyymmdd={d}" for d in days[:2]
+    ]
+    dropped, rewrote = apply_ttl(spark, path, "ts", cutoff, b, "yyyymmdd")
+    assert dropped == 2 and rewrote
+
+    after = spark.read.parquet(path)
+    assert after.count() == expected
+    assert after.where(F.col("ts") < F.lit(cutoff).cast("timestamp")).count() == 0
+    kept_days = {
+        str(r["yyyymmdd"]) for r in after.select("yyyymmdd").distinct().collect()
+    }
+    assert set(days[3:]).issubset(kept_days)
