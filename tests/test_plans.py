@@ -72,3 +72,22 @@ def test_semi_join_prunes_columns_before_broadcast(spark, sf_dir):
     df = registry.REGISTRY["auth_semi_join"].fn(spark, sf_dir)
     plan = _executed_plan(df)
     assert "ReadSchema: struct<c_custkey:bigint,c_acctbal:double>" in plan
+
+
+def test_q18_shape_broadcasts_filtered_aggregate(spark, sf_dir):
+    """having_large_orders: the HAVING-filtered order-grain aggregate (a
+    tiny key set) must broadcast into orders/customer rather than
+    shuffling the fact side, and top-100 must be a TakeOrdered heap."""
+    df = registry.REGISTRY["having_large_orders"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_rate_table_broadcasts(spark, sf_dir):
+    """mix_corpus_by_lang: the 5-row rate table joins back to documents
+    as a broadcast — the corpus side is never shuffled."""
+    df = registry.REGISTRY["mix_corpus_by_lang"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
