@@ -1718,3 +1718,96 @@ def try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "limit_by_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey
+    ) <= 3
+    ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+    """,
+    description="C5/C6: ClickHouse `LIMIT 3 BY o_orderpriority` analog — "
+    "top-3 rows per group via ranking window. Partition-local: shuffle "
+    "on the group key only, per-group heap-sized state, no global sort "
+    "of the fact table.",
+)
+def limit_by_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+        .orderBy(
+            "o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey"
+        )
+    )
+
+
+@query(
+    "agg_filtered_family",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_quantity > 40), 4)
+             AS sum_price_bulk,
+           ROUND(AVG(l_discount) FILTER (WHERE l_linestatus = 'F'), 4)
+             AS avg_disc_finished,
+           ROUND(MIN(l_extendedprice) FILTER (WHERE l_tax > 0.05), 4)
+             AS min_price_taxed,
+           ROUND(MAX(l_extendedprice) FILTER (
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'), 4)
+             AS max_price_recent,
+           count_if(l_quantity > 40) AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="C1: filtered aggregates — the ClickHouse -If combinator "
+    "family (sumIf/avgIf/minIf/maxIf/countIf) as FILTER-style conditional "
+    "aggregation. One pass, one shuffle; each aggregate carries its own "
+    "predicate.",
+)
+def agg_filtered_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bulk = F.col("l_quantity") > 40
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.when(bulk, F.col("l_extendedprice"))), 4).alias(
+                "sum_price_bulk"
+            ),
+            F.round(
+                F.avg(
+                    F.when(F.col("l_linestatus") == "F", F.col("l_discount"))
+                ),
+                4,
+            ).alias("avg_disc_finished"),
+            F.round(
+                F.min(F.when(F.col("l_tax") > 0.05, F.col("l_extendedprice"))),
+                4,
+            ).alias("min_price_taxed"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("l_shipdate")
+                        >= F.lit("1997-01-01").cast("timestamp"),
+                        F.col("l_extendedprice"),
+                    )
+                ),
+                4,
+            ).alias("max_price_recent"),
+            F.count_if(bulk).alias("n_bulk"),
+        )
+        .orderBy("l_returnflag")
+    )
