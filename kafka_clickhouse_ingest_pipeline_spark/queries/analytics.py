@@ -524,3 +524,95 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+    WITH cutoff AS (
+      SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 4) AS total_bal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    description="C3: TPC-H Q22 shape — customers with above-average "
+    "(positive) balance who never placed an order above 300k: scalar "
+    "aggregate subquery as the threshold + NOT EXISTS as a left-anti "
+    "join on the filtered order keys. The anti join probes a hash of "
+    "distinct big-order custkeys; the scalar subquery is one tiny "
+    "broadcast value.",
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        o.where(F.col("o_totalprice") > 300000).select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT
+      (FLOOR((100.0 * SUM(CASE WHEN contains(p.p_name, 'data')
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0.0 END)
+              / SUM(l.l_extendedprice * (1 - l.l_discount)))
+             * 10000.0 + 0.5 + 0.000001) / 10000.0) AS promo_share_pct,
+      COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    description="C1/C3: TPC-H Q14 shape — revenue share of a part "
+    "category ('data'-named parts standing in for PROMO) within a ship-"
+    "date window: fact-side date filter pushed to the scan, part "
+    "dimension broadcast, conditional-sum ratio in one aggregation.",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.contains(F.col("p_name"), F.lit("data")), rev).otherwise(
+        0.0
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_name")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            round4(100.0 * F.sum(promo) / F.sum(rev)).alias(
+                "promo_share_pct"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
