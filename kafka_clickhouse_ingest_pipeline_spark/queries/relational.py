@@ -1811,3 +1811,45 @@ def agg_filtered_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_name AS nation,
+             ROUND(SUM(c.c_acctbal), 4) AS nation_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT nation, nation_bal,
+           (FLOOR((100.0 * nation_bal / SUM(nation_bal) OVER ())
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS pct_of_total
+    FROM nat
+    ORDER BY nation
+    """,
+    description="C5: ratio-to-report — each nation's share of total "
+    "customer balance via an unpartitioned window over ALREADY-AGGREGATED "
+    "rows (|nations|, not |customers|), so the global window is "
+    "bounded-size by construction; the fact table only feeds the "
+    "partial+final hash aggregate.",
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    nat = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("c_acctbal"), 4).alias("nation_bal"))
+    )
+    w = Window.partitionBy()
+    return (
+        nat.select(
+            "nation",
+            "nation_bal",
+            round4(
+                100.0 * F.col("nation_bal") / F.sum("nation_bal").over(w)
+            ).alias("pct_of_total"),
+        )
+        .orderBy("nation")
+    )
