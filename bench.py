@@ -67,6 +67,8 @@ HEADLINE = [
     "mix_corpus_by_lang",
     "having_large_orders",
     "window_rolling_median",
+    "agg_filtered_family",
+    "user_activity_similarity",
 ]
 
 

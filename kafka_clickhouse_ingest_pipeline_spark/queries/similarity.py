@@ -303,7 +303,13 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it once (same rationale + measurement as the ngram
     # inverted index in operators/dedup.py).
     normed = normed.localCheckpoint(eager=True)
-    a = normed.select(
+    # The checkpointed profile table sits in ~1 partition; the nested-
+    # loop pair scan parallelizes over the STREAMED side's partitions, so
+    # spread it across the cluster before the join (measured 8.5s -> 3.0s
+    # at sf0.1 on local[32]).
+    a = normed.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         F.col("user_id").alias("user_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
@@ -321,7 +327,7 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import round4
 
     pairs = (
-        a.join(b, F.col("user_a") != F.col("user_b"))
+        a.join(F.broadcast(b), F.col("user_a") != F.col("user_b"))
         .select(
             "user_a",
             "user_b",
