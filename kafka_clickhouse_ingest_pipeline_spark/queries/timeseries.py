@@ -363,3 +363,74 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("raw_avg", ignorenulls=True).over(w).alias("avg_value_locf"),
         )
     )
+
+
+@query(
+    "hourly_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hb, COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hb, n,
+             AVG(CAST(n AS DOUBLE)) OVER w AS mu,
+             stddev_samp(CAST(n AS DOUBLE)) OVER w AS sigma,
+             COUNT(*) OVER w AS n_baseline
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hb
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(epoch_us(hb) // 1000 AS BIGINT) AS hour_ms,
+           n,
+           (FLOOR(((n - mu) / sigma) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS zscore
+    FROM scored
+    WHERE n_baseline >= 12 AND sigma > 0.5
+      AND abs((n - mu) / sigma) > 2.0
+    ORDER BY event_type, hour_ms
+    """,
+    description="C12: trailing-window anomaly detection — each hour's "
+    "event count scored against the mean/stddev of its type's previous "
+    "24 hours (self-excluded frame); hours beyond |z| > 2 with a "
+    "settled baseline flagged. Two-level shape: the raw stream reduces "
+    "to O(types x hours) rows BEFORE any window runs, so the ordered "
+    "frame is cheap at any input scale — the streaming twin is the "
+    "same arithmetic over a sliding watermark window.",
+)
+def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(-24, -1)
+    )
+    nd = F.col("n").cast("double")
+    scored = hourly.select(
+        "event_type",
+        "hb",
+        "n",
+        F.avg(nd).over(w).alias("mu"),
+        F.stddev_samp(nd).over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_baseline"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.where(
+            (F.col("n_baseline") >= 12)
+            & (F.col("sigma") > 0.5)
+            & (F.abs(z) > 2.0)
+        )
+        .select(
+            "event_type",
+            epoch_ms(F.col("hb")).alias("hour_ms"),
+            "n",
+            round4(z).alias("zscore"),
+        )
+        .orderBy("event_type", "hour_ms")
+    )
