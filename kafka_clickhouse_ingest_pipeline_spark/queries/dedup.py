@@ -505,3 +505,63 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "crosslingual_near_dup_pairs",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, label, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (acc, x) -> acc + x)) AS nrm
+      FROM base
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             (FLOOR((list_reduce(
+                 list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                 (acc, x) -> acc + x
+               ) / (a.nrm * b.nrm)) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+               AS cosine
+      FROM normed a JOIN normed b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT p.id_a, p.id_b, p.cosine,
+           da.lang AS lang_a, db.lang AS lang_b
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    WHERE p.cosine >= 0.4 AND da.lang != db.lang
+    ORDER BY p.id_a, p.id_b
+    """,
+    description="C9/C10 composite: cross-lingual near-duplicate mining — "
+    "document pairs semantically close in embedding space (label-blocked "
+    "cosine, same operator as SemDeDup) whose LANGUAGES differ: "
+    "translation-pair candidates, the multilingual-curation signal "
+    "(keep for parallel data, or drop one side for monolingual "
+    "pretraining mixes). The lang lookup joins doc metadata back onto "
+    "the pair stream — two broadcast-sized probes, no extra shuffle of "
+    "the pair fan-out.",
+)
+def crosslingual_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.4)
+    la = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
+    )
+    lb = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")
+    )
+    return (
+        pairs.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .select("id_a", "id_b", "cosine", "lang_a", "lang_b")
+        .orderBy("id_a", "id_b")
+    )
