@@ -66,3 +66,29 @@ def grouped_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         )
 
     return df.groupBy(group_col).applyInPandas(normalize, schema=schema)
+
+
+def doc_token_stats_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """mapInPandas batch-iterator transform: per-doc token statistics.
+
+    The fourth sanctioned Python entry point (scalar pandas_udf,
+    grouped-agg pandas_udf, applyInPandas, mapInPandas): a streaming
+    iterator of Arrow batches with no grouping requirement — the shape
+    for bulk per-row Python work (tokenizers, parsers) where each batch
+    is processed independently and memory stays bounded by batch size,
+    not partition size.
+    """
+    schema = f"{id_col} long, n_tokens long, n_unique long"
+
+    def stats(batches):
+        for pdf in batches:
+            toks = pdf[text_col].map(lambda s: s.split(" "))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": toks.map(len),
+                    "n_unique": toks.map(lambda t: len(set(t))),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(stats, schema=schema)

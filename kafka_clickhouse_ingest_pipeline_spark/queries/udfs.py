@@ -79,3 +79,24 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "event_id", "value", round4(F.col("zscore")).alias("zscore")
     )
+
+
+@query(
+    "udf_token_stats_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_unique
+    FROM documents
+    ORDER BY doc_id
+    """,
+    description="C13 mapInPandas: per-doc token counts via a batch-"
+    "iterator Arrow transform (the bulk-Python shape for tokenizers/"
+    "parsers — memory bounded by batch size, not partition size); "
+    "oracle recomputes with SQL split, proving the Python path is "
+    "built-in-equivalent.",
+)
+def udf_token_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return U.doc_token_stats_arrow(docs, "text", "doc_id").orderBy("doc_id")
