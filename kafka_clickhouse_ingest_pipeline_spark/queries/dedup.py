@@ -27,6 +27,7 @@ from ..functions.hashing import (
 )
 from ..functions.rounding import round4
 from ..operators import dedup as D
+from ..operators.similarity import lsh_bucket_sql
 from ..registry import query
 from ..tables import load_table
 
@@ -210,11 +211,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, "text", "doc_id")
 
 
+NGRAM_MAX_DF = 100
+
+
 @query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH base AS ({_PLANTED_SQL}),
-    sh AS ({_SHINGLES_SQL.format(base="SELECT * FROM base")}),
+    sh0 AS ({_SHINGLES_SQL.format(base="SELECT * FROM base")}),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_MAX_DF}
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
@@ -229,42 +238,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (FLOOR((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5 + 0.000001) / 10000.0) >= 0.2
     """,
     description="C9: exact n-gram Jaccard via inverted shingle index — the "
-    "verification stage behind LSH candidates; threshold 0.2.",
+    "verification stage behind LSH candidates; threshold 0.2. Shingles "
+    f"with document frequency > {NGRAM_MAX_DF} are dropped before the "
+    "self-join (hot-key cap: a DF-f shingle makes f² join rows and "
+    "carries no dup signal).",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_planted(spark, sf_dir)
-    return D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+    return D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.2, max_df=NGRAM_MAX_DF
+    )
 
 
-@query(
-    "dedup_embedding_cosine_pairs",
-    oracle="""
-    WITH base AS (
+# Shared CTE prefix for the embedding near-dup family: normalized doubles,
+# norm, and the SAME random-hyperplane LSH bucket the Spark operator blocks
+# on (cardinality grows with corpus size — never O(n²/k) on a constant key).
+_EMB_NORMED_CTES = f"""
+    base AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
     normed AS (
       SELECT vec_id, label, v,
+             ({lsh_bucket_sql('v')}) AS blk,
              sqrt(list_reduce(list_transform(v, x -> x * x),
                               (acc, x) -> acc + x)) AS nrm
       FROM base
     )
+"""
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    WITH {_EMB_NORMED_CTES}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            (FLOOR((list_reduce(
                list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
                (acc, x) -> acc + x
              ) / (a.nrm * b.nrm)) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS cosine
     FROM normed a JOIN normed b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+      ON a.blk = b.blk AND a.vec_id < b.vec_id
     WHERE (FLOOR((list_reduce(
                list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
                (acc, x) -> acc + x
              ) / (a.nrm * b.nrm)) * 10000.0 + 0.5 + 0.000001) / 10000.0) >= 0.4
     """,
-    description="C9: embedding-cosine near-dup pairs, label-blocked to stay "
-    "sub-quadratic (prod: LSH bucket / IVF cell as the block). Threshold "
-    "0.4 — this corpus is random vectors, real dup corpora use ~0.95.",
+    description="C9: embedding-cosine near-dup pairs, LSH-bucket-blocked to "
+    "stay sub-quadratic (bucket count scales with corpus via plane count; "
+    "an IVF cell id works the same way via block_col). Threshold 0.4 — "
+    "this corpus is random vectors, real dup corpora use ~0.95.",
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -450,22 +474,12 @@ def dedup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_semdedup_keep",
-    oracle="""
-    WITH base AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    normed AS (
-      SELECT vec_id, label, v,
-             sqrt(list_reduce(list_transform(v, x -> x * x),
-                              (acc, x) -> acc + x)) AS nrm
-      FROM base
-    ),
+    oracle=f"""
+    WITH {_EMB_NORMED_CTES},
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM normed a JOIN normed b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+        ON a.blk = b.blk AND a.vec_id < b.vec_id
       WHERE (FLOOR((list_reduce(
                  list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
                  (acc, x) -> acc + x
@@ -482,7 +496,7 @@ def dedup_substring_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY e.vec_id
     """,
     description="C9: SemDeDup-style semantic dedup decision — within each "
-    "block (label; IVF cell in production) drop any vector that has a "
+    "block (LSH bucket; IVF cell works via block_col) drop any vector that has a "
     "lower-id neighbor above the cosine threshold, keeping exactly one "
     "representative per near-dup set without connected components (the "
     "keep rule is local to pairs). Output: per-vector keep/drop + how many "
@@ -509,18 +523,8 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "crosslingual_near_dup_pairs",
-    oracle="""
-    WITH base AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    normed AS (
-      SELECT vec_id, label, v,
-             sqrt(list_reduce(list_transform(v, x -> x * x),
-                              (acc, x) -> acc + x)) AS nrm
-      FROM base
-    ),
+    oracle=f"""
+    WITH {_EMB_NORMED_CTES},
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              (FLOOR((list_reduce(
@@ -529,7 +533,7 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) / (a.nrm * b.nrm)) * 10000.0 + 0.5 + 0.000001) / 10000.0)
                AS cosine
       FROM normed a JOIN normed b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+        ON a.blk = b.blk AND a.vec_id < b.vec_id
     )
     SELECT p.id_a, p.id_b, p.cosine,
            da.lang AS lang_a, db.lang AS lang_b
@@ -540,8 +544,8 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY p.id_a, p.id_b
     """,
     description="C9/C10 composite: cross-lingual near-duplicate mining — "
-    "document pairs semantically close in embedding space (label-blocked "
-    "cosine, same operator as SemDeDup) whose LANGUAGES differ: "
+    "document pairs semantically close in embedding space (LSH-bucket-"
+    "blocked cosine, same operator as SemDeDup) whose LANGUAGES differ: "
     "translation-pair candidates, the multilingual-curation signal "
     "(keep for parallel data, or drop one side for monolingual "
     "pretraining mixes). The lang lookup joins doc metadata back onto "

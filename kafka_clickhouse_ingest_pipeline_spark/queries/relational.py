@@ -207,16 +207,30 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct",
-    oracle=None,  # HLL implementations differ across engines by design;
-    # bounded-error property is asserted in tests/test_relational.py instead.
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           1 AS within_5pct
+    FROM orders
+    """,
     description="C2: approx_count_distinct (HyperLogLog++) — the 100 TB "
-    "path where exact distinct would shuffle every key.",
+    "path where exact distinct would shuffle every key. The raw HLL "
+    "estimate is engine-specific by design and can't hash-match, so the "
+    "export is the exact count plus the ERROR-BOUND VERDICT: within_5pct "
+    "must be 1 on both engines, which makes the driver's exact hash "
+    "value-check the estimator's accuracy contract (rsd=0.02 → well "
+    "inside 5%). The estimate itself is asserted (bound + mergeability) "
+    "in tests/test_relational.py.",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+    agg = _t(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
     )
+    bound = (
+        F.abs(F.col("approx") - F.col("exact_customers"))
+        <= 0.05 * F.col("exact_customers")
+    )
+    return agg.select("exact_customers", bound.cast("int").alias("within_5pct"))
 
 
 # --------------------------------------------------------------------------

@@ -27,21 +27,7 @@ _COS = """
 """
 
 
-def _bucket_sql(vec_expr: str) -> str:
-    """Flat signed-sum form, same left-assoc order as the Spark side.
-
-    (A list-literal + list_reduce formulation re-materializes the plane
-    literal per lambda step in DuckDB — ~100ms/row; the flat sum is
-    instant.)
-    """
-    terms = []
-    for p, plane in enumerate(S.PLANES):
-        signed = "0.0 " + " ".join(
-            f"{'+' if sign > 0 else '-'} {vec_expr}[{i + 1}]"
-            for i, sign in enumerate(plane)
-        )
-        terms.append(f"CASE WHEN ({signed}) > 0 THEN {2**p} ELSE 0 END")
-    return " + ".join(terms)
+_bucket_sql = S.lsh_bucket_sql
 
 
 @query(

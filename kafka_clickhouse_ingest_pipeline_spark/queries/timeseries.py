@@ -388,8 +388,10 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            (FLOOR(((n - mu) / sigma) * 10000.0 + 0.5 + 0.000001) / 10000.0)
              AS zscore
     FROM scored
-    WHERE n_baseline >= 12 AND sigma > 0.5
-      AND abs((n - mu) / sigma) > 2.0
+    WHERE n_baseline >= 12
+      AND (FLOOR(sigma * 10000.0 + 0.5 + 0.000001) / 10000.0) > 0.5
+      AND abs(FLOOR(((n - mu) / sigma) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+          > 2.0
     ORDER BY event_type, hour_ms
     """,
     description="C12: trailing-window anomaly detection — each hour's "
@@ -420,11 +422,14 @@ def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_baseline"),
     )
     z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    # Threshold on round4-ed values (repo convention): a last-ulp stddev
+    # divergence between engines at the boundary must not change row
+    # membership — the driver hashes exactly.
     return (
         scored.where(
             (F.col("n_baseline") >= 12)
-            & (F.col("sigma") > 0.5)
-            & (F.abs(z) > 2.0)
+            & (round4(F.col("sigma")) > 0.5)
+            & (F.abs(round4(z)) > 2.0)
         )
         .select(
             "event_type",

@@ -24,6 +24,8 @@ verbatim — one definition of the semantics for both execution modes.
 from __future__ import annotations
 
 import os
+import time
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +39,42 @@ from ..plans.layout import write_clustered
 MAX_OFFSETS_PER_TRIGGER = 100  # max.poll.records=100, KafkaMessageConsumer.kt:41
 TRIGGER_INTERVAL = "5 seconds"  # size-or-time flush, KafkaMessageConsumer.kt:30-31
 KAFKA_TOPIC = "ingest-topic"  # docker-compose.yml:46
+AUTH_CACHE_TTL_SECONDS = 3600.0  # AUTH_CACHE_TTL 60m default, config.go:18-20
+
+
+class RefreshingAuthKeys:
+    """A5 TTL parity for long-running streams (publisher/internal/auth/
+    caching.go:43, config defaults publisher/internal/config/config.go:18-20).
+
+    For a batch query, broadcasting the keys dimension subsumes the
+    reference's LRU cache — but a streaming query analyzes its plan once,
+    so a plain broadcast would keep a revoked key valid for the life of
+    the query. The reference expires cache entries within the TTL (60 min
+    default); this wrapper gives the same contract by re-invoking
+    ``loader`` (any ``() -> DataFrame`` that reads the keys table) at most
+    once per ``ttl_seconds`` and serving the cached frame in between.
+    Call :meth:`current` inside ``foreachBatch`` so each micro-batch
+    authenticates against keys at most one TTL stale.
+    """
+
+    def __init__(
+        self,
+        loader: Callable[[], DataFrame],
+        ttl_seconds: float = AUTH_CACHE_TTL_SECONDS,
+        clock: Callable[[], float] = time.monotonic,
+    ) -> None:
+        self._loader = loader
+        self._ttl = ttl_seconds
+        self._clock = clock
+        self._df: DataFrame | None = None
+        self._loaded_at = float("-inf")
+
+    def current(self) -> DataFrame:
+        now = self._clock()
+        if self._df is None or (now - self._loaded_at) >= self._ttl:
+            self._df = self._loader()
+            self._loaded_at = now
+        return self._df
 
 
 def kafka_source(
@@ -83,9 +121,29 @@ def ingest_transform(
     return ingest.enrich_received_at(df)
 
 
+def _parquet_data_files(data_dir: str) -> set[str]:
+    out: set[str] = set()
+    if not os.path.isdir(data_dir):
+        return out
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.add(os.path.join(root, f))
+    return out
+
+
+def _parquet_rows(files: set[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def foreach_batch_writer(
     out_path: str,
     dedupe_replays: bool = False,
+    auth: RefreshingAuthKeys | None = None,
+    auth_key_col: str = "sensorId",
+    verify_rows: bool = False,
 ):
     """A14/A15: the micro-batch sink.
 
@@ -93,20 +151,49 @@ def foreach_batch_writer(
     (plans/layout.py). With ``dedupe_replays`` the batch id is recorded in a
     ledger directory and re-delivered batches are skipped — idempotent
     writes on top of at-least-once delivery.
+
+    ``auth`` applies the broadcast semi-join auth gate *inside* the batch
+    against :meth:`RefreshingAuthKeys.current`, so key revocation
+    propagates within one TTL (streaming analog of caching.go's expiring
+    entries). In production the key rides a Kafka header or payload
+    field; ``auth_key_col`` names it.
+
+    ``verify_rows`` is the ClickHouseWriterService.kt:61-65 rows-affected
+    sanity check: count the rows the batch should persist, count the rows
+    the new parquet files actually hold (footer metadata — no data read),
+    and raise on mismatch so the batch stays uncommitted and is replayed.
+    The pre-count is a second pass over a (≤100-row) micro-batch, the same
+    price the reference pays for its rows-affected array; at larger batch
+    sizes hang the count on ``df.observe`` instead.
     """
     ledger = os.path.join(out_path, "_batch_ledger")
+    data_dir = os.path.join(out_path, "data")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if dedupe_replays:
             marker = os.path.join(ledger, f"{batch_id}.done")
             if os.path.exists(marker):
                 return
+        if auth is not None:
+            batch_df = ingest.auth_gate(
+                batch_df, auth.current(), event_key=auth_key_col
+            )
+        expected = batch_df.count() if verify_rows else None
+        before = _parquet_data_files(data_dir) if verify_rows else set()
         write_clustered(
             batch_df,
-            os.path.join(out_path, "data"),
+            data_dir,
             cluster_cols=("sensorId",),
             mode="append",
         )
+        if verify_rows:
+            written = _parquet_rows(_parquet_data_files(data_dir) - before)
+            if written != expected:
+                raise IOError(
+                    f"batch {batch_id}: wrote {written} rows, expected "
+                    f"{expected} — failing the batch so it replays "
+                    "(ClickHouseWriterService.kt:61-65 parity)"
+                )
         if dedupe_replays:
             os.makedirs(ledger, exist_ok=True)
             with open(os.path.join(ledger, f"{batch_id}.done"), "w") as fh:
@@ -121,6 +208,9 @@ def run_pipeline(
     checkpoint: str,
     available_now: bool = False,
     dedupe_replays: bool = False,
+    auth: RefreshingAuthKeys | None = None,
+    auth_key_col: str = "sensorId",
+    verify_rows: bool = False,
 ) -> StreamingQuery:
     """Wire source → transforms → sink with the reference's trigger cadence.
 
@@ -129,7 +219,13 @@ def run_pipeline(
     """
     transformed = ingest_transform(source)
     writer = transformed.writeStream.foreachBatch(
-        foreach_batch_writer(out_path, dedupe_replays=dedupe_replays)
+        foreach_batch_writer(
+            out_path,
+            dedupe_replays=dedupe_replays,
+            auth=auth,
+            auth_key_col=auth_key_col,
+            verify_rows=verify_rows,
+        )
     ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)

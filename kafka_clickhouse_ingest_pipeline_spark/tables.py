@@ -31,6 +31,30 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to session-TZ TIMESTAMP.
+
+    Timestamps have shipped in two physical parquet forms across testdata
+    generations (session TZ is pinned UTC in session.py, matching DuckDB's
+    naive-as-UTC epoch math):
+     - TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong it
+       arrives as epoch-nanos long. Integer `div`, not `/`: epoch-nanos
+       ≈ 1.7e18 exceeds double's 2^53 integer range, and float division
+       rounds a few rows to the wrong microsecond.
+     - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+       TIMESTAMP_NTZ; cast reinterprets the wall-clock in the (UTC)
+       session zone — lossless.
+    """
+    ts_type = dict(df.dtypes).get(ts_col)
+    if ts_type == "bigint":
+        df = df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -40,22 +64,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # legacy long fallback is on. Runtime-settable, so set it here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts has shipped in two physical forms across testdata
-    # generations; normalize both to session-TZ TIMESTAMP (session TZ is
-    # pinned UTC in session.py, matching DuckDB's naive-as-UTC epoch math):
-    #  - TIMESTAMP(NANOS): with spark.sql.legacy.parquet.nanosAsLong it
-    #    arrives as epoch-nanos long. Integer `div`, not `/`: epoch-nanos
-    #    ≈ 1.7e18 exceeds double's 2^53 integer range, and float division
-    #    rounds a few rows to the wrong microsecond.
-    #  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
-    #    TIMESTAMP_NTZ; cast reinterprets the wall-clock in the (UTC)
-    #    session zone — lossless.
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_ts(df, "ts")
     return df
 
 

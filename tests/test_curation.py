@@ -147,6 +147,42 @@ def test_semdedup_keep_rule(spark):
     emb = spark.createDataFrame(
         rows, "vec_id long, label int, embedding array<float>"
     )
+    # precomputed-block path (e.g. an IVF cell id): respects block walls
+    pairs = D.embedding_near_dup_pairs(emb, block_col="label", threshold=0.9)
+    got = {(r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()}
+    assert got == {(1, 2)}
+
+
+def test_embedding_pairs_default_lsh_blocking(spark):
+    """Default blocking is the random-hyperplane LSH bucket: identical
+    directions always share a bucket (they agree on every plane sign), so
+    near-dups are caught without any label column; opposite directions
+    land apart."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+    from kafka_clickhouse_ingest_pipeline_spark.operators.similarity import (
+        EMB_DIM,
+        lsh_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    base = [float(i % 7 - 3) or 1.0 for i in range(EMB_DIM)]
+    rows = [
+        (1, [x * 1.0 for x in base]),
+        (2, [x * 2.5 for x in base]),  # same direction → same bucket, cos 1.0
+        (3, [-x for x in base]),  # antipode → different bucket
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = D.embedding_near_dup_pairs(emb, threshold=0.9)
     got = {(r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()}
     assert got == {(1, 2)}
+    # blocking really is the bucket id: 1 and 2 agree, 3 differs
+    b = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id",
+            lsh_bucket(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("b"),
+        ).collect()
+    }
+    assert b[1] == b[2] != b[3]

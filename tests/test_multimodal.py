@@ -17,9 +17,36 @@ def media(spark):
     return M.make_fake_media(spark, n=30)
 
 
-def test_real_decoder_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG...")
+def test_real_decoder_explicit_request_matches_environment():
+    """fake=False demands the real codec: raises where PIL is absent,
+    decodes where present."""
+    if not M.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\x89PNG...", fake=False)
+    else:
+        vec = M.decode_image(b"not an image", fake=False)
+        assert len(vec) == M.FEATURE_DIM  # undecodable → zero vector
+        assert float(abs(vec).sum()) == 0.0
+
+
+def test_decode_auto_path_available_in_any_environment():
+    """fake=None exercises whichever codec path the environment has
+    (VERDICT #8): real PIL decode, or the deterministic stand-in."""
+    vec = M.decode_image(b"payload-bytes")
+    assert len(vec) == M.FEATURE_DIM
+    if M.HAVE_PIL:
+        import io
+
+        img = M._PILImage.new("L", (8, 6), color=200)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        real = M.decode_image(buf.getvalue())
+        assert len(real) == M.FEATURE_DIM
+        assert float(abs(real).sum()) > 0  # decoded, not zero-vector
+    else:
+        # stand-in is deterministic and content-keyed
+        assert (vec == M.decode_image(b"payload-bytes")).all()
+        assert not (vec == M.decode_image(b"other-bytes")).all()
 
 
 def test_extract_features_shape_and_schema(spark, media):

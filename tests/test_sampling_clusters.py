@@ -52,6 +52,57 @@ def test_connected_components_known_graph(spark):
     assert out == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20)}
 
 
+def test_cc_star_vs_minlabel_agree(spark):
+    """Both engines behind connected_components produce identical labels
+    on a mixed graph (chains + a clique + singletons)."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(0, 30)]  # chain 0..30
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(rng.randrange(200, 240), rng.randrange(200, 240)) for _ in range(25)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 31)]
+        + [(100 + i,) for i in range(6)]
+        + [(i,) for i in range(200, 240)]
+        + [(999,)],
+        ["id"],
+    )
+    star = {
+        (r.id, r.cluster_id)
+        for r in D.connected_components(pairs, nodes, "id", algorithm="star").collect()
+    }
+    # minlabel needs O(diameter) rounds: the 30-hop chain exceeds the
+    # default 25, which is exactly why star is the default
+    minl = {
+        (r.id, r.cluster_id)
+        for r in D.connected_components(
+            pairs, nodes, "id", max_iters=40, algorithm="minlabel"
+        ).collect()
+    }
+    assert star == minl
+
+
+def test_cc_star_logn_rounds_on_long_chain(spark):
+    """VERDICT #9 acceptance: a 256-node chain (diameter 255) must
+    converge in O(log n) large/small-star rounds — min-label would need
+    ~255."""
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    stats: dict = {}
+    out = D.connected_components(
+        pairs, nodes, "id", max_iters=20, algorithm="star", stats=stats
+    )
+    assert {r.cluster_id for r in out.collect()} == {0}
+    assert stats["rounds"] <= 12  # ~2*log2(256)+slack, far under diameter
+
+
 def test_clusters_catch_planted_duplicates(spark, sf_dir):
     from kafka_clickhouse_ingest_pipeline_spark.queries.dedup import (
         PLANT_OFFSET,
@@ -110,6 +161,17 @@ def test_hash_split_total_stable_proportional(spark, sf_dir):
     again = hash_split(docs, "doc_id", splits)
     assert (
         out.join(again.withColumnRenamed("split", "split2"), "doc_id")
+        .where(F.col("split") != F.col("split2"))
+        .count()
+        == 0
+    )
+    # dict insertion order must not matter: a widest-bound-first dict
+    # previously made the first CASE arm swallow every row
+    shuffled = hash_split(
+        docs, "doc_id", {"test": 10000, "train": 8000, "valid": 9000}
+    )
+    assert (
+        out.join(shuffled.withColumnRenamed("split", "split2"), "doc_id")
         .where(F.col("split") != F.col("split2"))
         .count()
         == 0

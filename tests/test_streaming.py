@@ -184,6 +184,121 @@ def test_graceful_shutdown(spark, payload_dir, tmp_path):
     assert q.exception() is None
 
 
+def test_auth_ttl_refresh_unit():
+    """A5 TTL parity (caching.go:43, 60 m default): the loader is hit at
+    most once per TTL window; after expiry the next current() reloads."""
+    calls = []
+    fake_now = [0.0]
+
+    cache = P.RefreshingAuthKeys(
+        loader=lambda: calls.append(1) or f"keys@{len(calls)}",
+        ttl_seconds=60.0,
+        clock=lambda: fake_now[0],
+    )
+    assert cache.current() == "keys@1"
+    fake_now[0] = 59.9
+    assert cache.current() == "keys@1"  # within TTL: cached
+    fake_now[0] = 60.0
+    assert cache.current() == "keys@2"  # expired: reloaded
+    assert len(calls) == 2
+
+
+def test_auth_revocation_propagates_within_ttl(spark, tmp_path):
+    """A key deactivated mid-stream stops passing on the next refresh
+    (VERDICT #4): ttl=0 forces a reload per batch, so batch 2 no longer
+    accepts the revoked key."""
+    keys_path = str(tmp_path / "api_keys")
+
+    def write_keys(active: dict[str, bool]) -> None:
+        spark.createDataFrame(
+            [(k, v) for k, v in active.items()], "api_key string, is_active boolean"
+        ).write.mode("overwrite").parquet(keys_path)
+
+    write_keys({"s1": True, "s2": True})
+    auth = P.RefreshingAuthKeys(
+        loader=lambda: spark.read.parquet(keys_path), ttl_seconds=0.0
+    )
+
+    src_dir = tmp_path / "auth_topic"
+    src_dir.mkdir()
+    (src_dir / "b0.txt").write_text(
+        '{"sensorId": "s1", "value": 1}\n{"sensorId": "s2", "value": 2}\n'
+    )
+    out = str(tmp_path / "auth_out")
+    ckpt = str(tmp_path / "auth_ckpt")
+
+    def drain():
+        q = P.run_pipeline(
+            P.file_source(spark, str(src_dir)),
+            out_path=out,
+            checkpoint=ckpt,
+            available_now=True,
+            auth=auth,
+            auth_key_col="sensorId",
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(os.path.join(out, "data"))
+    assert {r.sensorId for r in first.collect()} == {"s1", "s2"}
+
+    # revoke s2, then stream two more events — only s1's passes
+    write_keys({"s1": True, "s2": False})
+    (src_dir / "b1.txt").write_text(
+        '{"sensorId": "s1", "value": 3}\n{"sensorId": "s2", "value": 4}\n'
+    )
+    drain()
+    result = spark.read.parquet(os.path.join(out, "data"))
+    assert result.count() == 3
+    assert result.where("value = 4").count() == 0  # revoked key's row dropped
+
+
+def test_short_write_fails_batch_and_replays(spark, payload_dir, tmp_path):
+    """A14 rows-affected parity (ClickHouseWriterService.kt:61-65): a sink
+    that persists fewer rows than the batch holds must fail the batch —
+    no offset commit — so the data is re-delivered and fully written on
+    the next run (duplicates possible: at-least-once, like the
+    reference)."""
+    import pyspark.sql.utils as U
+
+    out = str(tmp_path / "sw_out")
+    ckpt = str(tmp_path / "sw_ckpt")
+
+    real_write = P.write_clustered
+
+    def short_write(df, path, **kwargs):
+        real_write(df.limit(1), path, **kwargs)
+
+    P.write_clustered = short_write
+    try:
+        q = P.run_pipeline(
+            P.file_source(spark, payload_dir),
+            out_path=out,
+            checkpoint=ckpt,
+            available_now=True,
+            verify_rows=True,
+        )
+        with pytest.raises(U.StreamingQueryException, match="wrote 1 rows"):
+            q.awaitTermination(120)
+    finally:
+        P.write_clustered = real_write
+
+    # batch was NOT committed: a healthy re-run replays and writes all 3
+    q = P.run_pipeline(
+        P.file_source(spark, payload_dir),
+        out_path=out,
+        checkpoint=ckpt,
+        available_now=True,
+        verify_rows=True,
+    )
+    q.awaitTermination(120)
+    result = spark.read.parquet(os.path.join(out, "data"))
+    assert {r.sensorId for r in result.collect()} >= {"s1", "s2", "s3"}
+    # the short write's 1 row remains: at-least-once duplicates, faithful
+    # to the reference's replay semantics
+    assert result.count() == 4
+
+
 def test_stream_stream_join_with_watermarks(spark, tmp_path):
     """C12: stream-stream inner join — clicks joined to purchases by the
     same user within 30 minutes, both sides watermarked so join state is
