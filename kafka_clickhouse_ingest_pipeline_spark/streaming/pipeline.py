@@ -144,6 +144,7 @@ def foreach_batch_writer(
     auth: RefreshingAuthKeys | None = None,
     auth_key_col: str = "sensorId",
     verify_rows: bool = False,
+    max_retries: int | None = None,
 ):
     """A14/A15: the micro-batch sink.
 
@@ -165,9 +166,36 @@ def foreach_batch_writer(
     The pre-count is a second pass over a (≤100-row) micro-batch, the same
     price the reference pays for its rows-affected array; at larger batch
     sizes hang the count on ``df.observe`` instead.
+
+    ``max_retries`` models the reference's bounded-retry-then-surface
+    error handling (consumer/.../KafkaConsumerConfig.kt:53-70
+    ``DefaultErrorHandler``: N redeliveries, then the batch moves on).
+    Spark's native contract is retry-forever (every restart replays the
+    failed batch); with ``max_retries`` set, a batch that has already
+    failed that many times is instead diverted whole to
+    ``<out_path>/dead_letter`` and the stream commits past it — the
+    dead-letter-queue upgrade of the reference's log-and-continue
+    recoverer. Attempt counts persist in ``<out_path>/_attempts`` so the
+    budget survives query restarts.
     """
     ledger = os.path.join(out_path, "_batch_ledger")
     data_dir = os.path.join(out_path, "data")
+    attempts_dir = os.path.join(out_path, "_attempts")
+    dead_letter_dir = os.path.join(out_path, "dead_letter")
+
+    def attempts_of(batch_id: int) -> int:
+        p = os.path.join(attempts_dir, f"{batch_id}.n")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as fh:
+            return int(fh.read() or 0)
+
+    def record_attempt(batch_id: int) -> int:
+        os.makedirs(attempts_dir, exist_ok=True)
+        n = attempts_of(batch_id) + 1
+        with open(os.path.join(attempts_dir, f"{batch_id}.n"), "w") as fh:
+            fh.write(str(n))
+        return n
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if dedupe_replays:
@@ -178,22 +206,32 @@ def foreach_batch_writer(
             batch_df = ingest.auth_gate(
                 batch_df, auth.current(), event_key=auth_key_col
             )
-        expected = batch_df.count() if verify_rows else None
-        before = _parquet_data_files(data_dir) if verify_rows else set()
-        write_clustered(
-            batch_df,
-            data_dir,
-            cluster_cols=("sensorId",),
-            mode="append",
-        )
-        if verify_rows:
-            written = _parquet_rows(_parquet_data_files(data_dir) - before)
-            if written != expected:
-                raise IOError(
-                    f"batch {batch_id}: wrote {written} rows, expected "
-                    f"{expected} — failing the batch so it replays "
-                    "(ClickHouseWriterService.kt:61-65 parity)"
-                )
+        if max_retries is not None and attempts_of(batch_id) > max_retries:
+            # retry budget exhausted on a previous delivery: dead-letter
+            # the whole batch and let the stream commit past it
+            batch_df.write.mode("append").parquet(dead_letter_dir)
+            return
+        try:
+            expected = batch_df.count() if verify_rows else None
+            before = _parquet_data_files(data_dir) if verify_rows else set()
+            write_clustered(
+                batch_df,
+                data_dir,
+                cluster_cols=("sensorId",),
+                mode="append",
+            )
+            if verify_rows:
+                written = _parquet_rows(_parquet_data_files(data_dir) - before)
+                if written != expected:
+                    raise IOError(
+                        f"batch {batch_id}: wrote {written} rows, expected "
+                        f"{expected} — failing the batch so it replays "
+                        "(ClickHouseWriterService.kt:61-65 parity)"
+                    )
+        except Exception:
+            if max_retries is not None:
+                record_attempt(batch_id)
+            raise
         if dedupe_replays:
             os.makedirs(ledger, exist_ok=True)
             with open(os.path.join(ledger, f"{batch_id}.done"), "w") as fh:
@@ -211,6 +249,7 @@ def run_pipeline(
     auth: RefreshingAuthKeys | None = None,
     auth_key_col: str = "sensorId",
     verify_rows: bool = False,
+    max_retries: int | None = None,
 ) -> StreamingQuery:
     """Wire source → transforms → sink with the reference's trigger cadence.
 
@@ -225,6 +264,7 @@ def run_pipeline(
             auth=auth,
             auth_key_col=auth_key_col,
             verify_rows=verify_rows,
+            max_retries=max_retries,
         )
     ).option("checkpointLocation", checkpoint)
     if available_now:

@@ -38,6 +38,21 @@ def test_every_oracle_key_has_query():
         assert name in qs
 
 
+def test_oracle_coverage_cannot_rot():
+    """VERDICT #10 hook: the driver samples ~50 of the registered queries
+    per round; this asserts the *full* registry stays oracle-checked so
+    the unsampled remainder can't silently lose value coverage. Any new
+    rows-only query must be added to the explicit allowlist with a reason
+    (and shows up in review as a diff here)."""
+    ROWS_ONLY_ALLOWED = set()  # every registered query is value-checked
+    oracles = entrymod.oracle_sql()
+    missing = {
+        name for name in entrymod.queries()
+        if name not in oracles and name not in ROWS_ONLY_ALLOWED
+    }
+    assert not missing, f"queries without oracles: {sorted(missing)}"
+
+
 @pytest.mark.parametrize("name", ALL)
 def test_query_runs_and_oracle_agrees_on_shape(name, spark, sf_dir, duck):
     q = registry.REGISTRY[name]

@@ -299,6 +299,109 @@ def test_short_write_fails_batch_and_replays(spark, payload_dir, tmp_path):
     assert result.count() == 4
 
 
+def test_bounded_retry_dead_letters_poison_batch(spark, payload_dir, tmp_path):
+    """DefaultErrorHandler parity (KafkaConsumerConfig.kt:53-70): a batch
+    that keeps failing is retried max_retries times across restarts, then
+    diverted to the dead-letter dir and committed past, so the stream
+    makes progress instead of replaying forever."""
+    import pyspark.sql.utils as U
+
+    out = str(tmp_path / "dl_out")
+    ckpt = str(tmp_path / "dl_ckpt")
+    real_write = P.write_clustered
+
+    def poison(df, path, **kwargs):
+        raise IOError("sink down")
+
+    P.write_clustered = poison
+    try:
+        for attempt in range(3):  # initial delivery + 2 retries
+            q = P.run_pipeline(
+                P.file_source(spark, payload_dir),
+                out_path=out,
+                checkpoint=ckpt,
+                available_now=True,
+                max_retries=2,
+            )
+            with pytest.raises(U.StreamingQueryException, match="sink down"):
+                q.awaitTermination(120)
+        # budget exhausted: the next delivery dead-letters and succeeds,
+        # even though the sink is still broken
+        q = P.run_pipeline(
+            P.file_source(spark, payload_dir),
+            out_path=out,
+            checkpoint=ckpt,
+            available_now=True,
+            max_retries=2,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+    finally:
+        P.write_clustered = real_write
+
+    dl = spark.read.parquet(os.path.join(out, "dead_letter"))
+    assert {r.sensorId for r in dl.collect()} == {"s1", "s2", "s3"}
+    assert not os.path.exists(os.path.join(out, "data"))  # nothing half-written
+
+    # the stream moved on: new data flows to the (healed) main sink
+    with open(os.path.join(payload_dir, "after_dl.txt"), "w") as fh:
+        fh.write('{"sensorId": "s7", "temperature": 7.0}\n')
+    q = P.run_pipeline(
+        P.file_source(spark, payload_dir),
+        out_path=out,
+        checkpoint=ckpt,
+        available_now=True,
+        max_retries=2,
+    )
+    q.awaitTermination(120)
+    main = spark.read.parquet(os.path.join(out, "data"))
+    assert {r.sensorId for r in main.collect()} == {"s7"}
+
+
+def test_metrics_listener_health_and_counters(spark, payload_dir, tmp_path):
+    """healthz/metrics analog (publisher/cmd/api/main.go:76-80): the
+    StreamingQueryListener sees every batch, accumulates row counters,
+    writes a JSONL metrics log, and reports ok for a clean run."""
+    import json as _json
+    import time
+
+    from kafka_clickhouse_ingest_pipeline_spark.streaming.metrics import (
+        PipelineMetricsListener,
+    )
+
+    log = str(tmp_path / "metrics.jsonl")
+    listener = PipelineMetricsListener(log_path=log)
+    spark.streams.addListener(listener)
+    try:
+        q = P.run_pipeline(
+            P.file_source(spark, payload_dir),
+            out_path=str(tmp_path / "m_out"),
+            checkpoint=str(tmp_path / "m_ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        # listener bus is async: wait for the progress events to land
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            snap = listener.snapshot()
+            if any(v.get("total_rows", 0) >= 4 for v in snap.values()):
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    snap = listener.snapshot()
+    [q_metrics] = [v for v in snap.values() if v.get("total_rows", 0) > 0]
+    assert q_metrics["batches"] >= 1
+    # 4 source rows: 3 valid payloads + 1 malformed (counted at the
+    # source, before the validity gate drops it)
+    assert q_metrics["total_rows"] == 4
+    assert listener.health()["status"] == "ok"
+    with open(log) as fh:
+        lines = [_json.loads(line) for line in fh]
+    assert sum(r["num_input_rows"] for r in lines) == 4
+
+
 def test_stream_stream_join_with_watermarks(spark, tmp_path):
     """C12: stream-stream inner join — clicks joined to purchases by the
     same user within 30 minutes, both sides watermarked so join state is
