@@ -46,6 +46,7 @@ HEADLINE = [
     "text_top_terms",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
     "tumbling_window_agg",
     "session_window_agg",
@@ -61,6 +62,8 @@ HEADLINE = [
     "pack_token_bins",
     "dedup_substring_spans",
     "dedup_semdedup_keep",
+    "dedup_incremental_new_batch",
+    "corpus_dataset_card",
     "agg_entropy_user_behavior",
     "events_gap_fill_locf",
     "split_train_valid_test",

@@ -162,6 +162,50 @@ def bucketed_topk(
     )
 
 
+def multiprobe_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe ANN top-k: probe the query's bucket AND every bucket at
+    Hamming distance 1 (one plane sign flipped).
+
+    The standard recall fix for hyperplane LSH: a true neighbor that sits
+    near one separating plane lands one bit away, so probing the
+    N_PLANES adjacent buckets recovers exactly those misses without a
+    second hash table. Cost: (1 + N_PLANES)/2^N_PLANES of the corpus
+    (7/64 here) — still sub-linear, and the probe list is a broadcast of
+    N_PLANES+1 rows, never a shuffle of the corpus side.
+    """
+    q = query.select(
+        F.col(id_col).alias("q_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(as_double(F.col(vec_col))).alias("q_bucket"),
+    )
+    probe_buckets = F.array(
+        F.col("q_bucket"),
+        *[F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+    )
+    probes = q.select(
+        "q_id", "qv", F.explode(probe_buckets).alias("bucket")
+    )
+    c = emb.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket(as_double(F.col(vec_col))).alias("bucket"),
+    )
+    cos = cosine(F.col("v"), F.col("qv"))
+    return (
+        c.join(F.broadcast(probes), "bucket")
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(F.col(id_col), F.col("bucket"), round4(cos).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def centroids(
     emb: DataFrame,
     block_col: str = "label",

@@ -262,3 +262,68 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap_grams"),
         (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).cast("int").alias("contaminated"),
     )
+
+
+@query(
+    "corpus_dataset_card",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             (FLOOR(AVG(CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5 + 0.000001)
+              / 10000.0) AS avg_tokens,
+             (FLOOR((SUM(CASE WHEN n_tokens < 8 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*)) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+               AS pct_short
+      FROM per_doc
+      GROUP BY lang
+    )
+    SELECT lang, n_docs, n_sources, total_tokens, avg_tokens, pct_short,
+           (FLOOR((total_tokens * 1.0 / SUM(total_tokens) OVER ())
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS token_share
+    FROM per_lang
+    ORDER BY lang
+    """,
+    description="Curation: the dataset-card composite — per language: doc "
+    "and source counts, token totals/averages, short-doc rate, and the "
+    "language's share of corpus tokens (the mixture denominator). One "
+    "groupBy over per-doc token counts plus a total-over-total window on "
+    "the O(langs) aggregate — scan-bound at any corpus size; this is the "
+    "summary a dataset release ships and a mixture plan starts from.",
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang", "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    per_lang = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        round4(F.avg(F.col("n_tokens").cast("double"))).alias("avg_tokens"),
+        round4(
+            F.sum(F.when(F.col("n_tokens") < 8, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+        ).alias("pct_short"),
+    )
+    total = Window.partitionBy()
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        "total_tokens",
+        "avg_tokens",
+        "pct_short",
+        round4(
+            F.col("total_tokens") * 1.0 / F.sum("total_tokens").over(total)
+        ).alias("token_share"),
+    ).orderBy("lang")

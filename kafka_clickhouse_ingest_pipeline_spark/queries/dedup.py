@@ -328,6 +328,131 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, docs.select("doc_id"), "doc_id")
 
 
+def _band_keys_sql(sig_rel: str) -> str:
+    """DuckDB band-key projection over a signature relation (LSH banding)."""
+    selects = []
+    for b in range(LSH_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(sig{b * LSH_ROWS + r:02d} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band, {cols} AS band_key FROM {sig_rel}"
+        )
+    return "\n      UNION ALL\n      ".join(selects)
+
+
+@query(
+    "dedup_incremental_new_batch",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    fresh AS (
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+             array_to_string(w[1:len(w)-3], ' ') AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE doc_id % {PLANT_EVERY} = 0 AND len(w) > 6
+    ),
+    exact_hit AS (
+      SELECT DISTINCT f.doc_id
+      FROM fresh f JOIN corpus c ON md5(f.text) = md5(c.text)
+    ),
+    sig_c AS ({_sig_sql("SELECT * FROM corpus")}),
+    sig_f AS ({_sig_sql("SELECT * FROM fresh")}),
+    bands_c AS (
+      {_band_keys_sql("sig_c")}
+    ),
+    bands_f AS (
+      {_band_keys_sql("sig_f")}
+    ),
+    near_hit AS (
+      SELECT DISTINCT f.doc_id
+      FROM bands_f f JOIN bands_c c
+        ON f.band = c.band AND f.band_key = c.band_key
+    )
+    SELECT f.doc_id,
+           CAST(e.doc_id IS NOT NULL AS INT) AS is_exact_dup,
+           CAST(n.doc_id IS NOT NULL AS INT) AS is_near_dup,
+           CAST(e.doc_id IS NULL AND n.doc_id IS NULL AS INT) AS keep
+    FROM fresh f
+    LEFT JOIN exact_hit e ON f.doc_id = e.doc_id
+    LEFT JOIN near_hit n ON f.doc_id = n.doc_id
+    ORDER BY f.doc_id
+    """,
+    description="C9: incremental dedup — the continual-pretraining case: a "
+    "fresh crawl batch (the planted truncated variants) is deduped "
+    "AGAINST the existing corpus, never against itself: exact hits via "
+    "digest anti-join, near hits via LSH band keys joined new-side vs "
+    "corpus-side only. At 100 TB the corpus band index is a precomputed "
+    "table, so each increment costs O(|increment|) plus one bucket join — "
+    "the whole corpus is never re-paired.",
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    fresh = docs.where(
+        (F.col("doc_id") % PLANT_EVERY == 0) & (F.size(words) > 6)
+    ).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 3)).alias("text"),
+    )
+
+    exact_hit = (
+        D.content_digest(fresh, "text")
+        .join(
+            D.content_digest(docs, "text").select("digest"), "digest", "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+    def band_keys(sig: DataFrame) -> DataFrame:
+        parts = []
+        for b in range(LSH_BANDS):
+            cols = [f"sig{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS)]
+            parts.append(
+                sig.select(
+                    "doc_id",
+                    F.lit(b).alias("band"),
+                    F.concat_ws("_", *cols).alias("band_key"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    near_hit = (
+        band_keys(D.minhash_signatures(fresh, "text", "doc_id"))
+        .join(
+            band_keys(D.minhash_signatures(docs, "text", "doc_id")),
+            ["band", "band_key"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+    e = exact_hit.withColumn("is_exact_dup", F.lit(1))
+    n = near_hit.withColumn("is_near_dup", F.lit(1))
+    return (
+        fresh.select("doc_id")
+        .join(e, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_exact_dup", F.lit(0)).alias("is_exact_dup"),
+            F.coalesce("is_near_dup", F.lit(0)).alias("is_near_dup"),
+            (
+                F.coalesce("is_exact_dup", F.lit(0))
+                + F.coalesce("is_near_dup", F.lit(0))
+                == 0
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 TOKEN_MIN = 8
 CURATE_PER_LANG = 20
 CURATE_SALT = "cur"

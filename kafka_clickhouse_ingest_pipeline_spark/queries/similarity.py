@@ -108,6 +108,47 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.bucketed_topk(emb, q, k=10)
 
 
+_PROBE_LIST = ", ".join(
+    ["q_bucket"] + [f"xor(q_bucket, {1 << p})" for p in range(S.N_PLANES)]
+)
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM corpus
+    ),
+    q AS (
+      SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+      FROM bucketed WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    probes AS (
+      SELECT q_id, qv, unnest([{_PROBE_LIST}]) AS bucket FROM q
+    )
+    SELECT vec_id, bucket,
+           (FLOOR(({_COS}) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS cosine
+    FROM bucketed JOIN probes USING (bucket)
+    WHERE vec_id != q_id
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    description="C10: multi-probe ANN top-10 — the query's bucket plus all "
+    "Hamming-distance-1 buckets (one plane sign flipped) are probed, "
+    "recovering the near-misses single-probe LSH drops at plane "
+    "boundaries; scans (1+planes)/2^planes of the corpus, probe list is "
+    "a broadcast.",
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return S.multiprobe_topk(emb, q, k=10)
+
+
 @query(
     "embedding_centroids",
     oracle="""

@@ -46,3 +46,16 @@ def test_ml_lsh_similarity_join_is_symmetricish(spark, vec_df):
     joined = model.approxSimilarityJoin(vec_df, vec_df, 3.0, distCol="dist")
     pairs = joined.where("datasetA.vec_id < datasetB.vec_id")
     assert pairs.count() >= 0  # runs end-to-end; exact count is data-dependent
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe (bucket + Hamming-1 neighbors) must return a superset
+    of single-probe's candidates and at least as many of the true
+    brute-force top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    single = {r.vec_id for r in S.bucketed_topk(emb, q, k=10).collect()}
+    multi = {r.vec_id for r in S.multiprobe_topk(emb, q, k=10).collect()}
+    brute = {r.vec_id for r in S.brute_force_topk(emb, q, k=10).collect()}
+    assert len(multi & brute) >= len(single & brute)
+    assert len(multi) >= len(single)
