@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
+    "ivf_kmeans_cells",
     "tumbling_window_agg",
     "session_window_agg",
     "asof_join_latest_order",

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round4
@@ -279,6 +279,85 @@ def ivf_topk(
         .select(F.col(id_col), F.col(block_col), round4(cos).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "km",
+) -> DataFrame:
+    """IVF train step done properly: k-means (Lloyd) cell assignment.
+
+    `centroids`/`ivf_topk` accept any precomputed cell column; this
+    operator LEARNS the cells instead of borrowing a label: deterministic
+    hash-order seeding (the k smallest salted id hashes — a fixed, engine
+    -portable draw), then `iters` rounds of assign-to-nearest /
+    recompute-centroid. Every round is one broadcast of k centroid
+    vectors + one corpus scan (assign) and one posexplode groupBy
+    (update) — no corpus self-join anywhere, so a round is O(n·k·dim)
+    compute and O(n) shuffle at any scale. Centroid components round to
+    4 dp each round (portable across partial-agg orders); distances
+    compare rounded, ties break on cell id, so assignments are
+    bit-reproducible across engines.
+
+    Returns (id_col, cell, dist_sq) — the assignment under the final
+    centroids; `dist_sq` is the round4-ed squared L2 to the chosen cell.
+    """
+    from ..functions.hashing import hash60
+
+    vec_d = as_double(F.col(vec_col))
+    corpus = emb.select(F.col(id_col), vec_d.alias("v"))
+
+    h = hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    seeds = corpus.withColumn("__h", h).orderBy("__h", id_col).limit(k)
+    # k rows: a single-partition window is fine for numbering them
+    seed_w = Window.orderBy("__h", id_col)
+    cvec = seeds.select(
+        (F.row_number().over(seed_w) - 1).alias("cell"),
+        F.col("v").alias("cv"),
+    )
+
+    assign = None
+    for _ in range(iters):
+        d = round4(_l2sq(F.col("v"), F.col("cv")))
+        w = Window.partitionBy(id_col).orderBy(d.asc(), F.col("cell").asc())
+        assign = (
+            corpus.crossJoin(F.broadcast(cvec))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(id_col, "cell", "v", d.alias("dist_sq"))
+        )
+        cent = (
+            assign.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(round4(F.avg("x")).alias("c"))
+        )
+        cvec = (
+            cent.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
+            .select("cell", F.transform("s", lambda st: st["c"]).alias("cv"))
+        )
+    # final assignment under the last centroids
+    d = round4(_l2sq(F.col("v"), F.col("cv")))
+    w = Window.partitionBy(id_col).orderBy(d.asc(), F.col("cell").asc())
+    return (
+        corpus.crossJoin(F.broadcast(cvec))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "cell", d.alias("dist_sq"))
     )
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash60_sql
 from ..operators import similarity as S
 from ..registry import query
 from ..tables import load_table
@@ -370,3 +371,76 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "user_b", "cosine")
         .orderBy("user_a", F.col("cosine").desc(), "user_b")
     )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Generate the DuckDB twin of operators.similarity.kmeans_cells:
+    identical seeding, identical round structure, identical rounding."""
+    seed_h = hash60_sql("'km' || CAST(vec_id AS VARCHAR)")
+    dist = (
+        "(FLOOR((list_reduce(list_transform(range(1, 65), "
+        "i -> (c.v[i] - k.cv[i]) * (c.v[i] - k.cv[i])), (a, b) -> a + b)) "
+        "* 10000.0 + 0.5 + 0.000001) / 10000.0)"
+    )
+    parts = [
+        """corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )""",
+        f"""cvec0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY {seed_h}, vec_id) - 1 AS cell,
+             v AS cv
+      FROM corpus
+      ORDER BY {seed_h}, vec_id
+      LIMIT {k}
+    )""",
+    ]
+    for t in range(iters):
+        parts.append(f"""assign{t + 1} AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, k.cell, c.v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id ORDER BY {dist}, k.cell
+               ) AS rn
+        FROM corpus c CROSS JOIN cvec{t} k
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""cent{t + 1} AS (
+      SELECT cell, i - 1 AS dim,
+             (FLOOR(AVG(v[i]) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS c
+      FROM assign{t + 1}, (SELECT unnest(range(1, 65)) AS i)
+      GROUP BY cell, i
+    )""")
+        parts.append(
+            f"cvec{t + 1} AS "
+            f"(SELECT cell, list(c ORDER BY dim) AS cv FROM cent{t + 1} "
+            f"GROUP BY cell)"
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, cell, dist_sq FROM (
+      SELECT c.vec_id, k.cell, {dist} AS dist_sq,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.vec_id ORDER BY {dist}, k.cell
+             ) AS rn
+      FROM corpus c CROSS JOIN cvec{iters} k
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "ivf_kmeans_cells",
+    oracle=_kmeans_sql(),
+    description="C10/IVF train done properly: k-means (k=8, 2 Lloyd "
+    "rounds) over the embeddings — deterministic hash-order seeding, "
+    "assign-to-nearest via broadcast of k centroid vectors (no corpus "
+    "self-join), centroid update as one posexplode groupBy; centroids "
+    "and distances round4-ed so assignments reproduce bit-for-bit across "
+    "engines. Output: final (vec_id, cell, dist_sq) — the learned "
+    "partitioner that ivf_topk's block_col consumes at scale.",
+)
+def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_cells(emb, k=8, iters=2).orderBy("vec_id")

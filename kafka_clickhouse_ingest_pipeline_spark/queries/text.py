@@ -404,3 +404,59 @@ def text_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "[PHONE]",
         ).alias("redacted_text"),
     )
+
+
+@query(
+    "bpe_merge_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT word, COUNT(*) AS n_word FROM words
+      WHERE length(word) >= 2 GROUP BY word
+    ),
+    prs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, CAST(i AS INT), 2)))
+               AS pair,
+             n_word
+      FROM wc
+    )
+    SELECT pair, CAST(SUM(n_word) AS BIGINT) AS n_occurrences
+    FROM prs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    description="C11: the first BPE-training iteration at corpus scale — "
+    "adjacent character-pair frequencies over the deduplicated word "
+    "vocabulary, weighted by word frequency (the classic two-level trick: "
+    "pair counting runs over O(|vocab|) rows, not O(corpus tokens), "
+    "because identical words contribute identical pairs). Top-20 merge "
+    "candidates; iterating = applying the top merge and re-counting.",
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("word")
+    ).where(F.length("word") >= 2)
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n_word",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_word").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )

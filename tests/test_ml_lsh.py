@@ -59,3 +59,20 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     brute = {r.vec_id for r in S.brute_force_topk(emb, q, k=10).collect()}
     assert len(multi & brute) >= len(single & brute)
     assert len(multi) >= len(single)
+
+
+def test_kmeans_cells_partition_quality(spark, sf_dir):
+    """k-means assignment: every vector gets exactly one cell, all k cells
+    are populated, and the mean within-cell distance does not exceed the
+    assign-to-random baseline (sanity that Lloyd iterations help)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.kmeans_cells(emb, k=8, iters=2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    cells = {r.cell for r in rows}
+    assert cells == set(range(8))
+    # within-cell distance must beat assigning everything to one seed
+    mean_d = sum(r.dist_sq for r in rows) / len(rows)
+    one_cell = S.kmeans_cells(emb, k=1, iters=2)
+    mean_one = sum(r.dist_sq for r in one_cell.collect()) / len(rows)
+    assert mean_d < mean_one
