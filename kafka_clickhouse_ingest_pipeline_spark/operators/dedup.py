@@ -74,19 +74,48 @@ def shingles(
     )
 
 
+def shingle_array(df: DataFrame, text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (no explode).
+
+    Same shingle set as :func:`shingles`, kept in-row — the zero-shuffle
+    representation the HOF signature path consumes.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) > 0))
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """Per-document MinHash signature: (id, sig00..sig15).
+    """Per-document MinHash signature: (id, sig00..sig15), ZERO shuffle.
 
-    One explode + one groupBy(id) with 16 min-aggregates; the signature
-    width is constant so this is a single shuffle of (id, 16×8 bytes)
-    regardless of document size.
+    Pure projection: shingles stay an in-row array; each signature
+    component is an `array_min` over a transformed copy of the hashed
+    shingle array. The earlier formulation (explode + groupBy(id) with 16
+    min-aggregates) shuffles every (id, shingle) pair; this one touches
+    the shuffle system not at all — at 100 TB the signature step becomes
+    part of the scan stage, and it runs unchanged on a stream (no
+    aggregation state). md5 is computed once per shingle (`hs` is
+    materialized per row, then 16 cheap affine-min passes reuse it).
+
+    Rows whose shingle set is empty (empty text) are dropped, matching
+    the explode form's semantics.
     """
-    sh = shingles(df, text_col, id_col, n)
-    h = hash60(F.col("shingle")) % F.lit(P)
-    return sh.groupBy(id_col).agg(
-        *[F.min(minhash_expr(h, i)).alias(f"sig{i:02d}") for i in range(N_MINHASH)]
+    arr = shingle_array(df, text_col, n)
+    hs = F.transform(arr, lambda s: hash60(s) % F.lit(P))
+    out = df.select(F.col(id_col), hs.alias("__hs")).where(F.size("__hs") > 0)
+    return out.select(
+        id_col,
+        *[
+            F.array_min(
+                F.transform("__hs", lambda h: minhash_expr(h, i))
+            ).alias(f"sig{i:02d}")
+            for i in range(N_MINHASH)
+        ],
     )
 
 

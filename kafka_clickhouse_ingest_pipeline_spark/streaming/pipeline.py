@@ -288,6 +288,49 @@ def streaming_dedup(
     )
 
 
+def streaming_near_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    n: int = 3,
+) -> DataFrame:
+    """C9 × C12: streaming near-duplicate suppression with bounded state.
+
+    The MinHash signature is a pure projection (operators/dedup.
+    minhash_signatures — array HOFs, zero shuffle), so it composes with
+    Structured Streaming directly: a document whose full 16-component
+    signature equals one seen within the watermark is dropped.
+    Signature equality is the strict rule (the est_jaccard = 1.0
+    candidates); band-level OR semantics needs custom state
+    (applyInPandasWithState — see test_stateful_streaming). State is
+    O(distinct signatures per watermark window), same bound as
+    streaming_dedup.
+    """
+    from ..functions.hashing import N_MINHASH, P, hash60, minhash_expr
+    from ..operators.dedup import shingle_array
+
+    arr = shingle_array(docs, text_col, n)
+    hs = F.transform(arr, lambda s: hash60(s) % F.lit(P))
+    sig_cols = [f"__sig{i:02d}" for i in range(N_MINHASH)]
+    with_sig = docs.withColumn("__hs", hs)
+
+    def perm(i: int):
+        # factory, not a default arg: a two-param lambda would receive the
+        # array INDEX as its second argument from F.transform
+        return lambda h: minhash_expr(h, i)
+
+    for i, c in enumerate(sig_cols):
+        with_sig = with_sig.withColumn(
+            c, F.array_min(F.transform("__hs", perm(i)))
+        )
+    return (
+        with_sig.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(sig_cols)
+        .drop("__hs", *sig_cols)
+    )
+
+
 def kafka_sink_options(brokers: str, topic: str = KAFKA_TOPIC) -> dict[str, str]:
     """A6: the producer side (publisher/internal/kafka/publisher.go:34-49).
 

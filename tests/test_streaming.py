@@ -158,6 +158,43 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
 
 
+def test_streaming_near_dedup_by_signature(spark, tmp_path):
+    """C9 x C12: the zero-shuffle MinHash signature runs on a stream as a
+    pure projection; same-text docs (identical signature) collapse to one
+    within the watermark, distinct text survives."""
+    src_dir = tmp_path / "nd_docs"
+    src_dir.mkdir()
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        {"ts": "2024-01-01T00:01:00Z", "doc_id": 1, "text": same},
+        {"ts": "2024-01-01T00:02:00Z", "doc_id": 2, "text": same},  # dup: dropped
+        {"ts": "2024-01-01T00:03:00Z", "doc_id": 3,
+         "text": "completely different words compose this other document body"},
+    ]
+    (src_dir / "f.txt").write_text("\n".join(json.dumps(r) for r in rows))
+    from pyspark.sql import functions as F
+
+    raw = P.file_source(spark, str(src_dir))
+    parsed = raw.select(
+        F.from_json("value", "ts timestamp, doc_id long, text string").alias("p")
+    ).select("p.*")
+    deduped = P.streaming_near_dedup(parsed)
+    out = str(tmp_path / "nd_out")
+
+    def sink(df, _bid):
+        df.write.mode("append").parquet(out)
+
+    q = deduped.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "nd_ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    kept_same = [r.doc_id for r in got.where(F.col("text") == same).collect()]
+    assert len(kept_same) == 1  # exactly one of the near-dup pair survives
+    assert got.where("doc_id = 3").count() == 1
+
+
 def test_graceful_shutdown(spark, payload_dir, tmp_path):
     """A17: signal → stop polling → flush → close (App.kt:56-65,
     main.go:98-108) = StreamingQuery.stop(); the query terminates cleanly
