@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_semdedup_keep",
     "dedup_incremental_new_batch",
     "corpus_dataset_card",
+    "tokenize_corpus_to_ids",
     "agg_entropy_user_behavior",
     "events_gap_fill_locf",
     "split_train_valid_test",

@@ -104,6 +104,14 @@ def minhash_signatures(
 
     Rows whose shingle set is empty (empty text) are dropped, matching
     the explode form's semantics.
+
+    Trade-off, measured at sf0.1: HOF lambdas evaluate interpreted (3.4s
+    for 5000 docs) vs the codegen'd explode+groupBy's 2.0s — locally the
+    shuffle is cheaper than the lambda interpreter. The HOF form still
+    wins the architecture: no shuffle I/O at 100 TB corpus scale, and it
+    is the only form that runs on a stream. Callers that recompute
+    signatures repeatedly should checkpoint/persist the output (every
+    batch query here does).
     """
     arr = shingle_array(df, text_col, n)
     hs = F.transform(arr, lambda s: hash60(s) % F.lit(P))

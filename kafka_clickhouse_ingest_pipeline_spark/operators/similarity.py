@@ -330,16 +330,29 @@ def kmeans_cells(
         F.col("v").alias("cv"),
     )
 
-    assign = None
-    for _ in range(iters):
+    def assign_nearest(cvec: DataFrame) -> DataFrame:
+        # argmin as min(struct(dist, cell)): same (dist asc, cell asc)
+        # selection a window row_number would make, but partial-aggregable
+        # — map-side combine collapses the k candidate rows per vector
+        # before the shuffle, vs a window's full n·k exchange.
         d = round4(_l2sq(F.col("v"), F.col("cv")))
-        w = Window.partitionBy(id_col).orderBy(d.asc(), F.col("cell").asc())
-        assign = (
+        return (
             corpus.crossJoin(F.broadcast(cvec))
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(id_col, "cell", "v", d.alias("dist_sq"))
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(d.alias("d"), F.col("cell"))).alias("m"),
+                F.first("v").alias("v"),  # constant within the group
+            )
+            .select(
+                id_col,
+                F.col("m.cell").alias("cell"),
+                F.col("m.d").alias("dist_sq"),
+                "v",
+            )
         )
+
+    for _ in range(iters):
+        assign = assign_nearest(cvec)
         cent = (
             assign.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
@@ -351,14 +364,7 @@ def kmeans_cells(
             .select("cell", F.transform("s", lambda st: st["c"]).alias("cv"))
         )
     # final assignment under the last centroids
-    d = round4(_l2sq(F.col("v"), F.col("cv")))
-    w = Window.partitionBy(id_col).orderBy(d.asc(), F.col("cell").asc())
-    return (
-        corpus.crossJoin(F.broadcast(cvec))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, "cell", d.alias("dist_sq"))
-    )
+    return assign_nearest(cvec).select(id_col, "cell", "dist_sq")
 
 
 def quantize_int8(

@@ -1867,3 +1867,84 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "approx_percentiles_bounded",
+    oracle="""
+    SELECT
+      (FLOOR(quantile_cont(o_totalprice, 0.5) * 10000.0 + 0.5 + 0.000001)
+       / 10000.0) AS p50_exact,
+      (FLOOR(quantile_cont(o_totalprice, 0.9) * 10000.0 + 0.5 + 0.000001)
+       / 10000.0) AS p90_exact,
+      1 AS p50_within, 1 AS p90_within
+    FROM orders
+    """,
+    description="C2: approx_percentile (KLL-ish quantile sketch) — the "
+    "100 TB path where exact quantiles would global-sort. Like "
+    "approx_distinct, the raw estimate is engine-specific, so the export "
+    "is the exact interpolated quantiles plus RANK-BOUND VERDICTS: each "
+    "approx value must land between the exact q±0.01 quantiles "
+    "(accuracy=10000 => rank error 1e-4, two orders inside the bound), "
+    "making the driver hash value-check the sketch's accuracy contract.",
+)
+def approx_percentiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    qs = [0.49, 0.5, 0.51, 0.89, 0.9, 0.91]
+    agg = o.agg(
+        F.percentile("o_totalprice", F.lit(qs)).alias("ex"),
+        F.percentile_approx(
+            "o_totalprice", F.lit([0.5, 0.9]), F.lit(10000)
+        ).alias("ap"),
+    )
+    ex, ap = F.col("ex"), F.col("ap")
+    return agg.select(
+        round4(ex[1]).alias("p50_exact"),
+        round4(ex[4]).alias("p90_exact"),
+        ((ap[0] >= ex[0]) & (ap[0] <= ex[2])).cast("int").alias("p50_within"),
+        ((ap[1] >= ex[3]) & (ap[1] <= ex[5])).cast("int").alias("p90_within"),
+    )
+
+
+@query(
+    "histogram_order_prices",
+    oracle="""
+    WITH bins AS (
+      SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS BIGINT) AS bin
+      FROM orders
+    )
+    SELECT bin,
+           CAST(bin * 50000.0 AS DOUBLE) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (FLOOR((COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS frac
+    FROM bins
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    description="C1/B analog of ClickHouse histogram(): equal-width "
+    "binning of order prices (12 bins of 50k, top bin open-ended) with "
+    "counts and corpus fractions. The bin id is a pure projection, so "
+    "the whole histogram is one partial-aggregated groupBy over O(bins) "
+    "distinct keys — shuffle bytes are KB at any corpus size; the total "
+    "joins in as a broadcast scalar.",
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0), F.lit(11)
+    ).cast("long")
+    binned = o.select(bin_col.alias("bin"))
+    total = o.select(F.count(F.lit(1)).alias("__total"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            (F.col("bin") * 50000.0).alias("lo"),
+            "n",
+            round4(F.col("n") * 1.0 / F.col("__total")).alias("frac"),
+        )
+        .orderBy("bin")
+    )

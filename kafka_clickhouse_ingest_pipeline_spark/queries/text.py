@@ -460,3 +460,80 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(20)
     )
+
+
+VOCAB_SIZE = 1000
+
+
+@query(
+    "tokenize_corpus_to_ids",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, pos, tok FROM (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    vocab AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS id
+      FROM toks GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok
+      LIMIT {VOCAB_SIZE}
+    ),
+    encoded AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(array_to_string(list(id ORDER BY pos), ',')) AS ids_fingerprint
+    FROM encoded
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="C11: corpus tokenization to vocab ids — the step between "
+    "text curation and sequence packing. Vocab = top-1000 tokens by "
+    "(freq desc, token) with rank as id, OOV -> 0; each document exports "
+    "its token/OOV counts and an md5 fingerprint of the position-ordered "
+    "id sequence (arrays hash engine-specifically; the fingerprint "
+    "value-checks the full encoding). Plan shape: one token explode, a "
+    "broadcast of the 1000-row vocab, one groupBy(doc) — the id "
+    "assignment join never shuffles the corpus side.",
+)
+def tokenize_corpus_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).where(F.length("tok") > 0)
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(VOCAB_SIZE)
+        .select("tok", F.row_number().over(w).alias("id"))
+    )
+    encoded = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos0", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    ids_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos0", "id"))),
+        lambda st: st["id"],
+    )
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.md5(F.array_join(ids_in_order, ",")).alias("ids_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
