@@ -9,9 +9,11 @@ Reference behavior (paths relative to /root/reference/):
 
 Spark's JDBC writer batches with `batchsize` and opens one connection per
 writing partition — `numPartitions` is therefore the pool-size analog.
-No JDBC server exists in this environment; the option-building is unit
-tested and the write path is exercised against parquet via the same
-foreachBatch seam (streaming/pipeline.py).
+No ClickHouse server exists in this environment, but the write path IS
+executed for real against embedded Derby (the JDBC database Spark ships
+for its metastore) in tests/test_jdbc_derby.py — batched INSERTs, NULL
+round-trip, and the streaming foreachBatch seam all run through an
+actual JDBC driver; only the dialect differs from production.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ def jdbc_writer_options(
     password: str | None = None,
     batch_size: int = JDBC_BATCH_SIZE,
     max_connections: int = JDBC_MAX_CONNECTIONS,
+    driver: str | None = None,
 ) -> dict[str, str]:
     """Options matching the reference's writer configuration."""
     opts = {
@@ -44,14 +47,32 @@ def jdbc_writer_options(
         opts["user"] = user
     if password is not None:
         opts["password"] = password
+    if driver is not None:
+        opts["driver"] = driver
     return opts
 
 
-def write_jdbc_batch(df: DataFrame, url: str, table: str, **kw) -> None:
+def with_column_types(opts: dict[str, str], column_types: str) -> dict[str, str]:
+    """DDL column types for table auto-creation (the schema-at-sink
+    discipline: the reference ships explicit DDL, init-db.sh:20-36, rather
+    than inferring — e.g. 'sensor_id VARCHAR(64)' instead of the dialect
+    default CLOB)."""
+    return {**opts, "createTableColumnTypes": column_types}
+
+
+def write_jdbc_batch(
+    df: DataFrame,
+    url: str,
+    table: str,
+    column_types: str | None = None,
+    **kw,
+) -> None:
     """A14: the batched append. Used inside foreachBatch for streaming
     (at-least-once: a replayed batch re-inserts, exactly like the
     reference's redelivered Kafka batch)."""
     opts = jdbc_writer_options(url, table, **kw)
+    if column_types is not None:
+        opts = with_column_types(opts, column_types)
     writer = df.write.mode("append").format("jdbc")
     for k, v in opts.items():
         writer = writer.option(k, v)
