@@ -327,3 +327,71 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens") * 1.0 / F.sum("total_tokens").over(total)
         ).alias("token_share"),
     ).orderBy("lang")
+
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 16
+
+
+@query(
+    "doc_sliding_chunks",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    spec AS (
+      SELECT doc_id, w,
+             1 + (GREATEST(n - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE} - 1)
+                 // {CHUNK_STRIDE} AS n_chunks
+      FROM docs
+    )
+    SELECT doc_id,
+           j AS chunk_idx,
+           j * {CHUNK_STRIDE} AS start_word,
+           CAST(len(w[j * {CHUNK_STRIDE} + 1 : j * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+                AS BIGINT) AS n_words,
+           md5(array_to_string(
+             w[j * {CHUNK_STRIDE} + 1 : j * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' '
+           )) AS chunk_md5
+    FROM spec, (SELECT unnest(range(0, 10000)) AS j)
+    WHERE j < n_chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    description="Curation/RAG prep: overlapping sliding-window chunking — "
+    f"{CHUNK_SIZE}-word chunks at stride {CHUNK_STRIDE}, the retrieval/"
+    "context-window segmentation step. Chunk boundaries are pure per-row "
+    "arithmetic (transform over a sequence + slice), one explode of "
+    "~n_words/stride rows per doc — linear, shuffle-free until a "
+    "downstream groupBy; chunk text exports as an md5 fingerprint.",
+)
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - CHUNK_SIZE, F.lit(0)) + CHUNK_STRIDE - 1)
+        / CHUNK_STRIDE
+    ).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.struct(
+                j.alias("chunk_idx"),
+                (j * CHUNK_STRIDE).alias("start_word"),
+                F.slice(w, j * CHUNK_STRIDE + 1, CHUNK_SIZE).alias("cw"),
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", chunk.alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_word").alias("start_word"),
+            F.size("c.cw").cast("long").alias("n_words"),
+            F.md5(F.concat_ws(" ", F.col("c.cw"))).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -704,3 +704,74 @@ def crosslingual_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "cosine", "lang_a", "lang_b")
         .orderBy("id_a", "id_b")
     )
+
+
+# DuckDB twin of operators.dedup.shingle_array (distinct word 3-grams,
+# in-row list form)
+_SHINGLE_ARR_SQL = """
+    list_distinct(list_filter(
+      [array_to_string(w[i+1:i+3], ' ')
+       for i in range(0, greatest(len(w)-2, 1))],
+      s -> length(s) > 0))
+"""
+
+
+@query(
+    "dedup_lsh_verified_pairs",
+    oracle=f"""
+    WITH base AS ({_PLANTED_SQL}),
+    sig AS ({_sig_sql("SELECT * FROM base")}),
+    bands AS (
+      {_band_keys_sql("sig")}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    sh AS (
+      SELECT doc_id, {_SHINGLE_ARR_SQL} AS arr
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)
+    )
+    SELECT c.id_a, c.id_b,
+           (FLOOR((len(list_intersect(a.arr, b.arr)) * 1.0
+                   / (len(a.arr) + len(b.arr)
+                      - len(list_intersect(a.arr, b.arr))))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE (FLOOR((len(list_intersect(a.arr, b.arr)) * 1.0
+                  / (len(a.arr) + len(b.arr)
+                     - len(list_intersect(a.arr, b.arr))))
+                 * 10000.0 + 0.5 + 0.000001) / 10000.0) >= 0.2
+    ORDER BY c.id_a, c.id_b
+    """,
+    description="C9: the production near-dup verify stage — EXACT n-gram "
+    "Jaccard computed ONLY on LSH banding candidates, via in-row shingle-"
+    "array intersection (size(array_intersect)/size-of-union). Unlike the "
+    "inverted-index self-join (dedup_ngram_jaccard_pairs), cost is "
+    "O(candidate pairs), each a per-row HOF — no shingle-grain shuffle "
+    "at all; at 100 TB this is banding's O(collisions) plus a pair-wise "
+    "array op.",
+)
+def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    sig = D.minhash_signatures(docs, "text", "doc_id")
+    cand = D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+    sh = docs.select(
+        "doc_id", D.shingle_array(docs, "text").alias("arr")
+    ).localCheckpoint(eager=True)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("arr").alias("arr_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = inter * 1.0 / (
+        F.size("arr_a") + F.size("arr_b") - inter
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", round4(jac).alias("jaccard"))
+        .where(round4(jac) >= 0.2)
+        .orderBy("id_a", "id_b")
+    )

@@ -537,3 +537,89 @@ def tokenize_corpus_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Explainable filtering thresholds (on round4-ed ratios, repo convention)
+QF_MIN_TOKENS = 10
+QF_MIN_ALPHA = 0.55
+QF_MAX_DIGIT = 0.2
+QF_MAX_PUNCT = 0.2
+QF_MIN_DISTINCT = 0.4
+
+
+@query(
+    "quality_filter_reasons",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+        len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+        (FLOOR((length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              / GREATEST(length(text), 1)) * 10000.0 + 0.5 + 0.000001)
+         / 10000.0) AS alpha_ratio,
+        (FLOOR((length(regexp_replace(text, '[^0-9]', '', 'g'))
+              / GREATEST(length(text), 1)) * 10000.0 + 0.5 + 0.000001)
+         / 10000.0) AS digit_ratio,
+        (FLOOR((length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+              / GREATEST(length(text), 1)) * 10000.0 + 0.5 + 0.000001)
+         / 10000.0) AS punct_ratio,
+        (FLOOR((len(list_distinct(string_split_regex(trim(text), '\\s+')))
+              * 1.0 / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1))
+              * 10000.0 + 0.5 + 0.000001) / 10000.0) AS distinct_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+      concat_ws(',',
+        CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short' END,
+        CASE WHEN alpha_ratio < {QF_MIN_ALPHA} THEN 'low_alpha' END,
+        CASE WHEN digit_ratio > {QF_MAX_DIGIT} THEN 'digit_heavy' END,
+        CASE WHEN punct_ratio > {QF_MAX_PUNCT} THEN 'punct_heavy' END,
+        CASE WHEN distinct_ratio < {QF_MIN_DISTINCT} THEN 'repetitive' END
+      ) AS failed_rules,
+      CAST(n_tokens >= {QF_MIN_TOKENS} AND alpha_ratio >= {QF_MIN_ALPHA}
+           AND digit_ratio <= {QF_MAX_DIGIT} AND punct_ratio <= {QF_MAX_PUNCT}
+           AND distinct_ratio >= {QF_MIN_DISTINCT} AS INT) AS keep
+    FROM feats
+    ORDER BY doc_id
+    """,
+    description="C11: explainable quality filtering — every document gets "
+    "a pass/drop decision PLUS the ordered list of rules it failed "
+    "(too_short / low_alpha / digit_heavy / punct_heavy / repetitive). "
+    "The reasons column is what makes a corpus filter auditable: drop "
+    "rates per rule, not just a survivor count. Pure projection; "
+    "thresholds compare round4-ed ratios so boundary rows agree across "
+    "engines.",
+)
+def quality_filter_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    n_chars = F.greatest(F.length(txt), F.lit(1))
+    toks = F.split(F.trim(txt), r"\s+")
+    n_tokens = F.size(toks)
+    alpha = round4(
+        F.length(F.regexp_replace(txt, "[^a-zA-Z]", "")) / n_chars
+    )
+    digit = round4(F.length(F.regexp_replace(txt, "[^0-9]", "")) / n_chars)
+    punct = round4(
+        F.length(F.regexp_replace(txt, "[^.,;:!?]", "")) / n_chars
+    )
+    distinct_r = round4(
+        F.size(F.array_distinct(toks)) * 1.0 / F.greatest(n_tokens, F.lit(1))
+    )
+    rules = [
+        (n_tokens < QF_MIN_TOKENS, "too_short"),
+        (alpha < QF_MIN_ALPHA, "low_alpha"),
+        (digit > QF_MAX_DIGIT, "digit_heavy"),
+        (punct > QF_MAX_PUNCT, "punct_heavy"),
+        (distinct_r < QF_MIN_DISTINCT, "repetitive"),
+    ]
+    failed = F.concat_ws(
+        ",", *[F.when(cond, name) for cond, name in rules]
+    )
+    keep = ~rules[0][0]
+    for cond, _ in rules[1:]:
+        keep = keep & ~cond
+    return docs.select(
+        "doc_id",
+        failed.alias("failed_rules"),
+        keep.cast("int").alias("keep"),
+    ).orderBy("doc_id")

@@ -439,3 +439,56 @@ def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_ms")
     )
+
+
+@query(
+    "dau_wau_rolling",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(epoch_us(CAST(d.day AS TIMESTAMP)) // 1000 AS BIGINT) AS day_ms,
+           CAST((SELECT COUNT(*) FROM du WHERE du.day = d.day) AS BIGINT)
+             AS dau,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    ORDER BY day_ms
+    """,
+    description="C12/engagement: DAU + trailing-7-day WAU per day. Exact "
+    "rolling distinct counts don't fit a window frame, so the classic "
+    "two-level shape: reduce the stream to the distinct (day, user) "
+    "table FIRST (shuffle ∝ active users/day, not events), then a 7-wide "
+    "day-range join against the day spine + countDistinct. The fan-out "
+    "is exactly 7x the reduced table regardless of event volume.",
+)
+def dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            F.col("u.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            epoch_ms(F.col("day").cast("timestamp")).alias("day_ms"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+        .orderBy("day_ms")
+    )

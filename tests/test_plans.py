@@ -91,3 +91,56 @@ def test_mixture_rate_table_broadcasts(spark, sf_dir):
     plan = _executed_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_multiprobe_probe_list_broadcasts(spark, sf_dir):
+    """Multi-probe ANN: the probe list (planes+1 rows) is the broadcast
+    side; the corpus is never shuffled for the probe join, and top-k
+    avoids a global sort."""
+    df = registry.REGISTRY["ann_lsh_multiprobe_topk"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_assignment_is_broadcast_with_partial_argmin(spark, sf_dir):
+    """kmeans_cells: every assignment joins the corpus against a
+    BROADCAST of k centroid vectors, and the argmin runs as a partial
+    (map-side) min — never a corpus self-join, never a window over the
+    n*k expansion."""
+    df = registry.REGISTRY["ivf_kmeans_cells"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_joins_stay_hashed(spark, sf_dir):
+    """Incremental dedup: exact and near checks are semi-joins (digest /
+    band key); nothing sorts the corpus and no Python stage appears."""
+    df = registry.REGISTRY["dedup_incremental_new_batch"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tokenize_vocab_broadcasts(spark, sf_dir):
+    """tokenize_corpus_to_ids: the 1000-row vocab is the broadcast side of
+    the id-assignment join — the exploded corpus side is never shuffled
+    for it."""
+    df = registry.REGISTRY["tokenize_corpus_to_ids"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_signatures_have_no_shuffle(spark, sf_dir):
+    """The HOF signature path is a pure projection: zero Exchange nodes
+    between the parquet scan and the signature output."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = D.minhash_signatures(docs, "text", "doc_id")
+    plan = _executed_plan(sig)
+    assert "Exchange" not in plan
