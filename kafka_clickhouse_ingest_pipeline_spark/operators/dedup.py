@@ -223,6 +223,66 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """Hamming-radius near-dup pairs over SimHash fingerprints — never
+    all-pairs.
+
+    Pigeonhole blocking: the ``bits``-wide fingerprint splits into
+    ``max_hamming + 1`` bands; a pair within Hamming distance ≤
+    max_hamming differs in at most max_hamming bands, so it MUST agree
+    exactly on at least one band. Candidates therefore come from an
+    equi-self-join on (band, band_bits) — the same sub-linear shape as
+    MinHash banding — and ``bit_count(xor)`` verifies the exact distance
+    on candidates only. Output: (id_a, id_b, hamming), ham ≤ max_hamming.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(fp_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_bits"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = fp.select(F.col(id_col), F.explode(bands_arr).alias("bk")).select(
+        id_col, "bk.band", "bk.band_bits"
+    )
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_bits") == F.col("r.band_bits"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -775,3 +775,156 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(round4(jac) >= 0.2)
         .orderBy("id_a", "id_b")
     )
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_planted_sql() -> str:
+    """SimHash fingerprints over the planted corpus (DuckDB twin)."""
+    h = "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i:02d}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{i:02d} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        for i in range(60)
+    )
+    return f"""
+    SELECT doc_id, {fp} AS simhash FROM (
+      SELECT doc_id, {votes}
+      FROM (
+        SELECT doc_id, {h} AS h FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM ({_PLANTED_SQL})
+        ) WHERE length(tok) > 0
+      )
+      GROUP BY doc_id
+    )
+    """
+
+
+def _simhash_hamming_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    n_bands = max_hamming + 1
+    width = 60 // n_bands
+    mask = (1 << width) - 1
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * width}) & {mask} "
+        f"AS band_bits FROM fp"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH fp AS ({_simhash_planted_sql()}),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_bits = r.band_bits
+       AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM cand c
+    JOIN fp a ON a.doc_id = c.id_a
+    JOIN fp b ON b.doc_id = c.id_b
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY c.id_a, c.id_b
+    """
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    oracle=_simhash_hamming_sql(),
+    description="C9: SimHash Hamming-radius search WITHOUT all-pairs — "
+    "pigeonhole banding (radius 3 -> 4 bands of 15 bits; a pair within "
+    "distance 3 must agree on >=1 band) generates candidates via an "
+    "equi-self-join, then bit_count(xor) verifies exactly. The same "
+    "sub-linear shape as MinHash banding, completing the SimHash ladder "
+    "from fingerprint to pairs.",
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    # fingerprint frame fans out (bands + both verify sides): materialize
+    fp = D.simhash(docs, "text", "doc_id").localCheckpoint(eager=True)
+    return D.simhash_hamming_pairs(
+        fp, "doc_id", max_hamming=SIMHASH_MAX_HAMMING
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_lsh_quality_eval",
+    oracle=f"""
+    WITH base AS ({_PLANTED_SQL}),
+    sig AS ({_sig_sql("SELECT * FROM base")}),
+    bands AS (
+      {_band_keys_sql("sig")}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    sh0 AS ({_SHINGLES_SQL.format(base="SELECT * FROM base")}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh0 GROUP BY doc_id),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING (FLOOR((COUNT(*) * 1.0 / (
+                (SELECT sz FROM sizes WHERE doc_id = a.doc_id)
+              + (SELECT sz FROM sizes WHERE doc_id = b.doc_id) - COUNT(*)))
+              * 10000.0 + 0.5 + 0.000001) / 10000.0) >= 0.5
+    ),
+    tp AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM tp) AS BIGINT) AS n_tp,
+           (FLOOR(((SELECT COUNT(*) FROM tp) * 1.0
+                   / GREATEST((SELECT COUNT(*) FROM cand), 1))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS precision_,
+           (FLOOR(((SELECT COUNT(*) FROM tp) * 1.0
+                   / GREATEST((SELECT COUNT(*) FROM truth), 1))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS recall_
+    """,
+    description="C9 evaluation: LSH banding quality measured against exact "
+    "ground truth — candidates vs the true Jaccard>=0.5 pair set gives "
+    "(n_candidates, n_true, n_tp, precision, recall): the dashboard that "
+    "decides band/row tuning before a 100 TB run. Ground truth uses the "
+    "inverted-index join (affordable at eval scale, run on a sample in "
+    "production).",
+)
+def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    sig = D.minhash_signatures(docs, "text", "doc_id")
+    cand = (
+        D.lsh_candidate_pairs(sig, "doc_id")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_df=None)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    tp = cand.intersect(truth)
+    # three single-row aggregates crossJoined broadcast — no driver-side
+    # counts, same pattern as the other scalar-summary queries
+    out = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_true"))))
+        .crossJoin(F.broadcast(tp.agg(F.count(F.lit(1)).alias("n_tp"))))
+    )
+    return out.select(
+        "n_candidates",
+        "n_true",
+        "n_tp",
+        round4(F.col("n_tp") * 1.0 / F.greatest(F.col("n_candidates"), F.lit(1))).alias(
+            "precision_"
+        ),
+        round4(F.col("n_tp") * 1.0 / F.greatest(F.col("n_true"), F.lit(1))).alias(
+            "recall_"
+        ),
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60_sql
+from ..functions.rounding import round4
 from ..operators import sampling as SMP
 from ..registry import query
 from ..tables import load_table
@@ -212,4 +213,109 @@ def sample_docs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_kept"),
         )
         .orderBy("source")
+    )
+
+
+MIX_TEMP_ALPHA = 0.7
+MIX_TEMP_BUDGET = 0.5
+MIX_TEMP_SALT = "mixT"
+
+
+@query(
+    "mix_temperature_by_lang",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS lang_chars
+      FROM documents GROUP BY lang
+    ),
+    pw AS (
+      SELECT lang, lang_chars,
+             (FLOOR(pow(lang_chars / (SELECT SUM(lang_chars) FROM lt),
+                        {MIX_TEMP_ALPHA}) * 10000.0 + 0.5 + 0.000001)
+              / 10000.0) AS pw
+      FROM lt
+    ),
+    run AS (
+      SELECT lang, lang_chars, pw,
+             SUM(pw) OVER (ORDER BY lang
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS r
+      FROM pw
+    ),
+    rates AS (
+      SELECT lang, lang_chars,
+             CAST(LEAST(10000.0, FLOOR(
+               (pw / (SELECT MAX(r) FROM run)) * {MIX_TEMP_BUDGET}
+               * (SELECT SUM(lang_chars) FROM lt) / lang_chars * 10000.0
+             )) AS BIGINT) AS rate_bp
+      FROM run
+    )
+    SELECT d.lang, r.rate_bp,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {SMP.sample_bucket_sql("d.doc_id", MIX_TEMP_SALT)} < r.rate_bp
+    GROUP BY d.lang, r.rate_bp
+    ORDER BY d.lang
+    """,
+    description="Data mixture via TEMPERATURE reweighting — target weight "
+    f"∝ (language char share)^α with α={MIX_TEMP_ALPHA} (the standard "
+    "multilingual upsampling: flattens the head, lifts the tail) over a "
+    "50%-of-corpus budget. Normalization uses an ORDERED running-sum "
+    "fold (window by lang) so the 5-double sum is the same fold on both "
+    "engines; pow outputs round to 4dp before any threshold. Keep "
+    "decisions stay a pure salted-hash filter — reproducible and "
+    "append-stable.",
+)
+def mix_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lt = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("double").alias("lang_chars")
+    )
+    total = lt.agg(F.sum("lang_chars").alias("total_chars"))
+    pw = (
+        lt.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "lang_chars",
+            "total_chars",
+            round4(
+                F.pow(F.col("lang_chars") / F.col("total_chars"), MIX_TEMP_ALPHA)
+            ).alias("pw"),
+        )
+    )
+    w_run = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    run = pw.withColumn("r", F.sum("pw").over(w_run))
+    denom = run.agg(F.max("r").alias("denom"))
+    rates = (
+        run.crossJoin(F.broadcast(denom))
+        .select(
+            "lang",
+            F.least(
+                F.lit(10000.0),
+                F.floor(
+                    (F.col("pw") / F.col("denom"))
+                    * F.lit(MIX_TEMP_BUDGET)
+                    * F.col("total_chars")
+                    / F.col("lang_chars")
+                    * F.lit(10000.0)
+                ).cast("double"),
+            )
+            .cast("long")
+            .alias("rate_bp"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(
+            SMP.sample_bucket(F.col("doc_id"), MIX_TEMP_SALT) < F.col("rate_bp")
+        )
+        .groupBy("lang", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+        .orderBy("lang")
     )
