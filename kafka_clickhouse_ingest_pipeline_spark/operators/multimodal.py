@@ -109,6 +109,44 @@ def _pil_decode(payload: bytes | None) -> np.ndarray:
     return vec / n if n else vec
 
 
+def _wav_decode(payload: bytes | None) -> np.ndarray:
+    """Real audio decode: WAV via the stdlib `wave` module — PCM needs no
+    external codec, so unlike image/video this path is ALWAYS real.
+
+    Feature = FEATURE_DIM RMS-energy bins over the sample stream (a
+    crude envelope), unit-normed; undecodable payloads yield the zero
+    vector (drop-don't-fail, same contract as the other kernels).
+    """
+    import io
+    import wave
+
+    if payload is None:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            raw = w.readframes(w.getnframes())
+        samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+    except Exception:  # noqa: BLE001 — any codec failure = undecodable
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    if samples.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    bins = np.array_split(samples, FEATURE_DIM)
+    vec = np.array(
+        [np.sqrt((b * b).mean()) if b.size else 0.0 for b in bins],
+        dtype=np.float64,
+    ).astype(np.float32)
+    n = float(np.linalg.norm(vec))
+    return vec / n if n else vec
+
+
+def decode_audio(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
+    """Audio decode kernel. The real path (stdlib WAV) always exists;
+    ``fake=True`` forces the deterministic digest stand-in."""
+    if fake:
+        return _fake_decode(payload)
+    return _wav_decode(payload)
+
+
 def decode_image(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
     """Image decode kernel with codec auto-detection.
 
@@ -149,10 +187,18 @@ def extract_features(
     carried = [media.schema[c] for c in carry]
     out_schema = StructType(list(DECODED_SCHEMA.fields) + carried)
 
+    def decode_one(kind: str, payload) -> np.ndarray:
+        # kind-aware dispatch on the auto/real path; fake=True keeps every
+        # kind on the digest stand-in (the reproducible-oracle mode)
+        if not fake and kind == "audio":
+            return decode_audio(payload, fake=fake)
+        return decode_image(payload, fake=fake)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                decode_image(p, fake=fake).tolist() for p in pdf["payload"]
+                decode_one(k, p).tolist()
+                for k, p in zip(pdf["kind"], pdf["payload"])
             ]
             out = {
                 "media_id": pdf["media_id"],
@@ -193,13 +239,37 @@ def frame_sample_plan(
     )
 
 
+def make_wav(freq_hz: float, n_samples: int = 800, rate: int = 8000) -> bytes:
+    """Deterministic mono 16-bit PCM WAV (stdlib only) — a real audio
+    payload for the real decode path."""
+    import io
+    import math
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for t in range(n_samples):
+            v = int(20000 * math.sin(2 * math.pi * freq_hz * t / rate))
+            frames += int(v).to_bytes(2, "little", signed=True)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
 def make_fake_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests (binary payloads)."""
+    """Deterministic synthetic media table for tests (binary payloads;
+    audio rows carry REAL WAV bytes so the stdlib decode path runs)."""
     rows: list[tuple[Any, ...]] = []
     kinds = ("image", "audio", "video")
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(str(i).encode()).digest() * (i % 7 + 1)
+        if kind == "audio":
+            payload = make_wav(200.0 + 13.0 * i)
+        else:
+            payload = hashlib.sha256(str(i).encode()).digest() * (i % 7 + 1)
         rows.append(
             (
                 f"m{i:04d}",

@@ -49,6 +49,33 @@ def test_decode_auto_path_available_in_any_environment():
         assert not (vec == M.decode_image(b"other-bytes")).all()
 
 
+def test_audio_decode_is_real_wav_path(spark, media):
+    """Audio rows carry real PCM WAV; the stdlib wave decode produces
+    energy features — deterministic, content-keyed, and distinct from
+    the digest stub."""
+    import numpy as np
+
+    w1 = M.make_wav(220.0)
+    w2 = M.make_wav(880.0)
+    a1 = M.decode_audio(w1)
+    assert len(a1) == M.FEATURE_DIM
+    assert float(np.abs(a1).sum()) > 0  # decoded, not zero vector
+    assert (a1 == M.decode_audio(w1)).all()  # deterministic
+    assert not (a1 == M.decode_audio(w2)).all()  # content-keyed
+    assert (M.decode_audio(b"not a wav") == 0).all()  # drop-don't-fail
+    # kind-aware kernel: the auto path decodes audio for real
+    feats = {
+        r.media_id: r.feature
+        for r in M.extract_features(media, fake=None).collect()
+    }
+    fake_feats = {
+        r.media_id: r.feature
+        for r in M.extract_features(media, fake=True).collect()
+    }
+    audio_ids = [r.media_id for r in media.where("kind = 'audio'").collect()]
+    assert any(feats[i] != fake_feats[i] for i in audio_ids)
+
+
 def test_extract_features_shape_and_schema(spark, media):
     out = M.extract_features(media, fake=True)
     assert out.schema == M.DECODED_SCHEMA
