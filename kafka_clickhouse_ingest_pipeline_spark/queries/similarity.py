@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60_sql
+from ..functions.rounding import round4
 from ..operators import similarity as S
 from ..registry import query
 from ..tables import load_table
@@ -444,3 +445,81 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
 def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_cells(emb, k=8, iters=2).orderBy("vec_id")
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bucketed AS (
+      SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM corpus
+    ),
+    q AS (
+      SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket
+      FROM bucketed WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    truth AS (
+      SELECT vec_id FROM corpus CROSS JOIN q
+      WHERE vec_id != q_id
+      ORDER BY (FLOOR(({_COS}) * 10000.0 + 0.5 + 0.000001) / 10000.0) DESC,
+               vec_id
+      LIMIT 10
+    ),
+    lsh AS (
+      SELECT vec_id FROM bucketed JOIN q ON bucket = q_bucket
+      WHERE vec_id != q_id
+      ORDER BY (FLOOR(({_COS}) * 10000.0 + 0.5 + 0.000001) / 10000.0) DESC,
+               vec_id
+      LIMIT 10
+    ),
+    multi AS (
+      SELECT vec_id FROM bucketed
+      JOIN (SELECT q_id, qv,
+                   unnest([{_PROBE_LIST}]) AS bucket FROM q) p USING (bucket)
+      WHERE vec_id != q_id
+      ORDER BY (FLOOR(({_COS}) * 10000.0 + 0.5 + 0.000001) / 10000.0) DESC,
+               vec_id
+      LIMIT 10
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM lsh JOIN truth USING (vec_id)) AS BIGINT)
+        AS lsh_hits,
+      CAST((SELECT COUNT(*) FROM multi JOIN truth USING (vec_id)) AS BIGINT)
+        AS multiprobe_hits,
+      (FLOOR(((SELECT COUNT(*) FROM lsh JOIN truth USING (vec_id)) / 10.0)
+             * 10000.0 + 0.5 + 0.000001) / 10000.0) AS lsh_recall,
+      (FLOOR(((SELECT COUNT(*) FROM multi JOIN truth USING (vec_id)) / 10.0)
+             * 10000.0 + 0.5 + 0.000001) / 10000.0) AS multiprobe_recall
+    """,
+    description="C10 evaluation: the ANN dashboard — recall@10 of "
+    "single-probe and multi-probe LSH against the exact brute-force "
+    "top-10 for the standard query vector. The number that decides "
+    "plane count / probe width before an index build; multi-probe "
+    "recall must dominate single-probe by construction (superset of "
+    "probed buckets).",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    truth = S.brute_force_topk(emb, q, k=10).select("vec_id")
+    lsh = S.bucketed_topk(emb, q, k=10).select("vec_id")
+    multi = S.multiprobe_topk(emb, q, k=10).select("vec_id")
+    lsh_hits = lsh.join(truth, "vec_id").agg(
+        F.count(F.lit(1)).alias("lsh_hits")
+    )
+    multi_hits = multi.join(truth, "vec_id").agg(
+        F.count(F.lit(1)).alias("multiprobe_hits")
+    )
+    return (
+        lsh_hits.crossJoin(F.broadcast(multi_hits))
+        .select(
+            "lsh_hits",
+            "multiprobe_hits",
+            round4(F.col("lsh_hits") / 10.0).alias("lsh_recall"),
+            round4(F.col("multiprobe_hits") / 10.0).alias("multiprobe_recall"),
+        )
+    )

@@ -76,3 +76,32 @@ def test_kmeans_cells_partition_quality(spark, sf_dir):
     one_cell = S.kmeans_cells(emb, k=1, iters=2)
     mean_one = sum(r.dist_sq for r in one_cell.collect()) / len(rows)
     assert mean_d < mean_one
+
+
+def test_kmeans_k_exceeding_corpus_does_not_crash(spark):
+    """k > n: seeds truncate to the corpus; every vector still gets one
+    cell and cells are a subset of range(n)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.kmeans_cells(emb, k=8, iters=1).collect()
+    assert len(out) == 3
+    assert {r.cell for r in out} <= {0, 1, 2}
+
+
+def test_simhash_hamming_pairs_empty_and_exact(spark):
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    fp = spark.createDataFrame(
+        [(1, 0b111000), (2, 0b111001), (3, 0b000111 << 40)],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_hamming_pairs(fp, "doc_id", max_hamming=3).collect()
+    }
+    # 1-2 differ in 1 bit -> pair; 3 is far from both -> no pair
+    assert got == {(1, 2): 1}
+    empty = spark.createDataFrame([], "doc_id long, simhash long")
+    assert D.simhash_hamming_pairs(empty, "doc_id").count() == 0
