@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round4
 from ..functions.temporal import epoch_ms
 from ..registry import query
 from ..tables import load_table
@@ -241,3 +242,60 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS curr_type FROM ordered
+      WHERE prev_type IS NOT NULL
+    )
+    SELECT prev_type, curr_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           (FLOOR((COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS p_transition
+    FROM pairs
+    GROUP BY prev_type, curr_type
+    ORDER BY prev_type, curr_type
+    """,
+    description="ClickHouse sequenceCount analog: the per-user event-type "
+    "transition matrix — adjacent (prev, curr) pair counts via one LAG "
+    "window inside each user's ordered stream, then row-normalized into "
+    "transition probabilities (the Markov view of user behavior). Window "
+    "partitions by user (bounded state), the aggregate is O(types²) "
+    "rows; at any event volume the shuffle after the window carries only "
+    "pair counts.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("curr_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "curr_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "curr_type",
+        "n_transitions",
+        round4(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(w_row)
+        ).alias("p_transition"),
+    ).orderBy("prev_type", "curr_type")

@@ -1948,3 +1948,59 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "url_functions_suite",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang || '/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2#top'
+               AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query_string,
+           regexp_extract(url, 'lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '^[a-z]+://[^/]+\\.([a-z]+)\\.[a-z]+', 1)
+             AS subdomain_tail
+    FROM u
+    ORDER BY doc_id
+    """,
+    description="C8: URL function family (ClickHouse protocol/domain/path/"
+    "queryString/extractURLParameter analogs) — Spark parse_url on a "
+    "deterministically synthesized url column; the oracle recomputes each "
+    "part with anchored regexps (identical character-class semantics in "
+    "Java and RE2-ish DuckDB). Pure projection, codegen'd.",
+)
+def url_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2#top"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_string"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(
+            "url", r"^[a-z]+://[^/]+\.([a-z]+)\.[a-z]+", 1
+        ).alias("subdomain_tail"),
+    ).orderBy("doc_id")
