@@ -47,3 +47,26 @@ def test_retention_bounded_by_cohort(spark, sf_dir):
     assert row.cohort >= row.retained_w3
     assert row.cohort >= row.retained_w4
     assert row.cohort > 0
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    """Per prev_type, transition probabilities sum to ~1 and counts match
+    the total number of adjacent pairs (n_events - n_users)."""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.behavior import (
+        event_transition_matrix,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    out = event_transition_matrix(spark, sf_dir)
+    rows = out.collect()
+    by_prev = {}
+    total = 0
+    for r in rows:
+        by_prev.setdefault(r.prev_type, 0.0)
+        by_prev[r.prev_type] += r.p_transition
+        total += r.n_transitions
+    assert all(abs(s - 1.0) < 0.01 for s in by_prev.values())
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
