@@ -2004,3 +2004,76 @@ def url_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "url", r"^[a-z]+://[^/]+\.([a-z]+)\.[a-z]+", 1
         ).alias("subdomain_tail"),
     ).orderBy("doc_id")
+
+
+@query(
+    "props_schema_drift_stats",
+    oracle="""
+    WITH kv AS (
+      SELECT event_id, k,
+             json_extract_string(props, '$.' || k) AS v
+      FROM (
+        SELECT event_id, props, unnest(json_keys(props)) AS k
+        FROM events WHERE json_valid(props)
+      )
+    )
+    SELECT k AS prop_key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (FLOOR((COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS coverage,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_values,
+           (FLOOR((SUM(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+                            THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS numeric_frac,
+           (FLOOR(MIN(TRY_CAST(v AS DOUBLE)) * 10000.0 + 0.5 + 0.000001)
+            / 10000.0) AS min_numeric,
+           (FLOOR(MAX(TRY_CAST(v AS DOUBLE)) * 10000.0 + 0.5 + 0.000001)
+            / 10000.0) AS max_numeric
+    FROM kv
+    GROUP BY k
+    ORDER BY prop_key
+    """,
+    description="A10 at scale: dynamic-payload schema telemetry — per "
+    "JSON key: event coverage, distinct values, numeric-parse rate, and "
+    "numeric range. The reference parses payloads as Map<String,Any> "
+    "(ClickHouseWriterService.kt:78-87) and warns against inferring sink "
+    "columns from data; this is the query an operator runs to DECIDE the "
+    "declared column list and catch producer schema drift. One map "
+    "explode + key-grain aggregation; shuffle ∝ |key space|.",
+)
+def props_schema_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("__total"))
+    kv = (
+        ev.where(F.try_parse_json("props").isNotNull())
+        .select(
+            "event_id",
+            F.explode(F.from_json("props", "map<string,string>")).alias(
+                "prop_key", "v"
+            ),
+        )
+    )
+    num = F.try_to_number(F.col("v"), F.lit("999999999.9999")).cast("double")
+    return (
+        kv.groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("v").alias("n_distinct_values"),
+            F.sum(F.when(num.isNotNull(), 1).otherwise(0)).alias("__n_num"),
+            round4(F.min(num)).alias("min_numeric"),
+            round4(F.max(num)).alias("max_numeric"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prop_key",
+            "n_events",
+            round4(F.col("n_events") * 1.0 / F.col("__total")).alias("coverage"),
+            "n_distinct_values",
+            round4(F.col("__n_num") * 1.0 / F.col("n_events")).alias(
+                "numeric_frac"
+            ),
+            "min_numeric",
+            "max_numeric",
+        )
+        .orderBy("prop_key")
+    )
