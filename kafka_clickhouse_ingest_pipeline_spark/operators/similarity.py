@@ -90,12 +90,15 @@ def lsh_bucket_sql(vec_expr: str) -> str:
     Flat signed-sum form, same left-assoc order as the Spark side. (A
     list-literal + list_reduce formulation re-materializes the plane
     literal per lambda step in DuckDB — ~100ms/row; the flat sum is
-    instant.)
+    instant.) Each term is COALESCE'd to 0.0 to mirror lsh_bucket's
+    null-safe `F.get`: DuckDB list indexing past the end yields NULL,
+    which would otherwise null the whole plane sum and force bit 0 —
+    diverging from Spark for vectors shorter than EMB_DIM.
     """
     terms = []
     for p, plane in enumerate(PLANES):
         signed = "0.0 " + " ".join(
-            f"{'+' if sign > 0 else '-'} {vec_expr}[{i + 1}]"
+            f"{'+' if sign > 0 else '-'} COALESCE({vec_expr}[{i + 1}], 0.0)"
             for i, sign in enumerate(plane)
         )
         terms.append(f"CASE WHEN ({signed}) > 0 THEN {2**p} ELSE 0 END")

@@ -43,6 +43,30 @@ def expired_partitions(
     return out
 
 
+def _recover_interrupted_swap(path: str, boundary_dir: str, cutoff_bucket: str) -> None:
+    """Heal a crash inside apply_ttl's rename window.
+
+    The rewrite sequence is: write ``_ttl_tmp_*`` → rename boundary →
+    ``_ttl_trash_*`` → rename tmp → boundary → rmtree trash. A crash
+    between the two renames leaves NO live boundary dir — the filtered
+    data sits complete in tmp and the old data in trash. Roll the swap
+    forward (tmp has the full post-TTL partition) when tmp exists, else
+    roll back from trash; finally drop whichever leftovers remain.
+    Idempotent: a healthy tree (live boundary, no siblings) is untouched.
+    """
+    tmp = os.path.join(path, f"_ttl_tmp_{cutoff_bucket}")
+    trash = os.path.join(path, f"_ttl_trash_{cutoff_bucket}")
+    if not os.path.isdir(boundary_dir):
+        if os.path.isdir(tmp):
+            os.rename(tmp, boundary_dir)  # roll forward: tmp is complete
+        elif os.path.isdir(trash):
+            os.rename(trash, boundary_dir)  # roll back: rewrite never landed
+    # Leftover siblings (crash after a completed swap, or stale trash
+    # alongside a healthy boundary) are junk either way.
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
 def apply_ttl(
     spark: SparkSession,
     path: str,
@@ -65,6 +89,7 @@ def apply_ttl(
         dropped += 1
 
     boundary_dir = os.path.join(path, f"{partition_col}={cutoff_bucket}")
+    _recover_interrupted_swap(path, boundary_dir, cutoff_bucket)
     boundary_rewritten = False
     if os.path.isdir(boundary_dir):
         # The boundary partition may hold either physical timestamp form
@@ -77,11 +102,11 @@ def apply_ttl(
         )
         # '_'-prefixed siblings are invisible to Spark partition discovery
         # (and to expired_partitions above), so a concurrent reader never
-        # sees the rewrite in flight, and a crash leaves at most one junk
-        # '_ttl_*' dir to garbage-collect — never a missing or
-        # double-counted partition under its real name. Order: write tmp
-        # outside the visible namespace, swap old out, swap new in, then
-        # delete. After a crash the next apply_ttl run clears leftovers.
+        # sees the rewrite in flight. Order: write tmp outside the visible
+        # namespace, swap old out, swap new in, then delete. A crash in
+        # the swap window leaves the boundary dir missing under its real
+        # name; _recover_interrupted_swap (run at entry) rolls the swap
+        # forward from tmp, or back from trash, before any new work.
         tmp = os.path.join(path, f"_ttl_tmp_{cutoff_bucket}")
         trash = os.path.join(path, f"_ttl_trash_{cutoff_bucket}")
         shutil.rmtree(tmp, ignore_errors=True)

@@ -2053,7 +2053,11 @@ def props_schema_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    num = F.try_to_number(F.col("v"), F.lit("999999999.9999")).cast("double")
+    # try_cast-to-double, NOT try_to_number with a format: the oracle's
+    # TRY_CAST(v AS DOUBLE) accepts signs, scientific notation, and wide
+    # integers that a fixed '999999999.9999' picture rejects — the two
+    # must agree on WHICH strings count as numeric, not just their value.
+    num = F.col("v").try_cast("double")
     return (
         kv.groupBy("prop_key")
         .agg(

@@ -41,9 +41,13 @@ class PipelineMetricsListener(StreamingQueryListener):
         self._log_path = log_path
 
     # -- listener callbacks -------------------------------------------------
+    # Spark hands back event.id as uuid.UUID in started/idle/terminated
+    # but progress.id stringifies differently — normalize every callback
+    # to str so a query has exactly one entry (counters and terminal
+    # status land on the same key).
     def onQueryStarted(self, event) -> None:
         with self._lock:
-            self._queries[event.id] = {
+            self._queries[str(event.id)] = {
                 "name": event.name,
                 "status": "running",
                 "batches": 0,
@@ -77,12 +81,12 @@ class PipelineMetricsListener(StreamingQueryListener):
 
     def onQueryIdle(self, event) -> None:
         with self._lock:
-            if event.id in self._queries:
-                self._queries[event.id]["status"] = "idle"
+            if str(event.id) in self._queries:
+                self._queries[str(event.id)]["status"] = "idle"
 
     def onQueryTerminated(self, event) -> None:
         with self._lock:
-            q = self._queries.setdefault(event.id, {})
+            q = self._queries.setdefault(str(event.id), {})
             q["status"] = "failed" if event.exception else "terminated"
             q["error"] = event.exception
 

@@ -82,3 +82,80 @@ def test_ttl_drops_old_partitions_and_rewrites_boundary(spark, sf_dir, tmp_path)
         str(r["yyyymmdd"]) for r in after.select("yyyymmdd").distinct().collect()
     }
     assert set(days[3:]).issubset(kept_days)
+
+
+def test_ttl_recovers_from_crash_between_renames(spark, sf_dir, tmp_path):
+    """A crash between `boundary → trash` and `tmp → boundary` leaves the
+    boundary partition missing under its real name. The next apply_ttl
+    run must roll the swap forward (tmp holds the complete post-TTL
+    data) — never leave rows stranded invisible in _ttl_trash_*."""
+    import os
+    import shutil
+
+    from kafka_clickhouse_ingest_pipeline_spark.plans.retention import apply_ttl
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "yyyymmdd", F.date_format("ts", "yyyyMMdd")
+    )
+    path = str(tmp_path / "events_crash")
+    ev.write.partitionBy("yyyymmdd").parquet(path)
+    days = sorted(
+        str(r["yyyymmdd"])
+        for r in spark.read.parquet(path).select("yyyymmdd").distinct().collect()
+    )
+    b = days[2]
+    cutoff = f"{b[:4]}-{b[4:6]}-{b[6:]} 12:00:00"
+    expected = (
+        spark.read.parquet(path)
+        .where(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        .count()
+    )
+
+    # Simulate the crash window: tmp fully written (here: a copy of the
+    # boundary — recovery refilters it anyway), boundary renamed to trash,
+    # second rename never happened.
+    boundary = os.path.join(path, f"yyyymmdd={b}")
+    shutil.copytree(boundary, os.path.join(path, f"_ttl_tmp_{b}"))
+    os.rename(boundary, os.path.join(path, f"_ttl_trash_{b}"))
+    assert not os.path.isdir(boundary)
+
+    dropped, rewrote = apply_ttl(spark, path, "ts", cutoff, b, "yyyymmdd")
+    assert rewrote
+    after = spark.read.parquet(path)
+    assert after.count() == expected
+    assert not [e for e in os.listdir(path) if e.startswith("_ttl_")]
+
+
+def test_ttl_rolls_back_when_tmp_missing(spark, sf_dir, tmp_path):
+    """Crash before the tmp write finished (tmp deleted by its own
+    cleanup) but after boundary → trash: recovery restores the original
+    boundary from trash so no data is lost; the rewrite then proceeds."""
+    import os
+
+    from kafka_clickhouse_ingest_pipeline_spark.plans.retention import apply_ttl
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "yyyymmdd", F.date_format("ts", "yyyyMMdd")
+    )
+    path = str(tmp_path / "events_rollback")
+    ev.write.partitionBy("yyyymmdd").parquet(path)
+    days = sorted(
+        str(r["yyyymmdd"])
+        for r in spark.read.parquet(path).select("yyyymmdd").distinct().collect()
+    )
+    b = days[2]
+    cutoff = f"{b[:4]}-{b[4:6]}-{b[6:]} 12:00:00"
+    expected = (
+        spark.read.parquet(path)
+        .where(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        .count()
+    )
+
+    boundary = os.path.join(path, f"yyyymmdd={b}")
+    os.rename(boundary, os.path.join(path, f"_ttl_trash_{b}"))
+
+    dropped, rewrote = apply_ttl(spark, path, "ts", cutoff, b, "yyyymmdd")
+    assert rewrote
+    after = spark.read.parquet(path)
+    assert after.count() == expected
+    assert not [e for e in os.listdir(path) if e.startswith("_ttl_")]

@@ -421,14 +421,23 @@ def test_metrics_listener_health_and_counters(spark, payload_dir, tmp_path):
         deadline = time.time() + 30
         while time.time() < deadline:
             snap = listener.snapshot()
-            if any(v.get("total_rows", 0) >= 4 for v in snap.values()):
+            if any(
+                v.get("total_rows", 0) >= 4 and v.get("status") != "running"
+                for v in snap.values()
+            ):
                 break
             time.sleep(0.5)
     finally:
         spark.streams.removeListener(listener)
 
     snap = listener.snapshot()
+    # One query ran → exactly ONE entry: started/progress/terminated all
+    # key on str(id), so counters and terminal status share a record
+    # (regression: UUID-vs-str keys used to split every query in two,
+    # doubling health() n_queries and stranding status at 'running').
+    assert len(snap) == 1
     [q_metrics] = [v for v in snap.values() if v.get("total_rows", 0) > 0]
+    assert q_metrics["status"] in ("terminated", "idle")
     assert q_metrics["batches"] >= 1
     # 4 source rows: 3 valid payloads + 1 malformed (counted at the
     # source, before the validity gate drops it)
