@@ -266,8 +266,14 @@ N_HOURS = 24
     normed AS (
       SELECT user_id, v,
              sqrt(list_reduce(list_transform(v, x -> x * x),
-                              (acc, x) -> acc + x)) AS nrm
+                              (acc, x) -> acc + x)) AS nrm,
+             list_transform(
+               v, x -> x - (list_reduce(v, (a, b) -> a + b)
+                            / {N_HOURS}.0)) AS vc
       FROM vec
+    ),
+    bucketed AS (
+      SELECT user_id, v, nrm, {{bucket}} AS bucket FROM normed
     ),
     pairs AS (
       SELECT a.user_id AS user_a, b.user_id AS user_b,
@@ -276,7 +282,10 @@ N_HOURS = 24
                                 i -> a.v[i] * b.v[i]),
                  (acc, x) -> acc + x) / (a.nrm * b.nrm))
                 * 10000.0 + 0.5 + 0.000001) / 10000.0) AS cosine
-      FROM normed a JOIN normed b ON a.user_id != b.user_id
+      FROM bucketed a JOIN bucketed b
+        ON a.user_id != b.user_id
+       AND (a.bucket = b.bucket
+            OR xor(a.bucket, b.bucket) IN (1, 2, 4, 8, 16, 32))
     )
     SELECT user_a, user_b, cosine
     FROM pairs
@@ -284,15 +293,18 @@ N_HOURS = 24
       PARTITION BY user_a ORDER BY cosine DESC, user_b
     ) <= 3
     ORDER BY user_a, cosine DESC, user_b
-    """,
+    """.replace("{bucket}", _bucket_sql("vc")),
     description="C10/C12: time-series similarity search — each user's "
     "hour-of-day activity profile (24-dim dense count vector built by "
     "conditional aggregation, no pivot shuffle) matched to their top-3 "
     "most-similar users by cosine. The profile reduction is the scale "
-    "step: |users| x 24 doubles regardless of event volume. The all-"
-    "pairs match is exact here (bounded user count); at 100 TB the "
-    "pairing step swaps in the LSH/IVF blocking of the C10 operators "
-    "unchanged, since profiles are just embeddings.",
+    "step: |users| x 24 doubles regardless of event volume; the pairing "
+    "is BLOCKED on the mean-centered random-hyperplane LSH bucket with "
+    "Hamming<=1 multi-probe (centering matters: raw count profiles all "
+    "sit in the positive orthant and collapse into ~3 buckets; centered "
+    "they spread over all 64). Candidates per user ~ 7/64 of users — "
+    "sub-quadratic, and the same bucket key is the shuffle/cluster key "
+    "at 100 TB. Oracle applies identical blocking.",
 )
 def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -316,6 +328,13 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     )
+    # Mean-centered copy for the LSH blocking key only (cosine still uses
+    # the raw profile). Count profiles are non-negative, so un-centered
+    # they crowd the positive orthant and ~60% share one hyperplane
+    # bucket; centering spreads them over all 2^N_PLANES buckets.
+    mean = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.lit(float(N_HOURS))
     normed = vec.select(
         "user_id",
         "v",
@@ -326,27 +345,40 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             )
         ).alias("nrm"),
+        F.transform(F.col("v"), lambda x: x - mean).alias("vc"),
     )
     # The profile table is tiny (|users| rows) but its lineage is the full
     # events aggregation; it feeds BOTH sides of the self-join, so
     # materialize it once (same rationale + measurement as the ngram
-    # inverted index in operators/dedup.py).
+    # inverted index in operators/dedup.py). Checkpointing BEFORE the
+    # bucket expression also stops Catalyst inlining the centering
+    # transform into each of lsh_bucket's ~384 element references.
     normed = normed.localCheckpoint(eager=True)
-    # The checkpointed profile table sits in ~1 partition; the nested-
-    # loop pair scan parallelizes over the STREAMED side's partitions, so
-    # spread it across the cluster before the join (measured 8.5s -> 3.0s
-    # at sf0.1 on local[32]).
-    a = normed.repartition(
+    bucketed = normed.withColumn("bucket", S.lsh_bucket(F.col("vc"))).drop("vc")
+    # Multi-probe Hamming<=1: probe the own bucket plus each one-bit
+    # neighbor. Pairing becomes a bucket EQUI-join (hash, not nested
+    # loop); at cluster scale the bucket is the shuffle key and the
+    # candidate set is ~(1+N_PLANES)/2^N_PLANES of the pair space.
+    probe_vals = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(S.N_PLANES)],
+    )
+    # The checkpointed profile table sits in ~1 partition; the pair scan
+    # parallelizes over the STREAMED side's partitions, so spread it
+    # across the cluster before the join.
+    a = bucketed.repartition(
         spark.sparkContext.defaultParallelism
     ).select(
         F.col("user_id").alias("user_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
+        F.explode(probe_vals).alias("pbucket"),
     )
-    b = normed.select(
+    b = bucketed.select(
         F.col("user_id").alias("user_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
+        "bucket",
     )
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
@@ -356,7 +388,11 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.rounding import round4
 
     pairs = (
-        a.join(F.broadcast(b), F.col("user_a") != F.col("user_b"))
+        a.join(
+            F.broadcast(b),
+            (F.col("pbucket") == F.col("bucket"))
+            & (F.col("user_a") != F.col("user_b")),
+        )
         .select(
             "user_a",
             "user_b",

@@ -144,3 +144,19 @@ def test_minhash_signatures_have_no_shuffle(spark, sf_dir):
     sig = D.minhash_signatures(docs, "text", "doc_id")
     plan = _executed_plan(sig)
     assert "Exchange" not in plan
+
+
+def test_user_activity_similarity_pairs_on_bucket_equijoin(spark, sf_dir):
+    """The profile pairing is BLOCKED on the LSH bucket: the physical
+    plan must contain a hash equi-join keyed on (pbucket, bucket) with
+    user_a != user_b only as a residual — never an unconditioned
+    nested-loop self-join over the profile table (the round-2 scale
+    killer)."""
+    df = registry.REGISTRY["user_activity_similarity"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # equi-join on the probe/bucket key, hash or sort-merge either way
+    import re
+
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[pbucket", plan)
