@@ -359,9 +359,13 @@ def embedding_near_dup_pairs(
     cardinality is tuned to the corpus (planes ≈ log2(n/target_bucket)) —
     within-block pairing stays ~O(n·bucket_size) instead of O(n²/k) on a
     constant-cardinality key. Pass `block_col` to block on a precomputed
-    assignment (e.g. an IVF cell id) instead. Dot products run on doubles
-    via JVM higher-order functions, sequential order, so results are
-    bit-identical across engines.
+    assignment (e.g. an IVF cell id) instead. The candidate-pair dot
+    product runs as an Arrow-batched pandas_udf that reproduces the
+    sequential left-fold order exactly (operators/udfs.seqdot_udf) —
+    bit-identical to the JVM higher-order `similarity.dot` and the
+    DuckDB list_reduce oracle, but one vectorized numpy pass per batch
+    instead of an interpreted ~190-node expression per pair (the
+    measured hot spot of the verify stage).
     """
     from .similarity import lsh_bucket
 
@@ -377,6 +381,13 @@ def embedding_near_dup_pairs(
             )
         ).alias("norm"),
     )
+    # The bucketed projection feeds BOTH join sides; without a
+    # materialization the interpreted bucket/norm expressions (the most
+    # expensive part of the index build) evaluate twice. On a cluster
+    # this step is "write the bucket index once" — locally,
+    # localCheckpoint (measured ~2x on the pair stage; same rationale as
+    # the ngram inverted index).
+    base = base.localCheckpoint(eager=True)
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col("blk").alias("blk_a"),
@@ -391,15 +402,15 @@ def embedding_near_dup_pairs(
     )
     cond = (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
     joined = a.join(b, cond)
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    from .udfs import seqdot_udf
+
+    cos = seqdot_udf(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        joined.select("id_a", "id_b", round4(cos).alias("cosine"))
+        # filter on the aliased column, not a re-derivation, so the UDF
+        # runs once per candidate pair
+        .where(F.col("cosine") >= threshold)
     )
-    cos = dot / (F.col("na") * F.col("nb"))
-    return joined.select(
-        "id_a", "id_b", round4(cos).alias("cosine")
-    ).where(round4(cos) >= threshold)
 
 
 def connected_components(

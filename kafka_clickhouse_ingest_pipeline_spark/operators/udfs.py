@@ -36,6 +36,48 @@ def l2_norm_udf(vecs: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(DoubleType())
+def seqdot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched dot product, BIT-IDENTICAL to the engine's fold-order dot.
+
+    The HOF reference (`operators.similarity.dot`) is a sequential left
+    fold: ((0.0 + x0*y0) + x1*y1) + ... — the portability contract every
+    oracle shares. np.dot/np.sum would break it (SIMD/pairwise summation
+    reassociates the adds, shifting ulps past the round4 boundary), so
+    this accumulates dim-by-dim — the SAME IEEE add sequence per pair —
+    while vectorizing over the Arrow batch axis. ~64 numpy ops per batch
+    instead of an interpreted 190-node expression per row (the measured
+    hot spot of the candidate-pair verify paths).
+
+    Rows where the two vectors differ in length (or are empty) return
+    NaN→null like the HOF's zip_with null propagation would; uniform-
+    width batches take the fast path.
+    """
+    import math
+
+    out = np.empty(len(a), dtype=np.float64)
+    la = a.map(len).to_numpy() if len(a) else np.array([], dtype=np.int64)
+    lb = b.map(len).to_numpy() if len(b) else np.array([], dtype=np.int64)
+    uniform = len(a) > 0 and la.min() == la.max() and (la == lb).all()
+    if uniform:
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        acc = np.zeros(len(a), dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc += A[:, i] * B[:, i]
+        out = acc
+    else:
+        for j, (va, vb) in enumerate(zip(a, b)):
+            if len(va) != len(vb):
+                out[j] = math.nan
+                continue
+            s = 0.0
+            for x, y in zip(va, vb):
+                s += float(x) * float(y)
+            out[j] = s
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
 def median_udf(values: pd.Series) -> float:
     """Grouped-aggregate pandas_udf: exact median (interpolated for even
     counts, matching ANSI PERCENTILE_CONT 0.5)."""

@@ -105,3 +105,46 @@ def test_simhash_hamming_pairs_empty_and_exact(spark):
     assert got == {(1, 2): 1}
     empty = spark.createDataFrame([], "doc_id long, simhash long")
     assert D.simhash_hamming_pairs(empty, "doc_id").count() == 0
+
+
+def test_seqdot_udf_bit_identical_to_hof_fold(spark, sf_dir):
+    """The Arrow-batched pair dot (seqdot_udf) must reproduce the HOF
+    sequential left fold BIT-FOR-BIT — it feeds round4-ed, hash-compared
+    oracle queries, so even one ulp of reassociation is a red gate."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import similarity as S
+    from kafka_clickhouse_ingest_pipeline_spark.operators.udfs import seqdot_udf
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    # pair every vector with its id+1 neighbor: realistic magnitudes,
+    # hundreds of pairs, no hand-made fixtures
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("ia"), F.col("v").alias("vb"))
+    pairs = a.join(b, "ia")
+    both = pairs.select(
+        "ia",
+        S.dot(F.col("va"), F.col("vb")).alias("hof"),
+        seqdot_udf(F.col("va"), F.col("vb")).alias("arrow"),
+    )
+    bad = both.where(~(F.col("hof") == F.col("arrow"))).count()
+    assert bad == 0
+    assert both.count() > 100
+
+
+def test_seqdot_udf_ragged_lengths_yield_null(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators.udfs import seqdot_udf
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0]), ([1.0, 2.0, 3.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(seqdot_udf("a", "b").alias("d")).collect()
+    vals = sorted((r["d"] is None or r["d"] != r["d"], r["d"]) for r in rows)
+    assert vals[0][1] == 11.0
+    assert vals[1][0]  # ragged pair -> null/NaN
