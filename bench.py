@@ -59,6 +59,7 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "argmax_last_event",
     "multimodal_media_features",
+    "multimodal_bmp_pixel_features",
     "text_repetition_scores",
     "pack_token_bins",
     "dedup_substring_spans",

@@ -1,12 +1,12 @@
 """Multimodal column plumbing (tier C): image/audio/video as opaque binary
 columns with typed metadata, processed through Arrow-batched Pandas UDFs.
 
-The decode kernel auto-detects its codec: with PIL importable it decodes
-for real (grayscale thumbnail feature); otherwise a deterministic fake
-decoder (seeded from the payload digest) stands in — this container ships
-no codec libraries, so the stand-in is the active path here, clearly
-marked. Everything around the kernel — schema, batch iteration, partition
-sizing, UDF signatures — is real and tested either way.
+Decode kernels are REAL in this codec-less container for two formats:
+WAV audio (stdlib `wave`) and uncompressed 24-bit BMP images (stdlib
+byte parsing — header, stride padding, bottom-up rows). Other image
+formats use PIL when importable, else a deterministic digest stand-in,
+clearly marked. Everything around the kernels — schema, batch
+iteration, partition sizing, UDF signatures — is identical either way.
 
 Design for 100 TB of media:
 - media stays a `binary` column next to its metadata struct; no
@@ -109,6 +109,110 @@ def _pil_decode(payload: bytes | None) -> np.ndarray:
     return vec / n if n else vec
 
 
+def _is_bmp(payload: bytes | None) -> bool:
+    return payload is not None and len(payload) >= 2 and bytes(payload[:2]) == b"BM"
+
+
+def _bmp_decode(payload: bytes | None) -> np.ndarray:
+    """Real image decode with ZERO dependencies: uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB) via stdlib byte slicing — the image twin
+    of the stdlib WAV path, so the image kernel is real in codec-less
+    environments too.
+
+    Parses the actual format: pixel-array offset from the file header,
+    signed height (negative = top-down rows), 4-byte row stride padding.
+    Feature = 4×4 area-style block means of the channel-mean grayscale
+    (bucket x*4//w — uneven buckets for non-multiple-of-4 sides), /255,
+    then unit-normed with a SEQUENTIAL square fold so the result is
+    bit-reproducible against a SQL oracle doing the same arithmetic.
+    Undecodable/unsupported payloads yield the zero vector
+    (drop-don't-fail, same contract as the other kernels).
+    """
+    import math
+
+    zeros = np.zeros(FEATURE_DIM, dtype=np.float64)
+    try:
+        if payload is None or len(payload) < 54:
+            return zeros
+        data = bytes(payload)
+        if data[:2] != b"BM":
+            return zeros
+        off = int.from_bytes(data[10:14], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        side = int(FEATURE_DIM**0.5)
+        if bpp != 24 or comp != 0 or w < side or h == 0 or abs(h) < side:
+            return zeros
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        if off + stride * h > len(data):
+            return zeros
+        px = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        rows = px[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]  # BMP stores rows bottom-up by default
+        # channel sums are exact small ints, so /3.0 is one well-defined
+        # rounding; equal-channel (gray) fixtures stay exact integers
+        gray = rows.astype(np.int64).sum(axis=2) / 3.0
+        ys = (np.arange(h) * side) // h
+        xs = (np.arange(w) * side) // w
+        v = np.empty(FEATURE_DIM, dtype=np.float64)
+        for by in range(side):
+            rsel = gray[ys == by]
+            for bx in range(side):
+                blk = rsel[:, xs == bx]
+                v[by * side + bx] = blk.sum() / blk.size
+        v = v / 255.0
+        acc = 0.0  # sequential fold — matches list_reduce oracle order
+        for x in v:
+            acc += float(x) * float(x)
+        n = math.sqrt(acc)
+        return v / n if n else v
+    except Exception:  # noqa: BLE001 — any parse failure = undecodable
+        return zeros
+
+
+def make_bmp(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (stdlib only) — real image payloads for the real decode path,
+    exactly like make_wav for audio. Writes the canonical bottom-up row
+    order with 4-byte stride padding so the parser's hard parts are
+    exercised, and stores channels in BMP's on-disk BGR order."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (int(c) for c in pixels[y, x])
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        body += row
+    off = 14 + 40
+    size = off + len(body)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return bytes(header) + bytes(body)
+
+
 def _wav_decode(payload: bytes | None) -> np.ndarray:
     """Real audio decode: WAV via the stdlib `wave` module — PCM needs no
     external codec, so unlike image/video this path is ALWAYS real.
@@ -148,27 +252,33 @@ def decode_audio(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
 
 
 def decode_image(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
-    """Image decode kernel with codec auto-detection.
+    """Image decode kernel. Dispatch, most-reproducible-first:
 
-    - ``fake=None`` (auto): real PIL decode when the library is importable,
-      else the deterministic stand-in (this container ships no codecs).
-    - ``fake=True``: always the stand-in (reproducible tests/oracles).
-    - ``fake=False``: require the real codec; raises where unavailable.
+    - BMP-magic payloads ALWAYS take the stdlib parser (`_bmp_decode`):
+      it is real pixel decode with zero dependencies and engine-pinned
+      arithmetic, so results never depend on which codec lib is
+      installed (PIL's resampling would give different floats).
+    - other formats: PIL when importable, else the deterministic digest
+      stand-in (``fake=None`` auto) or NotImplementedError
+      (``fake=False`` demands a real codec).
+    - ``fake=True``: always the stand-in (reproducible digest oracles).
 
-    Either path honors the same contract: bytes in, fixed-width unit-norm
-    float32 vector out (undecodable → zero vector on the real path).
+    Every path honors the same contract: bytes in, fixed-width unit-norm
+    float vector out (undecodable → zero vector on the real paths).
     """
-    if fake is None:
-        fake = not HAVE_PIL
-    if not fake:
-        if not HAVE_PIL:
-            raise NotImplementedError(
-                "image codecs not available in this environment; pass "
-                "fake=True (or fake=None for auto-fallback) for the "
-                "deterministic stand-in"
-            )
+    if fake:
+        return _fake_decode(payload)
+    if _is_bmp(payload):
+        return _bmp_decode(payload)
+    if HAVE_PIL:
         return _pil_decode(payload)
-    return _fake_decode(payload)
+    if fake is None:
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        "no image codec for this payload in this environment: only "
+        "uncompressed 24-bit BMP decodes without PIL; pass fake=True "
+        "(or fake=None for auto-fallback) for the deterministic stand-in"
+    )
 
 
 def extract_features(
@@ -261,13 +371,18 @@ def make_wav(freq_hz: float, n_samples: int = 800, rate: int = 8000) -> bytes:
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests (binary payloads;
-    audio rows carry REAL WAV bytes so the stdlib decode path runs)."""
+    audio rows carry REAL WAV bytes and image rows REAL BMP bytes so the
+    stdlib decode paths run end-to-end)."""
     rows: list[tuple[Any, ...]] = []
     kinds = ("image", "audio", "video")
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "audio":
             payload = make_wav(200.0 + 13.0 * i)
+        elif kind == "image":
+            yy, xx = np.mgrid[0:8, 0:6]
+            g = ((i * 37 + yy * 11 + xx * 5) % 256).astype(np.uint8)
+            payload = make_bmp(np.stack([g, g, g], axis=-1))
         else:
             payload = hashlib.sha256(str(i).encode()).digest() * (i % 7 + 1)
         rows.append(

@@ -87,6 +87,85 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_bmp_pixel_features",
+    oracle="""
+    WITH px AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id AS d
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id,
+        list_transform(range(16), k ->
+          (list_sum(list_transform(range(48), i ->
+             CASE WHEN ((i // 6) * 4 // 8) = (k // 4)
+                   AND ((i % 6) * 4 // 6) = (k % 4)
+                  THEN CAST((d * 37 + (i // 6) * 11 + (i % 6) * 5) % 256
+                            AS DOUBLE)
+                  ELSE 0.0 END))
+           / list_sum(list_transform(range(48), i ->
+             CASE WHEN ((i // 6) * 4 // 8) = (k // 4)
+                   AND ((i % 6) * 4 // 6) = (k % 4)
+                  THEN 1.0 ELSE 0.0 END)))
+          / 255.0
+        ) AS v
+      FROM px
+    ),
+    normed AS (
+      SELECT media_id, v,
+        sqrt(list_reduce(list_transform(v, x -> x * x),
+                         (a, b) -> a + b)) AS nrm
+      FROM blocks
+    )
+    SELECT media_id, CAST(k AS INT) AS dim,
+           (FLOOR((v[k + 1] / nrm) * 10000.0 + 0.5 + 0.000001)
+            / 10000.0) AS feat_val
+    FROM normed CROSS JOIN (SELECT unnest(range(16)) AS k) dims
+    ORDER BY media_id, dim
+    """,
+    description="Multimodal with REAL pixel decode, no codec libs: each "
+    "doc deterministically becomes an 8x6 24-bit BMP (gray gradient "
+    "seeded by doc_id, written by operators/multimodal.make_bmp with "
+    "bottom-up rows + stride padding), then the stdlib BMP parser "
+    "(_bmp_decode) recovers the pixels and emits the 4x4 block-mean "
+    "unit-normed feature. The oracle recomputes every feature component "
+    "in closed form from doc_id — so a green row proves the byte-level "
+    "encode/decode roundtrip AND the resize/normalize arithmetic, "
+    "value-hashed per dimension. Both stages are Arrow mapInPandas; "
+    "payload bytes never visit the driver.",
+)
+def multimodal_bmp_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                yy, xx = np.mgrid[0:8, 0:6]
+                g = ((int(d) * 37 + yy * 11 + xx * 5) % 256).astype(np.uint8)
+                payloads.append(M.make_bmp(np.stack([g, g, g], axis=-1)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "media_id string, payload binary")
+
+    def decode(batches):
+        for pdf in batches:
+            feats = [M.decode_image(p).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    feats = media.mapInPandas(decode, "media_id string, feature array<double>")
+    return (
+        feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
+        .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
+        .orderBy("media_id", "dim")
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH v AS (

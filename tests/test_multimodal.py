@@ -1,9 +1,10 @@
 """Multimodal plumbing tests: binary columns + Arrow-batched kernels.
 
-The decode kernel itself is stubbed (no codecs in this container —
-decode_image raises NotImplementedError without fake=True); what's under
-test is the engine-side contract: schema, mapInPandas batching, feature
-shape, determinism, and the frame-sampling plan."""
+Two decode kernels are REAL here with zero codec libs — stdlib WAV
+(audio) and stdlib uncompressed 24-bit BMP (image); other image formats
+fall back to PIL when importable else the digest stand-in. Under test:
+the byte-level parsers, dispatch order, and the engine-side contract
+(schema, mapInPandas batching, feature shape, determinism, frame plan)."""
 
 from __future__ import annotations
 
@@ -121,3 +122,85 @@ def test_frame_sample_plan_explodes_videos_only(spark, media):
     # plan stage is pure metadata: no python eval in the plan
     plan_str = plan._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan_str
+
+
+def test_bmp_decode_roundtrip_exact_pixels():
+    """make_bmp -> _bmp_decode recovers exactly the closed-form block
+    means: proves offset/stride/padding/bottom-up parsing on real
+    bytes (the image twin of the WAV test)."""
+    import math
+
+    import numpy as np
+
+    yy, xx = np.mgrid[0:8, 0:6]
+    g = ((7 * 37 + yy * 11 + xx * 5) % 256).astype(np.uint8)
+    feat = M._bmp_decode(M.make_bmp(np.stack([g, g, g], axis=-1)))
+
+    v = np.empty(16)
+    ys, xs = (np.arange(8) * 4) // 8, (np.arange(6) * 4) // 6
+    for by in range(4):
+        for bx in range(4):
+            blk = g[ys == by][:, xs == bx].astype(np.int64)
+            v[by * 4 + bx] = blk.sum() / blk.size
+    v = v / 255.0
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    assert all(a == b for a, b in zip(feat, v / math.sqrt(acc)))
+
+
+def test_bmp_decode_top_down_and_junk():
+    """Negative height = top-down row order; malformed/unsupported
+    payloads yield the zero vector, never an exception."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:8, 0:6]
+    g = ((yy * 31 + xx * 7) % 256).astype(np.uint8)
+    bmp = M.make_bmp(np.stack([g, g, g], axis=-1))
+    off, stride = 54, (6 * 3 + 3) // 4 * 4
+    body = bmp[off:]
+    rows = [body[i * stride : (i + 1) * stride] for i in range(8)]
+    neg = bytearray(bmp[:off]) + b"".join(reversed(rows))
+    neg[22:26] = (-8).to_bytes(4, "little", signed=True)
+    assert (M._bmp_decode(bytes(neg)) == M._bmp_decode(bmp)).all()
+
+    assert float(abs(M._bmp_decode(b"BM short")).sum()) == 0.0
+    assert float(abs(M._bmp_decode(b"\x89PNG" + b"\x00" * 60)).sum()) == 0.0
+    # truncated pixel array
+    assert float(abs(M._bmp_decode(bmp[: len(bmp) // 2])).sum()) == 0.0
+
+
+def test_bmp_dispatch_beats_stub_and_pil():
+    """BMP-magic payloads always take the stdlib parser — engine-pinned
+    values regardless of installed codec libs; fake=False no longer
+    raises for BMPs in a codec-less environment."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:8, 0:6]
+    g = ((yy * 3 + xx) % 256).astype(np.uint8)
+    bmp = M.make_bmp(np.stack([g, g, g], axis=-1))
+    auto = M.decode_image(bmp)
+    real = M.decode_image(bmp, fake=False)
+    assert (auto == real).all()
+    assert (real == M._bmp_decode(bmp)).all()
+    assert not (real == M._fake_decode(bmp)).all()
+
+
+def test_image_rows_in_fake_media_decode_for_real(spark, media):
+    """make_fake_media image payloads are genuine BMPs: the auto decode
+    path (fake=None) produces non-zero, non-stub features via
+    mapInPandas."""
+    from pyspark.sql import functions as F
+
+    feats = M.extract_features(media.where(F.col("kind") == "image"), fake=None)
+    rows = feats.collect()
+    assert rows and all(
+        abs(sum(x * x for x in r["feature"]) - 1.0) < 1e-5 for r in rows
+    )
+    stub = {
+        r["media_id"]: r["feature"]
+        for r in M.extract_features(
+            media.where(F.col("kind") == "image"), fake=True
+        ).collect()
+    }
+    assert all(list(r["feature"]) != list(stub[r["media_id"]]) for r in rows)
