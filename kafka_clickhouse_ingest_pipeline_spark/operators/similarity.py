@@ -301,20 +301,36 @@ def kmeans_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     salt: str = "km",
+    seeding: str = "hash",
+    reseed_empty: bool = True,
 ) -> DataFrame:
     """IVF train step done properly: k-means (Lloyd) cell assignment.
 
     `centroids`/`ivf_topk` accept any precomputed cell column; this
-    operator LEARNS the cells instead of borrowing a label: deterministic
-    hash-order seeding (the k smallest salted id hashes — a fixed, engine
-    -portable draw), then `iters` rounds of assign-to-nearest /
-    recompute-centroid. Every round is one broadcast of k centroid
-    vectors + one corpus scan (assign) and one posexplode groupBy
-    (update) — no corpus self-join anywhere, so a round is O(n·k·dim)
-    compute and O(n) shuffle at any scale. Centroid components round to
-    4 dp each round (portable across partial-agg orders); distances
-    compare rounded, ties break on cell id, so assignments are
-    bit-reproducible across engines.
+    operator LEARNS the cells instead of borrowing a label. Seeding is
+    deterministic and engine-portable either way:
+
+    - ``seeding="hash"``: the k smallest salted id hashes — a fixed
+      pseudo-random draw, one corpus pass.
+    - ``seeding="farthest"``: deterministic k-means++-style farthest-
+      first — seed 0 is the hash-order minimum, each next seed is the
+      point maximizing (rounded) distance to its nearest chosen seed,
+      ties on id. k-1 extra corpus passes, each a broadcast of <=k seed
+      vectors; the classic spread-the-seeds fix for hash draws that
+      land in one region.
+
+    Then `iters` rounds of assign-to-nearest / recompute-centroid.
+    Every round is one broadcast of k centroid vectors + one corpus
+    scan (assign) and one posexplode groupBy (update) — no corpus
+    self-join anywhere, so a round is O(n·k·dim) compute and O(n)
+    shuffle at any scale. With ``reseed_empty`` (default), a cell whose
+    membership empties during a round is re-seeded to the point
+    farthest from its assigned centroid (rank r empty cell takes the
+    rank r farthest point; rounded distances, id ties) — so the final
+    assignment covers k cells whenever the corpus has k distinct
+    points. Centroid components round to 4 dp each round (portable
+    across partial-agg orders); distances compare rounded, ties break
+    on cell id, so assignments are bit-reproducible across engines.
 
     Returns (id_col, cell, dist_sq) — the assignment under the final
     centroids; `dist_sq` is the round4-ed squared L2 to the chosen cell.
@@ -325,13 +341,39 @@ def kmeans_cells(
     corpus = emb.select(F.col(id_col), vec_d.alias("v"))
 
     h = hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    seeds = corpus.withColumn("__h", h).orderBy("__h", id_col).limit(k)
-    # k rows: a single-partition window is fine for numbering them
-    seed_w = Window.orderBy("__h", id_col)
-    cvec = seeds.select(
-        (F.row_number().over(seed_w) - 1).alias("cell"),
-        F.col("v").alias("cv"),
-    )
+    if seeding == "farthest":
+        first = (
+            corpus.withColumn("__h", h)
+            .orderBy("__h", id_col)
+            .limit(1)
+            .select(F.lit(0).alias("cell"), F.col(id_col), F.col("v"))
+        )
+        seeds = first
+        for s in range(1, k):
+            d = round4(_l2sq(F.col("v"), F.col("cv")))
+            far = (
+                corpus.crossJoin(
+                    F.broadcast(seeds.select(F.col("v").alias("cv")))
+                )
+                .groupBy(id_col)
+                .agg(F.min(d).alias("mind"), F.first("v").alias("v"))
+                .orderBy(F.col("mind").desc(), id_col)
+                .limit(1)
+                .select(F.lit(s).alias("cell"), F.col(id_col), F.col("v"))
+            )
+            # materialize the (<=k row) seed set each step: the next
+            # step broadcasts it, and without this the union lineage
+            # replays every earlier corpus pass — O(k^2) scans
+            seeds = seeds.unionByName(far).localCheckpoint(eager=True)
+        cvec = seeds.select("cell", F.col("v").alias("cv"))
+    else:
+        seeds = corpus.withColumn("__h", h).orderBy("__h", id_col).limit(k)
+        # k rows: a single-partition window is fine for numbering them
+        seed_w = Window.orderBy("__h", id_col)
+        cvec = seeds.select(
+            (F.row_number().over(seed_w) - 1).alias("cell"),
+            F.col("v").alias("cv"),
+        )
 
     def assign_nearest(cvec: DataFrame) -> DataFrame:
         # argmin as min(struct(dist, cell)): same (dist asc, cell asc)
@@ -354,6 +396,7 @@ def kmeans_cells(
             )
         )
 
+    spark = emb.sparkSession
     for _ in range(iters):
         assign = assign_nearest(cvec)
         cent = (
@@ -366,6 +409,27 @@ def kmeans_cells(
             .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
             .select("cell", F.transform("s", lambda st: st["c"]).alias("cv"))
         )
+        if reseed_empty:
+            # Cells that lost every member vanish from the centroid
+            # update; re-seed them from the farthest-assigned points.
+            # All frames here are <=k rows except `cand`, whose top-k is
+            # a TakeOrderedAndProject (per-partition heaps), never a
+            # global sort of the corpus.
+            all_cells = spark.range(k).select(
+                F.col("id").cast("int").alias("cell")
+            )
+            empty = all_cells.join(cvec.select("cell"), "cell", "left_anti")
+            e_w = Window.orderBy("cell")
+            empty_rn = empty.select(
+                "cell", F.row_number().over(e_w).alias("rn")
+            )
+            cand = assign.orderBy(F.col("dist_sq").desc(), id_col).limit(k)
+            c_w = Window.orderBy(F.col("dist_sq").desc(), id_col)
+            cand_rn = cand.select(
+                F.col("v").alias("cv"), F.row_number().over(c_w).alias("rn")
+            )
+            repl = empty_rn.join(cand_rn, "rn").select("cell", "cv")
+            cvec = cvec.unionByName(repl)
     # final assignment under the last centroids
     return assign_nearest(cvec).select(id_col, "cell", "dist_sq")
 

@@ -410,9 +410,16 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+def _kmeans_sql(
+    k: int = 8,
+    iters: int = 2,
+    seeding: str = "hash",
+    reseed: bool = True,
+) -> str:
     """Generate the DuckDB twin of operators.similarity.kmeans_cells:
-    identical seeding, identical round structure, identical rounding."""
+    identical seeding (hash draw or deterministic farthest-first),
+    identical round structure, identical empty-cell reseeding,
+    identical rounding."""
     seed_h = hash60_sql("'km' || CAST(vec_id AS VARCHAR)")
     dist = (
         "(FLOOR((list_reduce(list_transform(range(1, 65), "
@@ -424,22 +431,45 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     )""",
-        f"""cvec0 AS (
+    ]
+    if seeding == "farthest":
+        # MATERIALIZED: each seeds{s} is referenced twice by seeds{s+1}
+        # (union + distance subquery); left inline, DuckDB re-evaluates
+        # the whole chain per reference — 2^k blowup (measured 64s -> 1s)
+        parts.append(f"""seeds1 AS MATERIALIZED (
+      SELECT 0 AS cell, vec_id, v
+      FROM corpus ORDER BY {seed_h}, vec_id LIMIT 1
+    )""")
+        for s in range(1, k):
+            parts.append(f"""seeds{s + 1} AS MATERIALIZED (
+      SELECT * FROM seeds{s}
+      UNION ALL
+      SELECT {s} AS cell, vec_id, v FROM (
+        SELECT c.vec_id, c.v, MIN({dist}) AS mind
+        FROM corpus c
+        CROSS JOIN (SELECT v AS cv FROM seeds{s}) k
+        GROUP BY c.vec_id, c.v
+        ORDER BY mind DESC, vec_id LIMIT 1
+      )
+    )""")
+        parts.append(f"cvec0 AS (SELECT cell, v AS cv FROM seeds{k})")
+    else:
+        parts.append(f"""cvec0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY {seed_h}, vec_id) - 1 AS cell,
              v AS cv
       FROM corpus
       ORDER BY {seed_h}, vec_id
       LIMIT {k}
-    )""",
-    ]
+    )""")
+    prev = "cvec0"
     for t in range(iters):
         parts.append(f"""assign{t + 1} AS (
-      SELECT vec_id, cell, v FROM (
-        SELECT c.vec_id, k.cell, c.v,
+      SELECT vec_id, cell, v, dist_sq FROM (
+        SELECT c.vec_id, k.cell, c.v, {dist} AS dist_sq,
                ROW_NUMBER() OVER (
                  PARTITION BY c.vec_id ORDER BY {dist}, k.cell
                ) AS rn
-        FROM corpus c CROSS JOIN cvec{t} k
+        FROM corpus c CROSS JOIN {prev} k
       ) WHERE rn = 1
     )""")
         parts.append(f"""cent{t + 1} AS (
@@ -453,6 +483,28 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
             f"(SELECT cell, list(c ORDER BY dim) AS cv FROM cent{t + 1} "
             f"GROUP BY cell)"
         )
+        prev = f"cvec{t + 1}"
+        if reseed:
+            # rank-r empty cell takes the rank-r farthest point — same
+            # (dist_sq DESC, vec_id) candidate order as the Spark side
+            parts.append(f"""empty{t + 1} AS (
+      SELECT g.cell, ROW_NUMBER() OVER (ORDER BY g.cell) AS rn
+      FROM (SELECT unnest(range({k})) AS cell) g
+      LEFT JOIN cvec{t + 1} c ON c.cell = g.cell
+      WHERE c.cell IS NULL
+    )""")
+            parts.append(f"""cand{t + 1} AS (
+      SELECT v AS cv,
+             ROW_NUMBER() OVER (ORDER BY dist_sq DESC, vec_id) AS rn
+      FROM (SELECT * FROM assign{t + 1}
+            ORDER BY dist_sq DESC, vec_id LIMIT {k})
+    )""")
+            parts.append(
+                f"cvecm{t + 1} AS (SELECT * FROM cvec{t + 1} UNION ALL "
+                f"SELECT e.cell, c.cv FROM empty{t + 1} e "
+                f"JOIN cand{t + 1} c USING (rn))"
+            )
+            prev = f"cvecm{t + 1}"
     ctes = ",\n    ".join(parts)
     return f"""
     WITH {ctes}
@@ -461,7 +513,7 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
              ROW_NUMBER() OVER (
                PARTITION BY c.vec_id ORDER BY {dist}, k.cell
              ) AS rn
-      FROM corpus c CROSS JOIN cvec{iters} k
+      FROM corpus c CROSS JOIN {prev} k
     ) WHERE rn = 1
     ORDER BY vec_id
     """
@@ -481,6 +533,25 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
 def ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_cells(emb, k=8, iters=2).orderBy("vec_id")
+
+
+@query(
+    "ivf_kmeans_pp_cells",
+    oracle=_kmeans_sql(seeding="farthest"),
+    description="C10/IVF train, hardened seeding: deterministic "
+    "k-means++-style farthest-first — seed 0 is the hash-order minimum, "
+    "each next seed the point maximizing rounded distance to its "
+    "nearest chosen seed (id ties). k-1 extra corpus passes, each a "
+    "broadcast of <=k seed vectors, then the same Lloyd rounds with "
+    "empty-cell reseeding (rank-r empty cell takes the rank-r farthest "
+    "point). Oracle replicates seeding, rounds, and reseeding CTE-for-"
+    "stage, so assignments value-hash across engines.",
+)
+def ivf_kmeans_pp_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_cells(emb, k=8, iters=2, seeding="farthest").orderBy(
+        "vec_id"
+    )
 
 
 @query(
