@@ -288,24 +288,14 @@ def streaming_dedup(
     )
 
 
-def streaming_near_dedup(
-    docs: DataFrame,
-    text_col: str = "text",
-    ts_col: str = "ts",
-    watermark: str = "1 hour",
-    n: int = 3,
-) -> DataFrame:
-    """C9 × C12: streaming near-duplicate suppression with bounded state.
+def attach_minhash_sig(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> tuple[DataFrame, list[str]]:
+    """Project the 16-component MinHash signature as columns `__sig00..`.
 
-    The MinHash signature is a pure projection (operators/dedup.
-    minhash_signatures — array HOFs, zero shuffle), so it composes with
-    Structured Streaming directly: a document whose full 16-component
-    signature equals one seen within the watermark is dropped.
-    Signature equality is the strict rule (the est_jaccard = 1.0
-    candidates); band-level OR semantics needs custom state
-    (applyInPandasWithState — see test_stateful_streaming). State is
-    O(distinct signatures per watermark window), same bound as
-    streaming_dedup.
+    Pure array-HOF projection (operators/dedup.minhash_signatures
+    semantics), zero shuffle — composes with batch AND streaming plans.
+    Returns (df_with_sig_columns, sig_col_names).
     """
     from ..functions.hashing import N_MINHASH, P, hash60, minhash_expr
     from ..operators.dedup import shingle_array
@@ -324,10 +314,32 @@ def streaming_near_dedup(
         with_sig = with_sig.withColumn(
             c, F.array_min(F.transform("__hs", perm(i)))
         )
+    return with_sig.drop("__hs"), sig_cols
+
+
+def streaming_near_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    n: int = 3,
+) -> DataFrame:
+    """C9 × C12: streaming near-duplicate suppression with bounded state.
+
+    The MinHash signature is a pure projection (attach_minhash_sig), so
+    it composes with Structured Streaming directly: a document whose
+    full 16-component signature equals one seen within the watermark is
+    dropped. Signature equality is the strict rule (the est_jaccard =
+    1.0 candidates); band-level OR semantics lives in
+    streaming/stateful.band_lsh_flags (applyInPandasWithState). State is
+    O(distinct signatures per watermark window), same bound as
+    streaming_dedup.
+    """
+    with_sig, sig_cols = attach_minhash_sig(docs, text_col, n)
     return (
         with_sig.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(sig_cols)
-        .drop("__hs", *sig_cols)
+        .drop(*sig_cols)
     )
 
 

@@ -59,3 +59,77 @@ def test_state_carries_across_micro_batches(spark, tmp_path):
     assert latest["a"].n_events == 3
     assert latest["a"].mean_value == 20.0  # (10+20+30)/3 — state persisted
     assert latest["b"].n_events == 1
+
+
+def test_band_lsh_dedup_catches_partial_band_match(spark, tmp_path):
+    """Band OR-semantics (VERDICT r2 #5): two near-dups that agree on
+    SOME but not all of the 4 signature bands — full-signature dedup
+    (streaming_near_dedup) would keep both; band_lsh_flags must flag the
+    later one, across micro-batches, within the watermark."""
+    from kafka_clickhouse_ingest_pipeline_spark.streaming.stateful import (
+        band_lsh_flags,
+        collapse_band_flags,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "every morning"
+    )
+    near = base.replace("morning", "evening")
+    other = (
+        "completely unrelated text about spark clusters and parquet files "
+        "and shuffles"
+    )
+
+    # precondition: the pair agrees on >=1 but <4 bands (really "near",
+    # invisible to full-signature equality)
+    bdf = spark.createDataFrame(
+        [(0, base), (1, near)], "doc_id long, text string"
+    )
+    ws, sig_cols = P.attach_minhash_sig(bdf)
+    sigs = {r["doc_id"]: [r[c] for c in sig_cols] for r in ws.collect()}
+    shared = sum(
+        tuple(sigs[0][b * 4 : (b + 1) * 4]) == tuple(sigs[1][b * 4 : (b + 1) * 4])
+        for b in range(4)
+    )
+    assert 1 <= shared < 4
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(src, "b0.txt", [
+        {"doc_id": 0, "text": base, "ts": "2024-01-01 10:00:00"},
+        {"doc_id": 7, "text": other, "ts": "2024-01-01 10:00:05"},
+    ])
+    # second file → second micro-batch: the dup decision crosses state.
+    # FileStreamSource orders batches by mtime; same-ms writes tie, so
+    # pin b0 strictly earlier.
+    _write_batch(src, "b1.txt", [
+        {"doc_id": 1, "text": near, "ts": "2024-01-01 10:01:00"},
+    ])
+    import time as _time
+
+    now = _time.time()
+    os.utime(os.path.join(src, "b0.txt"), (now - 60, now - 60))
+
+    raw = P.file_source(spark, src)
+    parsed = raw.select(
+        F.from_json("value", "doc_id long, text string, ts timestamp").alias("p")
+    ).select("p.*")
+    flags = band_lsh_flags(parsed, watermark="1 hour")
+
+    def sink(df, _bid):
+        if df.count():
+            df.write.mode("append").parquet(out)
+
+    q = flags.writeStream.outputMode("append").foreachBatch(sink).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    verdicts = {
+        r["doc_id"]: r["is_near_dup"]
+        for r in collapse_band_flags(spark.read.parquet(out)).collect()
+    }
+    assert verdicts == {0: 0, 7: 0, 1: 1}
