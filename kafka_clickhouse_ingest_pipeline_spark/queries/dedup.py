@@ -250,6 +250,92 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_jaccard_cap_recall_eval",
+    oracle=f"""
+    WITH base AS ({_PLANTED_SQL}),
+    sh0 AS MATERIALIZED ({_SHINGLES_SQL.format(base="SELECT * FROM base")}),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_MAX_DF}
+    ),
+    shc AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes_c AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+    inter_c AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    capped AS (
+      SELECT id_a, id_b FROM inter_c
+      JOIN sizes_c sa ON sa.doc_id = id_a
+      JOIN sizes_c sb ON sb.doc_id = id_b
+      WHERE (FLOOR((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5
+                   + 0.000001) / 10000.0) >= 0.2
+    ),
+    sizes_u AS (SELECT doc_id, COUNT(*) AS sz FROM sh0 GROUP BY doc_id),
+    inter_u AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    uncapped AS (
+      SELECT id_a, id_b FROM inter_u
+      JOIN sizes_u sa ON sa.doc_id = id_a
+      JOIN sizes_u sb ON sb.doc_id = id_b
+      WHERE (FLOOR((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5
+                   + 0.000001) / 10000.0) >= 0.2
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM capped) AS BIGINT) AS n_capped,
+      CAST((SELECT COUNT(*) FROM uncapped) AS BIGINT) AS n_uncapped,
+      CAST((SELECT COUNT(*) FROM capped JOIN uncapped USING (id_a, id_b))
+           AS BIGINT) AS n_hits,
+      (FLOOR(((SELECT COUNT(*) FROM capped JOIN uncapped USING (id_a, id_b))
+              * 1.0 / (SELECT COUNT(*) FROM capped))
+             * 10000.0 + 0.5 + 0.000001) / 10000.0) AS cap_precision,
+      (FLOOR(((SELECT COUNT(*) FROM capped JOIN uncapped USING (id_a, id_b))
+              * 1.0 / (SELECT COUNT(*) FROM uncapped))
+             * 10000.0 + 0.5 + 0.000001) / 10000.0) AS cap_recall
+    """,
+    description=f"C9 eval: the recall guard for the DF>{NGRAM_MAX_DF} "
+    "hot-shingle cap (VERDICT r2 #7) — capped vs uncapped exact Jaccard "
+    "pairs at threshold 0.2, reported as hit counts + precision/recall "
+    "of the capped plan against the uncapped truth. The number an "
+    "operator checks before trusting the cap at a new corpus: recall "
+    "dropping means real near-dup pairs ride on corpus-common shingles. "
+    "Eval-only (runs the quadratic uncapped join) — small-SF tool, "
+    "never the production path.",
+)
+def dedup_jaccard_cap_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    capped = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.2, max_df=NGRAM_MAX_DF
+    ).select("id_a", "id_b")
+    uncapped = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.2, max_df=None
+    ).select("id_a", "id_b")
+    hits = capped.join(uncapped, ["id_a", "id_b"])
+    n_c = capped.agg(F.count(F.lit(1)).alias("n_capped"))
+    n_u = uncapped.agg(F.count(F.lit(1)).alias("n_uncapped"))
+    n_h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_c.crossJoin(F.broadcast(n_u))
+        .crossJoin(F.broadcast(n_h))
+        .select(
+            "n_capped",
+            "n_uncapped",
+            "n_hits",
+            round4(F.col("n_hits") * 1.0 / F.col("n_capped")).alias(
+                "cap_precision"
+            ),
+            round4(F.col("n_hits") * 1.0 / F.col("n_uncapped")).alias(
+                "cap_recall"
+            ),
+        )
+    )
+
+
 # Shared CTE prefix for the embedding near-dup family: normalized doubles,
 # norm, and the SAME random-hyperplane LSH bucket the Spark operator blocks
 # on (cardinality grows with corpus size — never O(n²/k) on a constant key).
