@@ -185,14 +185,11 @@ def make_bmp(pixels: np.ndarray) -> bytes:
     exercised, and stores channels in BMP's on-disk BGR order."""
     h, w, _ = pixels.shape
     stride = (w * 3 + 3) // 4 * 4
-    body = bytearray()
-    for y in range(h - 1, -1, -1):  # bottom-up
-        row = bytearray()
-        for x in range(w):
-            r, g, b = (int(c) for c in pixels[y, x])
-            row += bytes((b, g, r))
-        row += b"\x00" * (stride - len(row))
-        body += row
+    # vectorized: flip rows (bottom-up), swap RGB->BGR, pad each row to
+    # the 4-byte stride
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    body = padded.tobytes()
     off = 14 + 40
     size = off + len(body)
     header = (

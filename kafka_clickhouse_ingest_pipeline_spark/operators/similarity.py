@@ -418,7 +418,9 @@ def kmeans_cells(
             all_cells = spark.range(k).select(
                 F.col("id").cast("int").alias("cell")
             )
-            empty = all_cells.join(cvec.select("cell"), "cell", "left_anti")
+            empty = all_cells.join(
+                F.broadcast(cvec.select("cell")), "cell", "left_anti"
+            )
             e_w = Window.orderBy("cell")
             empty_rn = empty.select(
                 "cell", F.row_number().over(e_w).alias("rn")

@@ -4,12 +4,16 @@ The driver testdata has no binary media table, so both sides derive one
 deterministically from ``documents``: payload = UTF-8 bytes of ``text``,
 kind = round-robin image/audio/video by ``doc_id``, duration seeded from
 ``n_chars``. The Spark side then runs the REAL multimodal plumbing —
-``operators/multimodal.py``'s mapInPandas feature kernel (fake decoder;
-codecs absent in this container) and the JVM-side frame-sampling plan —
-while the oracle recomputes every SQL-expressible output column
-(byte length, md5 fingerprint, feature dimensionality, unit norm, frame
-explosion) so CORRECTNESS_r{N}.json shows value-hash parity for the
-multimodal family, not just rows-only.
+``operators/multimodal.py``'s mapInPandas feature kernels and the
+JVM-side frame-sampling plan — while the oracle recomputes every
+SQL-expressible output column (byte length, md5 fingerprint, feature
+dimensionality, unit norm, frame explosion) so CORRECTNESS_r{N}.json
+shows value-hash parity for the multimodal family, not just rows-only.
+``multimodal_bmp_pixel_features`` goes further: it synthesizes real
+24-bit BMP payloads per document, decodes them with the stdlib BMP
+parser, and value-hashes every feature DIMENSION against a closed-form
+SQL recomputation — genuine pixel decode, verified in this codec-less
+sandbox.
 
 Reference parity note: the reference pipeline treats payloads as opaque
 bytes end-to-end (publisher/internal/api/handler.go:59-81 forwards the
@@ -139,13 +143,18 @@ def multimodal_bmp_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    yy, xx = np.mgrid[0:8, 0:6]
+    grad = (yy * 11 + xx * 5).astype(np.int64)  # per-pixel part, fixed
+
     def build(batches):
         for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                yy, xx = np.mgrid[0:8, 0:6]
-                g = ((int(d) * 37 + yy * 11 + xx * 5) % 256).astype(np.uint8)
-                payloads.append(M.make_bmp(np.stack([g, g, g], axis=-1)))
+            payloads = [
+                M.make_bmp(np.repeat(g[:, :, None], 3, axis=2))
+                for g in (
+                    ((int(d) * 37 + grad) % 256).astype(np.uint8)
+                    for d in pdf["doc_id"]
+                )
+            ]
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
             )
