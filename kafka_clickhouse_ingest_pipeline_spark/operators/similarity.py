@@ -399,6 +399,13 @@ def kmeans_cells(
     spark = emb.sparkSession
     for _ in range(iters):
         assign = assign_nearest(cvec)
+        if reseed_empty:
+            # the round's assignment feeds BOTH the centroid update and
+            # the farthest-point candidate scan; materialize it once so
+            # the O(n·k·dim) assign pass isn't executed twice per round
+            # (the cluster-mode analog is caching the assignment — the
+            # standard Lloyd practice)
+            assign = assign.localCheckpoint(eager=True)
         cent = (
             assign.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
