@@ -131,43 +131,12 @@ def _bmp_decode(payload: bytes | None) -> np.ndarray:
     import math
 
     zeros = np.zeros(FEATURE_DIM, dtype=np.float64)
+    side = int(FEATURE_DIM**0.5)
+    gray = _bmp_gray(payload)
+    if gray is None or gray.shape[0] < side or gray.shape[1] < side:
+        return zeros
     try:
-        if payload is None or len(payload) < 54:
-            return zeros
-        data = bytes(payload)
-        if data[:2] != b"BM":
-            return zeros
-        off = int.from_bytes(data[10:14], "little")
-        w = int.from_bytes(data[18:22], "little", signed=True)
-        h = int.from_bytes(data[22:26], "little", signed=True)
-        bpp = int.from_bytes(data[28:30], "little")
-        comp = int.from_bytes(data[30:34], "little")
-        side = int(FEATURE_DIM**0.5)
-        if bpp != 24 or comp != 0 or w < side or h == 0 or abs(h) < side:
-            return zeros
-        top_down = h < 0
-        h = abs(h)
-        stride = (w * 3 + 3) // 4 * 4
-        if off + stride * h > len(data):
-            return zeros
-        px = np.frombuffer(
-            data, dtype=np.uint8, count=stride * h, offset=off
-        ).reshape(h, stride)
-        rows = px[:, : w * 3].reshape(h, w, 3)
-        if not top_down:
-            rows = rows[::-1]  # BMP stores rows bottom-up by default
-        # channel sums are exact small ints, so /3.0 is one well-defined
-        # rounding; equal-channel (gray) fixtures stay exact integers
-        gray = rows.astype(np.int64).sum(axis=2) / 3.0
-        ys = (np.arange(h) * side) // h
-        xs = (np.arange(w) * side) // w
-        v = np.empty(FEATURE_DIM, dtype=np.float64)
-        for by in range(side):
-            rsel = gray[ys == by]
-            for bx in range(side):
-                blk = rsel[:, xs == bx]
-                v[by * side + bx] = blk.sum() / blk.size
-        v = v / 255.0
+        v = _grid_means(gray, side, side).reshape(-1) / 255.0
         acc = 0.0  # sequential fold — matches list_reduce oracle order
         for x in v:
             acc += float(x) * float(x)
@@ -175,6 +144,86 @@ def _bmp_decode(payload: bytes | None) -> np.ndarray:
         return v / n if n else v
     except Exception:  # noqa: BLE001 — any parse failure = undecodable
         return zeros
+
+
+def _bmp_gray(payload: bytes | None) -> np.ndarray | None:
+    """Parse an uncompressed 24-bit BMP into an (h, w) float64 grayscale
+    array (channel mean), or None if unparseable. Handles pixel-array
+    offset, 4-byte stride padding, bottom-up and top-down row order.
+    Channel sums are exact small ints, so /3.0 is one well-defined
+    rounding; equal-channel (gray) fixtures stay exact integers."""
+    try:
+        if payload is None or len(payload) < 54:
+            return None
+        data = bytes(payload)
+        if data[:2] != b"BM":
+            return None
+        off = int.from_bytes(data[10:14], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        if off + stride * h > len(data):
+            return None
+        px = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        rows = px[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]  # BMP stores rows bottom-up by default
+        return rows.astype(np.int64).sum(axis=2) / 3.0
+    except Exception:  # noqa: BLE001 — any parse failure = undecodable
+        return None
+
+
+def _grid_means(gray: np.ndarray, gw: int, gh: int) -> np.ndarray:
+    """Area-style (gh, gw) block means of a grayscale array — bucket
+    y*gh//h / x*gw//w, uneven buckets for non-multiple sides. Block sums
+    of exact-int grays are exact, so mean = sum/size is one well-defined
+    division per cell (bit-reproducible against a SQL twin)."""
+    h, w = gray.shape
+    ys = (np.arange(h) * gh) // h
+    xs = (np.arange(w) * gw) // w
+    out = np.empty((gh, gw), dtype=np.float64)
+    for by in range(gh):
+        rsel = gray[ys == by]
+        for bx in range(gw):
+            blk = rsel[:, xs == bx]
+            out[by, bx] = blk.sum() / blk.size
+    return out
+
+
+def image_dhash(
+    payload: bytes | None, gw: int = 5, gh: int = 4
+) -> int:
+    """Perceptual difference hash (dHash) of a BMP payload.
+
+    Classic image near-dup fingerprint: reduce to a (gh, gw) grayscale
+    grid, then bit k = 1 iff cell (r, c) > cell (r, c+1) for
+    k = r*(gw-1) + c — gh*(gw-1) bits total (16 with the defaults;
+    production images use 8×9 → 64 bits, the test fixtures are only
+    8×6 px so the grid must not exceed the image). Robust to uniform
+    brightness shifts (comparisons, not values) — exactly why real
+    crawl pipelines dedup images on dHash/pHash rather than byte
+    digests. Unparseable or too-small payloads hash to 0. Pair search
+    is :func:`operators.dedup.simhash_hamming_pairs` on the hash
+    column — same pigeonhole banding, never all-pairs.
+    """
+    gray = _bmp_gray(payload)
+    if gray is None or gray.shape[0] < gh or gray.shape[1] < gw:
+        return 0
+    grid = _grid_means(gray, gw, gh)
+    bits = 0
+    for r in range(gh):
+        for c in range(gw - 1):
+            if grid[r, c] > grid[r, c + 1]:
+                bits |= 1 << (r * (gw - 1) + c)
+    return bits
 
 
 def make_bmp(pixels: np.ndarray) -> bytes:

@@ -175,6 +175,81 @@ def multimodal_bmp_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "multimodal_image_dhash_pairs",
+    oracle="""
+    WITH cells AS (
+      SELECT doc_id,
+        list_transform(range(20), k ->
+          (list_sum(list_transform(range(48), i ->
+             CASE WHEN ((i // 6) * 4 // 8) = (k // 5)
+                   AND ((i % 6) * 5 // 6) = (k % 5)
+                  THEN CAST(((doc_id * 37 + (i // 6) * 11 + (i % 6) * 5)
+                             * (doc_id * 37 + (i // 6) * 11 + (i % 6) * 5))
+                            % 256 AS DOUBLE)
+                  ELSE 0.0 END))
+           / list_sum(list_transform(range(48), i ->
+             CASE WHEN ((i // 6) * 4 // 8) = (k // 5)
+                   AND ((i % 6) * 5 // 6) = (k % 5)
+                  THEN 1.0 ELSE 0.0 END)))
+        ) AS cm
+      FROM documents
+    ),
+    dh AS (
+      SELECT doc_id,
+        list_sum(list_transform(range(16), k ->
+          CASE WHEN cm[(k // 4) * 5 + (k % 4) + 1]
+                    > cm[(k // 4) * 5 + (k % 4) + 2]
+               THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS dhash
+      FROM cells
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    ORDER BY id_a, id_b
+    """,
+    description="Multimodal dedup: perceptual difference-hash (dHash) "
+    "near-duplicate pairs over REAL image bytes — each doc becomes an "
+    "8x6 BMP (nonlinear squared-gradient pixels so hashes vary), the "
+    "stdlib parser reduces it to a 4x5 grayscale grid, bit k compares "
+    "horizontally adjacent cells, and pairs within Hamming<=2 come from "
+    "the SAME pigeonhole banding operator the SimHash family uses "
+    "(simhash_hamming_pairs on the dhash column) — an equi-join on "
+    "(band, band_bits), never all-pairs. The crawl-pipeline way to "
+    "dedup images: byte digests miss re-encoded/brightness-shifted "
+    "copies, dHash doesn't. Oracle recomputes the hash closed-form "
+    "from doc_id and verifies pairs by exact xor popcount.",
+)
+def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    yy, xx = np.mgrid[0:8, 0:6]
+    lin = (yy * 11 + xx * 5).astype(np.int64)
+
+    def build_and_hash(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for d in pdf["doc_id"]:
+                x = int(d) * 37 + lin
+                g = ((x * x) % 256).astype(np.uint8)
+                bmp = M.make_bmp(np.repeat(g[:, :, None], 3, axis=2))
+                ids.append(int(d))
+                hashes.append(M.image_dhash(bmp))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    fp = docs.mapInPandas(
+        build_and_hash, "doc_id long, dhash long"
+    ).localCheckpoint(eager=True)
+    from ..operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        fp, "doc_id", fp_col="dhash", max_hamming=2, bits=16
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH v AS (

@@ -204,3 +204,32 @@ def test_image_rows_in_fake_media_decode_for_real(spark, media):
         ).collect()
     }
     assert all(list(r["feature"]) != list(stub[r["media_id"]]) for r in rows)
+
+
+def test_dhash_invariant_to_brightness_shift():
+    """The dedup claim: dHash compares adjacent cells, so a uniform
+    brightness shift (re-encode/gamma tweak) keeps the hash — byte
+    digests would miss such copies."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:8, 0:6]
+    x = 5 * 37 + yy * 11 + xx * 5
+    g = ((x * x) % 256).astype(np.int64)
+    base = M.make_bmp(np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2))
+    shifted_g = np.clip(g + 10, 0, 255).astype(np.uint8)
+    shifted = M.make_bmp(np.repeat(shifted_g[:, :, None], 3, axis=2))
+    h0 = M.image_dhash(base)
+    assert h0 != 0
+    assert M.image_dhash(shifted) == h0
+    # a genuinely different image hashes differently
+    other_g = (((x + 3) * (x + 7)) % 256).astype(np.uint8)
+    other = M.make_bmp(np.repeat(other_g[:, :, None], 3, axis=2))
+    assert M.image_dhash(other) != h0
+
+
+def test_dhash_rejects_small_or_junk_payloads():
+    import numpy as np
+
+    assert M.image_dhash(b"not a bmp") == 0
+    tiny = M.make_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert M.image_dhash(tiny) == 0  # grid exceeds image -> undecodable
