@@ -47,3 +47,34 @@ def minhash_expr(h_mod_p: Column, i: int) -> Column:
 
 def minhash_sql(h_expr: str, i: int) -> str:
     return f"(({MINHASH_A[i]} * {h_expr} + {MINHASH_B[i]}) % {P})"
+
+
+# --- Bloom / Count-Min sketch hashing (Kirsch-Mitzenmacher double hashing) --
+#
+# Both sketches need k independent hash functions per key. One md5 yields two
+# independent 60-bit windows (hex chars 1-15 and 16-30); position j is
+# (h1 + j*h2) mod m — k positions from one hash evaluation, identical
+# arithmetic in both engines (h1 + j*h2 <= (j+1)*2^60 stays under 2^63 for
+# j <= 6). Words are 32-bit (mask = 1 << (pos & 31), max 2^31) so no shift
+# ever touches the BIGINT sign bit in either engine.
+
+BLOOM_BITS = 65_536  # m: 2^16 bits = 2048 x 32-bit words (8 KiB broadcast)
+BLOOM_K = 5
+
+
+def hash60b(col: Column) -> Column:
+    """Second independent 60-bit window of the same md5 (chars 16..30)."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
+
+
+def hash60b_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 16, 15)) AS BIGINT)"
+
+
+def double_hash_pos(col: Column, j: int, m: int) -> Column:
+    """j-th double-hash position of a string key, in [0, m)."""
+    return (hash60(col) + F.lit(j) * hash60b(col)) % F.lit(m)
+
+
+def double_hash_pos_sql(expr: str, j: int, m: int) -> str:
+    return f"(({hash60_sql(expr)} + {j} * {hash60b_sql(expr)}) % {m})"
