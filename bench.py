@@ -75,6 +75,9 @@ HEADLINE = [
     "window_rolling_median",
     "agg_filtered_family",
     "user_activity_similarity",
+    # sketch family: Bloom decontamination, portable HLL
+    "decontaminate_bloom_eval",
+    "hll_distinct_portable",
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..functions.rounding import round4, round4_sql
 from ..operators import packing as PK
 from ..operators import text as T
@@ -261,6 +262,148 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap_grams"),
         (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return H.double_hash_pos_sql("gram", j, H.BLOOM_BITS)
+
+
+_BLOOM_PROBE_POS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, gram, {j} AS j, {_bloom_pos_sql(j)} AS pos FROM train_grams"
+    for j in range(5)
+)
+
+_BLOOM_BENCH_POS_SQL = "\nUNION ALL\n".join(
+    f"SELECT {_bloom_pos_sql(j)} AS pos FROM bench" for j in range(5)
+)
+
+
+@query(
+    "decontaminate_bloom_eval",
+    oracle=f"""
+    WITH grams AS ({_GRAMS_SQL}),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    train_grams AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+    bench_pos AS ({_BLOOM_BENCH_POS_SQL}),
+    bloom AS (
+      SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+      FROM bench_pos GROUP BY 1
+    ),
+    probe_pos AS ({_BLOOM_PROBE_POS_SQL}),
+    gram_verdict AS (
+      SELECT p.doc_id, p.gram,
+             CAST(COUNT(*) FILTER (
+               WHERE b.word IS NOT NULL
+                 AND (b.word & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER))) <> 0
+             ) = 5 AS INT) AS bloom_hit
+      FROM probe_pos p
+      LEFT JOIN bloom b ON CAST(p.pos // 32 AS BIGINT) = b.word_idx
+      GROUP BY p.doc_id, p.gram
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+             CAST(SUM(g.bloom_hit) AS BIGINT) AS n_bloom_hits,
+             CAST(COUNT(*) FILTER (WHERE bench.gram IS NOT NULL) AS BIGINT)
+               AS n_true_hits
+      FROM gram_verdict g
+      LEFT JOIN bench ON g.gram = bench.gram
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_bloom_hits, 0) AS n_bloom_hits,
+           COALESCE(n_true_hits, 0) AS n_true_hits,
+           COALESCE(n_bloom_hits, 0) - COALESCE(n_true_hits, 0) AS n_false_pos,
+           CAST(COALESCE(n_bloom_hits, 0) > 0 AS INT) AS contaminated_bloom,
+           CAST(COALESCE(n_true_hits, 0) > 0 AS INT) AS contaminated_exact
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN per_doc USING (doc_id)
+    """,
+    description="Curation: Bloom-filter decontamination eval. The benchmark "
+    "gram set collapses to a 2048-word (8 KiB) Bloom sketch — at 100 TB the "
+    "broadcast is O(m) regardless of benchmark size, vs. the exact path "
+    "broadcasting every distinct benchmark gram. No false negatives by "
+    "construction (n_bloom_hits >= n_true_hits per doc); the eval reports "
+    "per-doc false-positive counts against the exact join. Double hashing "
+    "(Kirsch-Mitzenmacher) derives k=5 positions from one md5 per gram.",
+)
+def decontaminate_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    w = F.split(F.col("text"), " ")
+    grams5 = F.when(
+        F.size(w) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 4),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
+            )
+        ),
+    )
+    grams = docs.select("doc_id", F.explode(grams5).alias("gram")).localCheckpoint(
+        eager=True
+    )
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = grams.where(is_bench).select("gram").distinct()
+    train_grams = grams.where(~is_bench)
+
+    def positions(src: DataFrame, keep: list[str]) -> DataFrame:
+        arr = F.array(
+            *[H.double_hash_pos(F.col("gram"), j, H.BLOOM_BITS) for j in range(5)]
+        )
+        return src.select(*keep, F.explode(arr).alias("pos"))
+
+    word_idx = F.shiftright(F.col("pos"), 5).cast("long").alias("word_idx")
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    bloom = (
+        positions(bench, [])
+        .select(word_idx, mask.alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    gram_verdict = (
+        positions(train_grams, ["doc_id", "gram"])
+        .select("doc_id", "gram", word_idx, mask.alias("mask"))
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy("doc_id", "gram")
+        .agg(
+            (
+                F.count(
+                    F.when(
+                        F.col("word").isNotNull()
+                        & (F.col("word").bitwiseAND(F.col("mask")) != 0),
+                        True,
+                    )
+                )
+                == 5
+            )
+            .cast("int")
+            .alias("bloom_hit")
+        )
+    )
+    per_doc = (
+        gram_verdict.join(
+            F.broadcast(bench.withColumn("is_true", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+            F.count(F.when(F.col("is_true").isNotNull(), True))
+            .cast("long")
+            .alias("n_true_hits"),
+        )
+    )
+    train = docs.select("doc_id").where(~is_bench)
+    nb = F.coalesce(F.col("n_bloom_hits"), F.lit(0))
+    nt = F.coalesce(F.col("n_true_hits"), F.lit(0))
+    return train.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        nb.cast("long").alias("n_bloom_hits"),
+        nt.cast("long").alias("n_true_hits"),
+        (nb - nt).cast("long").alias("n_false_pos"),
+        (nb > 0).cast("int").alias("contaminated_bloom"),
+        (nt > 0).cast("int").alias("contaminated_exact"),
     )
 
 

@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round4
+from ..functions import hashing as HS
+from ..functions.rounding import round4, round4_sql
 from ..functions.temporal import epoch_ms
 from ..registry import query
 from ..tables import load_table
@@ -2080,4 +2081,111 @@ def props_schema_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_numeric",
         )
         .orderBy("prop_key")
+    )
+
+
+# --- Portable HyperLogLog ---------------------------------------------------
+#
+# Spark's approx_count_distinct and DuckDB's approx sketches are different
+# implementations, so `approx_distinct` can only bound-check. This is a
+# hand-rolled HLL whose every step is integer-or-IEEE arithmetic both engines
+# execute identically: register = md5-window-2 mod 256, rank = 53 -
+# length(bin(md5-window-1 mod 2^52)) (+ small-range linear counting), so the
+# *estimate itself* value-hashes across engines.
+
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. alpha_256
+
+
+@query(
+    "hll_distinct_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ({HS.hash60b_sql("CAST(user_id AS VARCHAR)")}) % {_HLL_M} AS reg,
+             ({HS.hash60_sql("CAST(user_id AS VARCHAR)")}) % 4503599627370496
+               AS h52
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, reg,
+             MAX(CASE WHEN h52 > 0 THEN 53 - length(bin(h52)) ELSE 53 END)
+               AS mj
+      FROM h GROUP BY event_type, reg
+    ),
+    per_type AS (
+      SELECT event_type,
+             SUM(power(2.0, -mj)) + ({_HLL_M} - COUNT(*)) * 1.0 AS denom,
+             {_HLL_M} - COUNT(*) AS zeros
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+      GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             CASE
+               WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M} / denom)
+                      <= {2.5 * _HLL_M}
+                    AND zeros > 0
+               THEN {_HLL_M} * ln({_HLL_M}.0 / zeros)
+               ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M} / denom
+             END AS hll_raw
+      FROM per_type
+    )
+    SELECT e.event_type,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           {round4_sql("hll_raw")} AS hll_estimate,
+           CAST(ABS(hll_raw - n_exact) / n_exact < 0.2 AS INT) AS within_20pct
+    FROM est p JOIN exact e USING (event_type)
+    ORDER BY e.event_type
+    """,
+    description="C2/sketches: portable HyperLogLog (m=256) distinct users "
+    "per event type, value-hash-identical across engines (integer rank via "
+    "bin-length, IEEE power/ln, linear-counting small-range correction). "
+    "One shuffle to (event_type, register) — 256 rows per group leave the "
+    "map side regardless of input size; registers merge across "
+    "partitions/streams by elementwise MAX. The exact countDistinct rides "
+    "along as the eval reference.",
+)
+def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    h = ev.select(
+        "event_type",
+        (HS.hash60b(uid) % _HLL_M).alias("reg"),
+        (HS.hash60(uid) % F.lit(4503599627370496)).alias("h52"),
+    )
+    regs = h.groupBy("event_type", "reg").agg(
+        F.max(
+            F.when(F.col("h52") > 0, F.lit(53) - F.length(F.bin("h52"))).otherwise(53)
+        ).alias("mj")
+    )
+    per_type = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("mj")))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * 1.0
+        ).alias("denom"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("zeros"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("denom")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            round4(est).alias("hll_estimate"),
+            (F.abs(est - F.col("n_exact")) / F.col("n_exact") < 0.2)
+            .cast("int")
+            .alias("within_20pct"),
+        )
+        .orderBy("event_type")
     )

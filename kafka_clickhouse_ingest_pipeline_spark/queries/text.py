@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..functions.hashing import P
 from ..functions.rounding import round4, round4_sql
 from ..operators import text as T
@@ -623,3 +624,99 @@ def quality_filter_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         failed.alias("failed_rules"),
         keep.cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # buckets per row — 4096 counters total (32 KiB broadcast)
+
+
+def _cms_bucket_sql(r: int) -> str:
+    return H.double_hash_pos_sql("term", r, _CMS_W)
+
+
+_CMS_SKETCH_ROWS_SQL = "\nUNION ALL\n".join(
+    f"SELECT {r} AS r, {_cms_bucket_sql(r)} AS bucket, freq FROM tf"
+    for r in range(_CMS_D)
+)
+
+_CMS_PROBE_ROWS_SQL = "\nUNION ALL\n".join(
+    f"SELECT term, exact_freq, {r} AS r, {_cms_bucket_sql(r)} AS bucket FROM probe"
+    for r in range(_CMS_D)
+)
+
+
+@query(
+    "cms_heavy_hitters_eval",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS freq
+      FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+      )
+      WHERE length(term) > 0
+      GROUP BY term
+    ),
+    sketch AS (
+      SELECT r, bucket, CAST(SUM(freq) AS BIGINT) AS counter
+      FROM ({_CMS_SKETCH_ROWS_SQL})
+      GROUP BY r, bucket
+    ),
+    probe AS (
+      SELECT term, CAST(freq AS BIGINT) AS exact_freq FROM tf
+      ORDER BY freq DESC, term LIMIT 20
+    ),
+    probe_pos AS ({_CMS_PROBE_ROWS_SQL})
+    SELECT p.term, p.exact_freq,
+           CAST(MIN(s.counter) AS BIGINT) AS cms_estimate,
+           CAST(MIN(s.counter) - p.exact_freq AS BIGINT) AS overestimate
+    FROM probe_pos p JOIN sketch s USING (r, bucket)
+    GROUP BY p.term, p.exact_freq
+    ORDER BY p.exact_freq DESC, p.term
+    """,
+    description="C11/sketches: Count-Min heavy-hitter eval. The corpus "
+    "vocabulary collapses to a 4x1024-counter CMS (32 KiB) built from the "
+    "already-combined term frequencies (weighted increments — one row per "
+    "distinct term, never one per token instance). Estimates for the exact "
+    "top-20 terms are min-over-rows; overestimate >= 0 by construction "
+    "(one-sided error, eps = e/1024 of the token mass). At 100 TB the "
+    "sketch is the only thing that leaves the aggregation — mergeable "
+    "across partitions/days by elementwise sum.",
+)
+def cms_heavy_hitters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = T.term_frequencies(docs, "text")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    H.double_hash_pos(F.col("term"), r, _CMS_W).alias("bucket"),
+                )
+                for r in range(_CMS_D)
+            ]
+        )
+    ).alias("rb")
+    sketch = (
+        tf.select(rows, "freq")
+        .select("rb.r", "rb.bucket", "freq")
+        .groupBy("r", "bucket")
+        .agg(F.sum("freq").cast("long").alias("counter"))
+    )
+    probe = (
+        tf.orderBy(F.col("freq").desc(), "term")
+        .limit(20)
+        .select("term", F.col("freq").cast("long").alias("exact_freq"))
+    )
+    probe_pos = probe.select("term", "exact_freq", rows).select(
+        "term", "exact_freq", "rb.r", "rb.bucket"
+    )
+    return (
+        probe_pos.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("term", "exact_freq")
+        .agg(
+            F.min("counter").cast("long").alias("cms_estimate"),
+            (F.min("counter") - F.col("exact_freq")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.col("exact_freq").desc(), "term")
+    )

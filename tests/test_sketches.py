@@ -1,0 +1,73 @@
+"""Sketch-family invariants: Bloom decontamination and Count-Min heavy
+hitters. The oracle gate pins exact values; these tests pin the *structural*
+guarantees the sketches must satisfy at any scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
+    decontaminate_bloom_eval,
+)
+from kafka_clickhouse_ingest_pipeline_spark.queries.text import (
+    cms_heavy_hitters_eval,
+)
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    df = decontaminate_bloom_eval(spark, sf_dir).cache()
+    try:
+        # every true hit is also a bloom hit, per doc
+        assert df.where(F.col("n_bloom_hits") < F.col("n_true_hits")).count() == 0
+        # flag-level implication: contaminated_exact -> contaminated_bloom
+        assert (
+            df.where(
+                (F.col("contaminated_exact") == 1) & (F.col("contaminated_bloom") == 0)
+            ).count()
+            == 0
+        )
+        # the planted contamination (every 97th doc's grams) is detected
+        assert df.where(F.col("contaminated_exact") == 1).count() > 0
+    finally:
+        df.unpersist()
+
+
+def test_bloom_false_positive_rate_is_small(spark, sf_dir):
+    # m=65536 bits, k=5, |bench grams| well under 2000 at sf0.001 ->
+    # theoretical FP rate ~(1-e^(-kn/m))^k is far below 1e-3; assert a loose
+    # per-gram ceiling via the per-doc counts.
+    df = decontaminate_bloom_eval(spark, sf_dir)
+    agg = df.agg(
+        F.sum("n_false_pos").alias("fp"), F.sum("n_bloom_hits").alias("hits")
+    ).collect()[0]
+    assert agg.fp <= max(2, 0.01 * (agg.hits or 1))
+
+
+def test_cms_overestimates_only(spark, sf_dir):
+    df = cms_heavy_hitters_eval(spark, sf_dir).cache()
+    try:
+        rows = df.collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r.cms_estimate >= r.exact_freq  # one-sided error
+            assert r.overestimate == r.cms_estimate - r.exact_freq
+        # heavy hitters are heavy: the CMS error bound eps*N with
+        # eps = e/1024 should keep top-term estimates within ~2% of exact
+        # at this fixture's token mass; assert a loose 25% ceiling.
+        for r in rows:
+            assert r.overestimate <= max(5, 0.25 * r.exact_freq)
+    finally:
+        df.unpersist()
+
+
+def test_hll_estimate_within_std_error_envelope(spark, sf_dir):
+    from kafka_clickhouse_ingest_pipeline_spark.queries.relational import (
+        hll_distinct_portable,
+    )
+
+    rows = hll_distinct_portable(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # m=256 -> typical rel. error 1.04/sqrt(256) = 6.5%; 20% is ~3 sigma
+        assert r.within_20pct == 1
+        assert r.hll_estimate > 0
