@@ -57,3 +57,84 @@ def write_clustered(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def _interleave_terms(col: F.Column, start_bit: int, bits: int) -> list[F.Column]:
+    return [
+        (F.shiftright(col, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + start_bit)))
+        for i in range(bits)
+    ]
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton/Z-order interleave of two already-bucketed non-negative ints
+    in [0, 2^bits). Pure integer bit arithmetic — identical in any engine.
+
+    Sorting by this key gives *both* dimensions locality: any run of
+    consecutive z-values is confined to a bounded rectangle of (a, b), so
+    parquet min/max stats prune 2-d predicates, where a lexicographic sort
+    key only ever prunes its leading column. This is the layout answer for
+    "filter by user AND time window" at 100 TB.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    terms = _interleave_terms(a, 0, bits) + _interleave_terms(b, 1, bits)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_key_sql(a_expr: str, b_expr: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` — same shift/mask/sum sequence."""
+    terms = [
+        f"(((CAST({a_expr} AS BIGINT) >> {i}) & 1) * {1 << (2 * i)})"
+        for i in range(bits)
+    ] + [
+        f"(((CAST({b_expr} AS BIGINT) >> {i}) & 1) * {1 << (2 * i + 1)})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    a_col: str,
+    b_col: str,
+    bits: int = 16,
+    target_partitions: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write with Z-order clustering on two pre-bucketed int columns.
+
+    repartitionByRange on the z-key gives each output file a contiguous
+    z-range (range exchange samples the key — one extra pass, no global
+    sort); sortWithinPartitions tightens row-group stats inside files.
+    """
+    z = zorder_key(a_col, b_col, bits).alias("_z")
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(target_partitions, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode(mode).parquet(path)
+
+
+def scale_to_bits(col, lo_col, hi_col, bits: int = 16):
+    """Min-max scale an integer column into [0, 2^bits) with exact integer
+    arithmetic. Z-order only interleaves meaningfully when both dims span
+    the same bit width — a 150-value user dim against a 65536-value time
+    dim otherwise collapses the curve onto the wide dimension.
+
+    floor((c-lo)*top / span) through double division is exact here: the
+    numerator stays far below 2^53 and the quotient is never within an ulp
+    of an integer unless it IS one, so it matches integer `//` division.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lo = F.col(lo_col) if isinstance(lo_col, str) else lo_col
+    hi = F.col(hi_col) if isinstance(hi_col, str) else hi_col
+    top = F.lit((1 << bits) - 1)
+    span = F.greatest(F.lit(1), hi - lo)
+    return F.floor((c - lo) * top / span).cast("long")

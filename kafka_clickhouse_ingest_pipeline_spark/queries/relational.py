@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as HS
+from ..plans import layout as ZL
 from ..functions.rounding import round4, round4_sql
 from ..functions.temporal import epoch_ms
 from ..registry import query
@@ -2188,4 +2189,78 @@ def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_20pct"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "zorder_locality_stats",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id AS ua,
+             ((epoch_us(ts) // 1000000) % 65536) AS ub
+      FROM events
+    ),
+    bounds AS (
+      SELECT MIN(ua) AS mina, MAX(ua) AS maxa,
+             MIN(ub) AS minb, MAX(ub) AS maxb
+      FROM keyed
+    ),
+    scaled AS (
+      SELECT ((ua - mina) * 65535) // GREATEST(1, maxa - mina) AS a,
+             ((ub - minb) * 65535) // GREATEST(1, maxb - minb) AS b
+      FROM keyed, bounds
+    ),
+    z AS (
+      SELECT a, b, {ZL.zorder_key_sql('a', 'b', 16)} AS zval FROM scaled
+    )
+    SELECT CAST(zval // 4194304 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(a) AS BIGINT) AS min_a, CAST(MAX(a) AS BIGINT) AS max_a,
+           CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b,
+           CAST((MAX(a) - MIN(a) + 1) * (MAX(b) - MIN(b) + 1) AS BIGINT)
+             AS bbox_area
+    FROM z GROUP BY 1 ORDER BY zbucket
+    """,
+    description="B7/layout: Z-order (Morton) locality stats over events "
+    "keyed by (user_id, time) — per z-bucket row count and bounding box. "
+    "The bounded bbox_area per bucket is the property that makes parquet "
+    "min/max stats prune 2-d predicates under a z-sorted layout (a "
+    "lexicographic sort key only prunes its leading column). Pure integer "
+    "bit interleaving; plans/layout.write_zordered applies it at write "
+    "time via repartitionByRange on the z-key.",
+)
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.col("user_id").alias("ua"),
+        (F.floor(epoch_ms("ts") / F.lit(1000)).cast("long") % 65536).alias("ub"),
+    )
+    bounds = keyed.agg(
+        F.min("ua").alias("mina"),
+        F.max("ua").alias("maxa"),
+        F.min("ub").alias("minb"),
+        F.max("ub").alias("maxb"),
+    )
+    scaled = keyed.crossJoin(F.broadcast(bounds)).select(
+        ZL.scale_to_bits("ua", "mina", "maxa", 16).alias("a"),
+        ZL.scale_to_bits("ub", "minb", "maxb", 16).alias("b"),
+    )
+    z = scaled.withColumn("zval", ZL.zorder_key("a", "b", 16))
+    return (
+        z.groupBy(
+            F.floor(F.col("zval") / F.lit(4194304)).cast("long").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("a").cast("long").alias("min_a"),
+            F.max("a").cast("long").alias("max_a"),
+            F.min("b").cast("long").alias("min_b"),
+            F.max("b").cast("long").alias("max_b"),
+            (
+                (F.max("a") - F.min("a") + 1) * (F.max("b") - F.min("b") + 1)
+            )
+            .cast("long")
+            .alias("bbox_area"),
+        )
+        .orderBy("zbucket")
     )

@@ -160,3 +160,76 @@ def test_user_activity_similarity_pairs_on_bucket_equijoin(spark, sf_dir):
     import re
 
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[pbucket", plan)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """File-level min/max stats under a z-ordered layout admit pruning on
+    BOTH key dimensions; a time-sorted layout cannot prune the user dim."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.plans import layout as ZL
+    from kafka_clickhouse_ingest_pipeline_spark.functions.temporal import epoch_ms
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    keyed = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("ua"),
+        (F.floor(epoch_ms("ts") / F.lit(1000)).cast("long") % 65536).alias("ub"),
+    )
+    bounds = keyed.agg(
+        F.min("ua").alias("mina"),
+        F.max("ua").alias("maxa"),
+        F.min("ub").alias("minb"),
+        F.max("ub").alias("maxb"),
+    )
+    ev = keyed.crossJoin(F.broadcast(bounds)).select(
+        ZL.scale_to_bits("ua", "mina", "maxa", 16).alias("a"),
+        ZL.scale_to_bits("ub", "minb", "maxb", 16).alias("b"),
+    )
+    lin = str(tmp_path / "linear")
+    zor = str(tmp_path / "zorder")
+    # time-sorted layout (the reference's ORDER BY receivedAt analog)
+    ev.repartitionByRange(16, "b").sortWithinPartitions("b").write.parquet(lin)
+    ZL.write_zordered(ev, zor, "a", "b", bits=16, target_partitions=16)
+
+    def file_stats(d):
+        out = []
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                mins, maxs = {}, {}
+                for rg in range(md.num_row_groups):
+                    row = md.row_group(rg)
+                    for ci in range(row.num_columns):
+                        col = row.column(ci)
+                        name = col.path_in_schema
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        mins[name] = min(mins.get(name, st.min), st.min)
+                        maxs[name] = max(maxs.get(name, st.max), st.max)
+                if mins:
+                    out.append((mins, maxs))
+        return out
+
+    def candidates(stats, col, lo, hi):
+        return sum(1 for mn, mx in stats if not (mx[col] < lo or mn[col] > hi))
+
+    lin_stats, zor_stats = file_stats(lin), file_stats(zor)
+    assert len(lin_stats) > 8 and len(zor_stats) > 8
+
+    # narrow user-range predicate: time-sorted layout scans everything,
+    # z-order confines the range to a minority of files
+    a_lo, a_hi = 10000, 14000
+    assert candidates(lin_stats, "a", a_lo, a_hi) == len(lin_stats)
+    assert candidates(zor_stats, "a", a_lo, a_hi) <= len(zor_stats) // 2
+
+    # time-range predicate: z-order still prunes (coarser than the
+    # time-sorted optimum, but never the full scan)
+    bs = sorted(b for mn, _mx in zor_stats for b in [mn["b"]])
+    b_lo, b_hi = bs[0], bs[0] + 2000
+    assert candidates(zor_stats, "b", b_lo, b_hi) < len(zor_stats)
