@@ -134,8 +134,9 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unit-normed feature. The oracle recomputes every feature component "
     "in closed form from doc_id — so a green row proves the byte-level "
     "encode/decode roundtrip AND the resize/normalize arithmetic, "
-    "value-hashed per dimension. Both stages are Arrow mapInPandas; "
-    "payload bytes never visit the driver.",
+    "value-hashed per dimension. Encode+decode run fused in one Arrow "
+    "mapInPandas stage, so payload bytes never visit the driver and never "
+    "pay an Arrow transfer between stages.",
 )
 def multimodal_bmp_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -146,27 +147,26 @@ def multimodal_bmp_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame
     yy, xx = np.mgrid[0:8, 0:6]
     grad = (yy * 11 + xx * 5).astype(np.int64)  # per-pixel part, fixed
 
-    def build(batches):
+    def build_and_decode(batches):
+        # One Python stage: encode to real BMP bytes, decode them back,
+        # featurize — the byte-level roundtrip happens entirely inside the
+        # worker, so the payload column never pays an Arrow transfer.
         for pdf in batches:
-            payloads = [
+            payloads = (
                 M.make_bmp(np.repeat(g[:, :, None], 3, axis=2))
                 for g in (
                     ((int(d) * 37 + grad) % 256).astype(np.uint8)
                     for d in pdf["doc_id"]
                 )
-            ]
+            )
+            feats = [M.decode_image(p).tolist() for p in payloads]
             yield pd.DataFrame(
-                {"media_id": pdf["doc_id"].astype(str), "payload": payloads}
+                {"media_id": pdf["doc_id"].astype(str), "feature": feats}
             )
 
-    media = docs.mapInPandas(build, "media_id string, payload binary")
-
-    def decode(batches):
-        for pdf in batches:
-            feats = [M.decode_image(p).tolist() for p in pdf["payload"]]
-            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
-
-    feats = media.mapInPandas(decode, "media_id string, feature array<double>")
+    feats = docs.mapInPandas(
+        build_and_decode, "media_id string, feature array<double>"
+    )
     return (
         feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
         .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
