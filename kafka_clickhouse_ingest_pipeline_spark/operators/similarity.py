@@ -647,3 +647,38 @@ def pq_adc_topk(
         .select(F.col(id_col), "est_dist", true_d.alias("true_dist"))
         .orderBy("est_dist", id_col)
     )
+
+
+# Johnson-Lindenstrauss random projection: 64 -> 16 dims with Rademacher
+# entries (distribution-free JL), scaled by 1/sqrt(16) = /4 (exact in
+# binary). Seed 13 keeps the planes independent of the LSH family above.
+RP_DIM = 16
+_rp_rng = random.Random(13)
+RP_PLANES: list[list[int]] = [
+    [_rp_rng.choice((-1, 1)) for _ in range(EMB_DIM)] for _ in range(RP_DIM)
+]
+
+
+def random_project(vec: Column) -> Column:
+    """Project to RP_DIM dims: flat signed sums (codegen-friendly, same
+    left-assoc order as the SQL twin), each divided by sqrt(RP_DIM)."""
+    outs = []
+    for plane in RP_PLANES:
+        acc = F.lit(0.0)
+        for i, sign in enumerate(plane):
+            term = F.coalesce(F.get(vec, i), F.lit(0.0))
+            acc = acc + (term if sign > 0 else -term)
+        outs.append(acc / F.lit(4.0))
+    return F.array(*outs)
+
+
+def random_project_sql(vec_expr: str) -> str:
+    """DuckDB twin of :func:`random_project` — identical fold order."""
+    comps = []
+    for plane in RP_PLANES:
+        signed = "0.0 " + " ".join(
+            f"{'+' if sign > 0 else '-'} COALESCE({vec_expr}[{i + 1}], 0.0)"
+            for i, sign in enumerate(plane)
+        )
+        comps.append(f"(({signed}) / 4.0)")
+    return "list_value(" + ", ".join(comps) + ")"

@@ -841,3 +841,93 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(
         emb, q, k_top=10, n_sub=_PQ_NSUB, sub_dim=_PQ_SUBDIM
     )
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    SELECT vec_id, i - 1 AS dim,
+           (FLOOR(p[i] * 10000.0 + 0.5 + 0.000001) / 10000.0) AS value
+    FROM (
+      SELECT vec_id,
+             {S.random_project_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))")}
+               AS p
+      FROM embeddings
+    ), (SELECT unnest(range(1, {S.RP_DIM + 1})) AS i)
+    ORDER BY vec_id, dim
+    """,
+    description="C10/JL: Rademacher random projection 64 -> 16 dims "
+    "(database-friendly Johnson-Lindenstrauss: +-1 planes, exact /4 "
+    "scaling). Scan-only — no shuffle, no training state; the 4x-smaller "
+    "vectors feed any downstream ANN rung. Long format (vec_id, dim, "
+    "value).",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = S.random_project(S.as_double(F.col("embedding")))
+    return (
+        emb.select("vec_id", F.posexplode(p).alias("dim", "value"))
+        .select("vec_id", "dim", round4(F.col("value")).alias("value"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+@query(
+    "random_projection_distortion",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             {S.random_project_sql("list_transform(embedding, x -> CAST(x AS DOUBLE))")}
+               AS p
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (FLOOR((list_reduce(list_transform(range(1, 65),
+              i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])), (x, y) -> x + y))
+              * 10000.0 + 0.5 + 0.000001) / 10000.0) AS orig_dsq,
+           (FLOOR((list_reduce(list_transform(range(1, {S.RP_DIM + 1}),
+              i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])), (x, y) -> x + y))
+              * 10000.0 + 0.5 + 0.000001) / 10000.0) AS proj_dsq,
+           (FLOOR(((list_reduce(list_transform(range(1, {S.RP_DIM + 1}),
+              i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])), (x, y) -> x + y))
+              / (list_reduce(list_transform(range(1, 65),
+              i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])), (x, y) -> x + y)))
+              * 10000.0 + 0.5 + 0.000001) / 10000.0) AS ratio
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    ORDER BY id_a, id_b
+    """,
+    description="C10/JL eval: squared-distance distortion of the random "
+    "projection over all pairs of the first 20 vectors — the JL lemma "
+    "says ratio concentrates around 1; the eval makes the trade "
+    "measurable (dimension 4x down, pairwise geometry approximately "
+    "kept). 20-row broadcast self-join; the distortion invariant is "
+    "pinned in test_pq.",
+)
+def random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    v = S.as_double(F.col("embedding"))
+    sub = emb.select("vec_id", v.alias("v"), S.random_project(v).alias("p"))
+    a = sub.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("p").alias("pa"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("p").alias("pb"),
+    )
+    orig = S._l2sq(F.col("va"), F.col("vb"))
+    proj = S._l2sq(F.col("pa"), F.col("pb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            round4(orig).alias("orig_dsq"),
+            round4(proj).alias("proj_dsq"),
+            round4(proj / orig).alias("ratio"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -720,3 +720,52 @@ def cms_heavy_hitters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_freq").desc(), "term")
     )
+
+
+@query(
+    "text_unigram_logprob_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    tf AS (SELECT term, COUNT(*) AS freq FROM toks2 GROUP BY term),
+    tot AS (SELECT SUM(freq) * 1.0 AS n FROM tf)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {round4_sql("AVG(ln(freq / n))")} AS avg_logprob
+    FROM toks2 JOIN tf USING (term), tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="C11: unigram-LM quality scoring (the KenLM-perplexity "
+    "proxy every web-scale curation pipeline runs): train unigram "
+    "log-probs from the corpus itself, score each doc by mean token "
+    "log-prob — boilerplate/templated docs score high, gibberish scores "
+    "low. Two aggregations plus one equi-join of token instances to the "
+    "LM table; at 100 TB the LM table is itself large, so the join stays "
+    "a shuffle hash join on term (NOT a broadcast) and the corpus-wide "
+    "total rides along as a 1-row broadcast.",
+)
+def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    tot = tf.agg((F.sum("freq") * 1.0).alias("n"))
+    return (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            round4(F.avg(F.log(F.col("freq") / F.col("n")))).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -58,3 +58,20 @@ def test_pq_adc_recall_against_exact_topk(spark, sf_dir):
     # 4x16-code PQ on 64 dims is coarse; still expect some of the true
     # top-10 to survive — a floor of 2/10 catches gross breakage
     assert len(adc_ids & exact_ids) >= 2
+
+
+def test_random_projection_distortion_concentrates_near_one(spark, sf_dir):
+    from kafka_clickhouse_ingest_pipeline_spark.queries.similarity import (
+        random_projection_distortion,
+    )
+
+    rows = random_projection_distortion(spark, sf_dir).collect()
+    assert len(rows) == 190  # C(20, 2)
+    ratios = sorted(r.ratio for r in rows)
+    assert all(r > 0 for r in ratios)
+    # JL with 16 target dims: sd(ratio) ~ sqrt(2/16) = 0.35; the median
+    # should sit well inside one sd of 1 and the bulk inside ~3 sd
+    median = ratios[len(ratios) // 2]
+    assert 0.6 < median < 1.5
+    inside = sum(1 for r in ratios if 0.25 < r < 2.5)
+    assert inside / len(ratios) > 0.9
