@@ -78,3 +78,21 @@ def double_hash_pos(col: Column, j: int, m: int) -> Column:
 
 def double_hash_pos_sql(expr: str, j: int, m: int) -> str:
     return f"(({hash60_sql(expr)} + {j} * {hash60b_sql(expr)}) % {m})"
+
+
+# --- HyperLogLog primitives (shared by the batch query and streaming) ------
+
+HLL_M = 256
+HLL_H52 = 4_503_599_627_370_496  # 2^52
+
+
+def hll_register(key: Column) -> Column:
+    """Register index in [0, HLL_M) from the second md5 window."""
+    return hash60b(key) % F.lit(HLL_M)
+
+
+def hll_rank(key: Column) -> Column:
+    """Rank = leading-zero count + 1 of the 52-bit first-window hash,
+    via integer bin-length — engine-portable (no float log2)."""
+    h52 = hash60(key) % F.lit(HLL_H52)
+    return F.when(h52 > 0, F.lit(53) - F.length(F.bin(h52))).otherwise(53)

@@ -2098,6 +2098,39 @@ _HLL_M = 256
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. alpha_256
 
 
+def hll_estimate_expr() -> tuple[list, F.Column]:
+    """(register-table aggs, estimate expr) over a frame of
+    (group..., reg, mj) rows — shared by the batch query and the
+    streaming distinct counter (registers merge by MAX, so the same
+    estimate works on any union of register tables)."""
+    aggs = [
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("mj")))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * 1.0
+        ).alias("denom"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("zeros"),
+    ]
+    raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("denom")
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return aggs, est
+
+
+def hll_registers(df: DataFrame, key, group_col: str) -> DataFrame:
+    """Per-group HLL register table (group, reg, mj) — mergeable by MAX."""
+    return (
+        df.select(
+            group_col,
+            HS.hll_register(key).alias("reg"),
+            HS.hll_rank(key).alias("rank"),
+        )
+        .groupBy(group_col, "reg")
+        .agg(F.max("rank").alias("mj"))
+    )
+
+
 @query(
     "hll_distinct_portable",
     oracle=f"""
@@ -2150,34 +2183,15 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # Flajolet et al. alpha_256
     "partitions/streams by elementwise MAX. The exact countDistinct rides "
     "along as the eval reference.",
 )
+
 def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    uid = F.col("user_id").cast("string")
-    h = ev.select(
-        "event_type",
-        (HS.hash60b(uid) % _HLL_M).alias("reg"),
-        (HS.hash60(uid) % F.lit(4503599627370496)).alias("h52"),
-    )
-    regs = h.groupBy("event_type", "reg").agg(
-        F.max(
-            F.when(F.col("h52") > 0, F.lit(53) - F.length(F.bin("h52"))).otherwise(53)
-        ).alias("mj")
-    )
-    per_type = regs.groupBy("event_type").agg(
-        (
-            F.sum(F.pow(F.lit(2.0), -F.col("mj")))
-            + (F.lit(_HLL_M) - F.count(F.lit(1))) * 1.0
-        ).alias("denom"),
-        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("zeros"),
-    )
+    regs = hll_registers(ev, F.col("user_id").cast("string"), "event_type")
+    aggs, est = hll_estimate_expr()
+    per_type = regs.groupBy("event_type").agg(*aggs)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("n_exact")
     )
-    raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("denom")
-    est = F.when(
-        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
-        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
-    ).otherwise(raw)
     return (
         per_type.join(exact, "event_type")
         .select(

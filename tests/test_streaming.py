@@ -500,3 +500,65 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     assert len(got) == 1
     assert got[0].c_user == 1
+
+
+def test_streaming_hll_registers_merge_to_batch_estimate(spark, tmp_path):
+    """HLL registers merge by MAX, so a streamed register table (state
+    built across micro-batches) must yield the *identical* estimate to the
+    batch query — the mergeability claim made in hll_distinct_portable's
+    docstring, executed for real."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.functions import hashing as HS
+    from kafka_clickhouse_ingest_pipeline_spark.queries.relational import (
+        hll_distinct_portable,
+        hll_estimate_expr,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.functions.rounding import round4
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "event_type")
+    src = str(tmp_path / "src")
+    # two part-files -> two micro-batches; the register state must merge them
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    uid = F.col("user_id").cast("string")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs = (
+        stream.select(
+            "event_type",
+            HS.hll_register(uid).alias("reg"),
+            HS.hll_rank(uid).alias("rank"),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rank").alias("mj"))
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    aggs, est = hll_estimate_expr()
+    streamed = {
+        r.event_type: r.hll_estimate
+        for r in spark.table("hll_regs")
+        .groupBy("event_type")
+        .agg(*aggs)
+        .select("event_type", round4(est).alias("hll_estimate"))
+        .collect()
+    }
+    batch = {
+        r.event_type: r.hll_estimate
+        for r in hll_distinct_portable(spark, sf).collect()
+    }
+    assert streamed == batch  # bit-identical estimates
