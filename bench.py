@@ -75,9 +75,13 @@ HEADLINE = [
     "window_rolling_median",
     "agg_filtered_family",
     "user_activity_similarity",
-    # sketch family: Bloom decontamination, portable HLL
+    # sketch family: Bloom decontamination, portable HLL, Count-Min
     "decontaminate_bloom_eval",
     "hll_distinct_portable",
+    "cms_heavy_hitters_eval",
+    # retrieval / LM quality
+    "bm25_search_topk",
+    "text_unigram_logprob_scores",
 ]
 
 

@@ -769,3 +769,96 @@ def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    dl AS (SELECT doc_id, COUNT(*) * 1.0 AS dl FROM toks2 GROUP BY doc_id),
+    stats AS (
+      SELECT AVG(dl) AS avgdl, COUNT(*) * 1.0 AS n_docs FROM dl
+    ),
+    qterms AS (
+      SELECT unnest(['{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}',
+                     '{_BM25_TERMS[2]}']) AS term
+    ),
+    df AS (
+      SELECT t.term, COUNT(DISTINCT doc_id) * 1.0 AS df
+      FROM toks2 t JOIN qterms USING (term) GROUP BY t.term
+    ),
+    tf AS (
+      SELECT doc_id, t.term, COUNT(*) * 1.0 AS tf
+      FROM toks2 t JOIN qterms USING (term)
+      GROUP BY doc_id, t.term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * ({_BM25_K1} + 1.0)
+               / (tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+             ) AS score
+      FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+           stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, {round4_sql("score")} AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    description="C11/IR: BM25 ranked retrieval for a fixed 3-term query "
+    "(Okapi k1=1.2, b=0.75; idf = ln((N-df+.5)/(df+.5)+1)). Corpus-side "
+    "stats (doc length, avgdl, per-term df) are aggregations; the scoring "
+    "join touches only postings of the query terms — at 100 TB that is "
+    "an inverted-index point lookup, here a semi-join pushdown on 3 "
+    "terms. Top-20 via TakeOrderedAndProject.",
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    dl = toks.groupBy("doc_id").agg((F.count(F.lit(1)) * 1.0).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), (F.count(F.lit(1)) * 1.0).alias("n_docs")
+    )
+    qterms = docs.sparkSession.createDataFrame(
+        [(t,) for t in _BM25_TERMS], ["term"]
+    )
+    hits = toks.join(F.broadcast(qterms), "term")
+    df_t = hits.groupBy("term").agg(
+        (F.countDistinct("doc_id") * 1.0).alias("df")
+    )
+    tf = hits.groupBy("doc_id", "term").agg(
+        (F.count(F.lit(1)) * 1.0).alias("tf")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(round4(F.sum(term_score)).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
