@@ -233,3 +233,38 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     bs = sorted(b for mn, _mx in zor_stats for b in [mn["b"]])
     b_lo, b_hi = bs[0], bs[0] + 2000
     assert candidates(zor_stats, "b", b_lo, b_hi) < len(zor_stats)
+
+
+def test_bloom_probe_is_broadcast_never_nested_loop(spark, sf_dir):
+    df = registry.REGISTRY["decontaminate_bloom_eval"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    # sketch (<=2048 rows) and bench-gram dim both broadcast; the corpus
+    # gram side is never the build side and never a cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_scores_only_query_term_postings(spark, sf_dir):
+    df = registry.REGISTRY["bm25_search_topk"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    # the 3-term query table broadcasts into the postings scan, and the
+    # top-20 compiles to TakeOrderedAndProject (no global sort)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_adc_joins_are_broadcast_lookups(spark, sf_dir):
+    df = registry.REGISTRY["pq_adc_topk"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes; training materializations run here
+    plan = _executed_plan(df)
+    # code->distance lookup table is a broadcast; corpus never self-joins
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_agg_is_partial(spark, sf_dir):
+    df = registry.REGISTRY["hll_distinct_portable"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    # register table: partial max per partition before the shuffle — the
+    # map-side combine that makes the sketch O(m) per partition
+    assert "partial_max" in plan
