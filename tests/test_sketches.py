@@ -71,3 +71,51 @@ def test_hll_estimate_within_std_error_envelope(spark, sf_dir):
         # m=256 -> typical rel. error 1.04/sqrt(256) = 6.5%; 20% is ~3 sigma
         assert r.within_20pct == 1
         assert r.hll_estimate > 0
+
+
+def test_zorder_key_is_a_bijection_on_the_bit_domain(spark):
+    """Interleaving must be information-preserving: distinct (a, b) pairs
+    map to distinct z-values, and de-interleaving the bits recovers both
+    coordinates exactly."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.plans import layout as ZL
+
+    pairs = spark.range(512).select(
+        (F.col("id") % 23 * 89).alias("a"), (F.col("id") * 131 % 65536).alias("b")
+    )
+    z = pairs.select("a", "b", ZL.zorder_key("a", "b", 16).alias("z"))
+    rows = z.collect()
+    assert len({r.z for r in rows}) == len({(r.a, r.b) for r in rows})
+    for r in rows:
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)
+
+
+def test_double_hash_positions_stay_in_range(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.functions import hashing as HS
+
+    keys = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    for j in (0, 4):
+        stats = keys.select(
+            HS.double_hash_pos(F.col("k"), j, HS.BLOOM_BITS).alias("p")
+        ).agg(F.min("p"), F.max("p")).collect()[0]
+        assert 0 <= stats[0] and stats[1] < HS.BLOOM_BITS
+
+
+def test_hll_rank_bounds_and_distribution(spark):
+    """Rank in [1, 53]; geometric decay means rank 1 covers ~half the
+    keys — a sanity check that bin-length arithmetic matches the spec."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.functions import hashing as HS
+
+    keys = spark.range(4000).select(F.col("id").cast("string").alias("k"))
+    ranks = keys.select(HS.hll_rank(F.col("k")).alias("r"))
+    lo, hi = ranks.agg(F.min("r"), F.max("r")).collect()[0]
+    assert 1 <= lo and hi <= 53
+    share_r1 = ranks.where(F.col("r") == 1).count() / 4000
+    assert 0.4 < share_r1 < 0.6
