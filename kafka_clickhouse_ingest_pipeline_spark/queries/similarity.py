@@ -889,11 +889,14 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
            (FLOOR((list_reduce(list_transform(range(1, {S.RP_DIM + 1}),
               i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])), (x, y) -> x + y))
               * 10000.0 + 0.5 + 0.000001) / 10000.0) AS proj_dsq,
-           (FLOOR(((list_reduce(list_transform(range(1, {S.RP_DIM + 1}),
+           CASE WHEN (list_reduce(list_transform(range(1, 65),
+              i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])), (x, y) -> x + y)) > 0
+           THEN (FLOOR(((list_reduce(list_transform(range(1, {S.RP_DIM + 1}),
               i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])), (x, y) -> x + y))
               / (list_reduce(list_transform(range(1, 65),
               i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])), (x, y) -> x + y)))
-              * 10000.0 + 0.5 + 0.000001) / 10000.0) AS ratio
+              * 10000.0 + 0.5 + 0.000001) / 10000.0)
+           ELSE 1.0 END AS ratio
     FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
     ORDER BY id_a, id_b
     """,
@@ -927,7 +930,12 @@ def random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             round4(orig).alias("orig_dsq"),
             round4(proj).alias("proj_dsq"),
-            round4(proj / orig).alias("ratio"),
+            # identical vectors (orig = 0): pin ratio to 1.0 — Spark's
+            # float x/0.0 is Infinity while DuckDB's is NULL, so an
+            # unguarded ratio diverges across engines on planted dups
+            F.when(orig > 0, round4(proj / orig))
+            .otherwise(F.lit(1.0))
+            .alias("ratio"),
         )
         .orderBy("id_a", "id_b")
     )
