@@ -56,7 +56,15 @@ def with_column_types(opts: dict[str, str], column_types: str) -> dict[str, str]
     """DDL column types for table auto-creation (the schema-at-sink
     discipline: the reference ships explicit DDL, init-db.sh:20-36, rather
     than inferring — e.g. 'sensor_id VARCHAR(64)' instead of the dialect
-    default CLOB)."""
+    default CLOB).
+
+    Derby caveat: only retype columns that never carry NULLs. Spark binds
+    string NULLs with the dialect's default JDBC type code (CLOB on
+    Derby), and Derby rejects a CLOB-typed setNull against a VARCHAR
+    column (ERROR 22005). Nullable string columns should keep the CLOB
+    default and readers should disable predicate pushdown instead (Derby
+    cannot compare CLOBs server-side). ClickHouse's String type has
+    neither limitation."""
     return {**opts, "createTableColumnTypes": column_types}
 
 
