@@ -199,3 +199,17 @@ def test_http_to_streaming_pipeline_end_to_end(spark, tmp_path):
     assert set(rows) == {"s1", "s2", "s3"}
     assert rows["s1"].temperature == 21.5
     assert json.loads(rows["s2"]._raw_data)["sensorId"] == "s2"
+
+
+def test_interrupted_flush_tmp_file_is_invisible_to_spark(spark, tmp_path):
+    """A crash between tmp-write and rename leaves `._tmp-*` in the spool;
+    Spark's file listing skips dot/underscore-prefixed files, so a
+    half-written batch can never be half-read by the stream."""
+    spool = tmp_path / "spool"
+    pub = H.SpoolPublisher(str(spool), batch_size=1)
+    pub.publish(None, b'{"ok":1}')
+    pub.close()
+    # simulate the crash artifact
+    (spool / "._tmp-batch-000000099.jsonl").write_text('{"half":')
+    got = spark.read.text(str(spool)).collect()
+    assert [r.value for r in got] == ['{"ok":1}']
