@@ -645,3 +645,63 @@ def duplicated_spans(
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Asymmetric containment dedup: C(A→B) = |A∩B| / |A|.
+
+    Jaccard misses subset relationships — a short doc fully quoted inside
+    a long one scores |A|/|B| (small) on Jaccard but 1.0 on containment.
+    Same inverted-index machinery as :func:`ngram_jaccard_pairs` (shared
+    hot-shingle DF cap, same scale shape); the pair survives when EITHER
+    direction's containment clears the threshold. Output keeps both
+    directions plus the Jaccard for triage.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .where(F.col("df_count") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    c_ab = round4(F.col("inter") / F.col("sz_a"))
+    c_ba = round4(F.col("inter") / F.col("sz_b"))
+    jac = round4(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    )
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+            jac.alias("jaccard"),
+        )
+        .where(
+            (F.col("contain_a_in_b") >= threshold)
+            | (F.col("contain_b_in_a") >= threshold)
+        )
+    )

@@ -1014,3 +1014,118 @@ def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_"
         ),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH base AS ({_PLANTED_SQL}),
+    sh0 AS ({_SHINGLES_SQL.format(base="SELECT * FROM base")}),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_MAX_DF}
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             (FLOOR((inter / sa.sz) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+               AS contain_a_in_b,
+             (FLOOR((inter / sb.sz) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+               AS contain_b_in_a,
+             (FLOOR((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5
+                    + 0.000001) / 10000.0) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT * FROM scored
+    WHERE contain_a_in_b >= 0.8 OR contain_b_in_a >= 0.8
+    """,
+    description="C9: asymmetric containment dedup — C(A→B) = |A∩B|/|A| "
+    "catches the subset relationships Jaccard misses (a short doc fully "
+    "quoted inside a long one is 1.0 containment but small Jaccard). "
+    "Same inverted-index + hot-shingle-cap machinery as the Jaccard "
+    "pairs; a pair survives when either direction clears 0.8.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    return D.ngram_containment_pairs(
+        docs, "text", "doc_id", threshold=0.8, max_df=NGRAM_MAX_DF
+    )
+
+
+@query(
+    "corpus_source_overlap",
+    oracle="""
+    WITH sg AS (
+      SELECT DISTINCT source,
+             unnest([array_to_string(w[i+1:i+3], ' ')
+                     for i in range(0, greatest(len(w)-2, 1))]) AS shingle
+      FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+    ),
+    sg2 AS (SELECT source, shingle FROM sg WHERE length(shingle) > 0),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM sg2 GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM sg2 a JOIN sg2 b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b,
+           CAST(sa.sz AS BIGINT) AS n_a,
+           CAST(sb.sz AS BIGINT) AS n_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           (FLOOR((n_common / (sa.sz + sb.sz - n_common)) * 10000.0
+                  + 0.5 + 0.000001) / 10000.0) AS jaccard,
+           (FLOOR((n_common / LEAST(sa.sz, sb.sz)) * 10000.0
+                  + 0.5 + 0.000001) / 10000.0) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    description="Corpus analytics: pairwise shingle overlap between "
+    "sources — the cross-source contamination matrix every mixture "
+    "decision needs (is source X just a scrape of source Y?). Per-source "
+    "distinct shingle sets, then a shingle equi-join; a shingle present "
+    "in f sources yields at most f(f-1)/2 pair rows, so with a bounded "
+    "source catalog the join is linear in corpus size at any scale. "
+    "Containment = overlap over the smaller set.",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sg = D.shingles(docs, "text", "source", n=3)
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = sg.select(F.col("source").alias("src_a"), "shingle")
+    b = sg.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    un = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return (
+        inter.join(F.broadcast(sz_a), "src_a")
+        .join(F.broadcast(sz_b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("sz_a").cast("long").alias("n_a"),
+            F.col("sz_b").cast("long").alias("n_b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            round4(F.col("n_common") / un).alias("jaccard"),
+            round4(
+                F.col("n_common") / F.least(F.col("sz_a"), F.col("sz_b"))
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
