@@ -254,3 +254,72 @@ def repetition_features(
         .cast("int")
         .alias("passes_repetition_gate"),
     )
+
+
+def bpe_train_merges(
+    words: DataFrame,
+    rounds: int = 6,
+    term_col: str = "term",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Iterated BPE training (Sennrich et al.): learn `rounds` merges.
+
+    Words are kept as spaced symbol strings with DOUBLE-space separators
+    and single-space ends (" a  b  </w> "): a merge is then ONE string
+    replace of " a  b " with " ab " — and because each match consumes one
+    of the two separator spaces, consecutive boundary-sharing occurrences
+    ("a b a b") all merge in a single left-to-right non-overlapping pass,
+    exactly the canonical BPE behavior. replace() has identical
+    left-to-right all-occurrence semantics in Spark and DuckDB, so the
+    oracle replays the same rounds CTE-for-round.
+
+    Each round: explode adjacent symbol pairs weighted by word frequency,
+    pick the max (ties lexicographic on the pair), rewrite the vocab.
+    The vocab table is one row per DISTINCT word — corpus size only
+    enters through the precomputed frequencies, so a round is
+    O(|vocab| * max_word_len) with one small aggregation; the chosen
+    pair rides as a 1-row broadcast, never a driver value.
+
+    Returns (merge_rank, pair, merged, weight).
+    """
+    chars = F.split(F.col(term_col), "")
+    syms0 = F.concat(
+        F.lit(" "),
+        F.concat_ws("  ", F.concat(chars, F.array(F.lit("</w>")))),
+        F.lit(" "),
+    )
+    w = words.select(F.col(freq_col).alias("freq"), syms0.alias("s"))
+
+    merges = None
+    for t in range(1, rounds + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.concat(F.get(syms, i), F.lit(" "), F.get(syms, i + 1)),
+        )
+        best = (
+            w.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.col("weight").desc(), "pair")
+            .limit(1)
+            .select(
+                F.lit(t).alias("merge_rank"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("weight").cast("long").alias("weight"),
+            )
+            .localCheckpoint(eager=True)  # 1 row; feeds rewrite + output
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        halves = F.split(F.col("pair"), " ")
+        pat = F.concat(
+            F.lit(" "), F.get(halves, 0), F.lit("  "), F.get(halves, 1), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+        w = (
+            w.crossJoin(F.broadcast(best.select("pair", "merged")))
+            .select("freq", F.replace(F.col("s"), pat, rep).alias("s"))
+            .localCheckpoint(eager=True)  # vocab-sized; stops round replay
+        )
+    return merges.orderBy("merge_rank")

@@ -862,3 +862,79 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+    parts = [
+        """wc AS (
+      SELECT term, COUNT(*) AS freq
+      FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+      )
+      WHERE length(term) > 0
+      GROUP BY term
+    )""",
+        """w0 AS (
+      SELECT freq,
+             ' ' || array_to_string(
+               list_append(string_split(term, ''), '</w>'), '  ') || ' '
+               AS s
+      FROM wc
+    )""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""p{t} AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight FROM (
+        SELECT freq,
+               unnest([syms[i+1] || ' ' || syms[i+2]
+                       for i in range(0, len(syms) - 1)]) AS pair
+        FROM (SELECT freq, string_split(trim(s, ' '), '  ') AS syms
+              FROM w{t - 1})
+      ) GROUP BY pair
+    )""")
+        parts.append(
+            f"b{t} AS MATERIALIZED (SELECT {t} AS merge_rank, pair, "
+            f"replace(pair, ' ', '') AS merged, weight FROM p{t} "
+            f"ORDER BY weight DESC, pair LIMIT 1)"
+        )
+        parts.append(f"""w{t} AS MATERIALIZED (
+      SELECT freq,
+             replace(s,
+               ' ' || string_split(b.pair, ' ')[1] || '  '
+                   || string_split(b.pair, ' ')[2] || ' ',
+               ' ' || b.merged || ' ') AS s
+      FROM w{t - 1}, b{t} b
+    )""")
+    ctes = ",\n    ".join(parts)
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT merge_rank, pair, merged, weight FROM b{t}"
+        for t in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {ctes}
+    {union}
+    ORDER BY merge_rank
+    """
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_train_sql(),
+    description="C11/tokenizer: REAL iterated BPE training (Sennrich "
+    f"et al.) — {_BPE_ROUNDS} merge rounds learned from the corpus, not "
+    "just pair counts. The vocab lives as double-space-separated symbol "
+    "strings so one replace() per round performs canonical left-to-right "
+    "non-overlapping merging (boundary-sharing runs included) with "
+    "identical semantics in both engines; each round aggregates "
+    "frequency-weighted adjacent pairs over the DISTINCT-word table "
+    "(corpus size enters only through precomputed freqs) and the chosen "
+    "pair rides as a 1-row broadcast. Output: the ranked merge table.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = T.term_frequencies(docs, "text")
+    return T.bpe_train_merges(tf, rounds=_BPE_ROUNDS)

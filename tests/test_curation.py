@@ -186,3 +186,27 @@ def test_embedding_pairs_default_lsh_blocking(spark):
         ).collect()
     }
     assert b[1] == b[2] != b[3]
+
+
+def test_bpe_merge_semantics_match_canonical_left_to_right(spark):
+    """Boundary-sharing runs must all merge in one round (the double-space
+    representation's whole job): 'abab' with best pair (a,b) becomes
+    [ab, ab], and 'aaa' with (a,a) becomes [aa, a] — canonical BPE."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import text as T
+
+    vocab = spark.createDataFrame(
+        [("abab", 10), ("aaa", 1)], ["term", "freq"]
+    )
+    merges = {r.merge_rank: r for r in T.bpe_train_merges(vocab, rounds=2).collect()}
+    # round 1: 'a b' dominates ('abab' has two occurrences: 2*10 = 20)
+    assert merges[1].pair == "a b" and merges[1].merged == "ab"
+    assert merges[1].weight == 20
+    # round 2: both occurrences collapsed, so 'ab ab' and 'ab </w>' tie
+    # at weight 10 and the lexicographic tie-break (space < 'a') picks
+    # 'ab </w>'. A single-merge-per-word bug would instead leave
+    # ' ab  a  b  </w> ', whose top pair is the leftover 'a b' (10) with
+    # 'ab </w>' at 0.
+    assert merges[2].pair == "ab </w>" and merges[2].merged == "ab</w>"
+    assert merges[2].weight == 10
