@@ -142,7 +142,14 @@ def multimodal_bmp_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame
     import numpy as np
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the small fixture parquet scans as one partition; spread the Python
+    # encode/decode stage across cores (at scale the scan is already
+    # parallel and this repartition is a no-op knob)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     yy, xx = np.mgrid[0:8, 0:6]
     grad = (yy * 11 + xx * 5).astype(np.int64)  # per-pixel part, fixed
