@@ -49,6 +49,11 @@ DEFAULT_BATCH_TIMEOUT_S = 1.0
 DEFAULT_AUTH_CACHE_SIZE = 10_000
 DEFAULT_AUTH_CACHE_TTL_S = 60 * 60.0
 
+# main.go:86-88 — net/http server timeouts
+HTTP_READ_TIMEOUT_S = 15
+HTTP_WRITE_TIMEOUT_S = 15
+HTTP_IDLE_TIMEOUT_S = 60
+
 
 class CachingAuthenticator:
     """LRU+TTL auth cache (caching.go:26-80). Thread-safe.
@@ -194,6 +199,12 @@ class SpoolPublisher:
 
 class _Handler(BaseHTTPRequestHandler):
     server: "IngestHTTPServer"
+
+    # main.go:86-87: ReadTimeout 15 s (socket read deadline; the write
+    # timeout is enforced by the same socket deadline in http.server).
+    timeout = HTTP_READ_TIMEOUT_S
+    # main.go:88: IdleTimeout 60 s for keep-alive connections
+    protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):  # silence per-request stderr noise
         pass

@@ -213,3 +213,17 @@ def test_interrupted_flush_tmp_file_is_invisible_to_spark(spark, tmp_path):
     (spool / "._tmp-batch-000000099.jsonl").write_text('{"half":')
     got = spark.read.text(str(spool)).collect()
     assert [r.value for r in got] == ['{"ok":1}']
+
+
+def test_config_parity_with_reference_defaults():
+    """BASELINE.md config parity: producer batch 100 / linger 1 s
+    (publisher.go:45-46), auth cache 10000 keys / 60 m TTL
+    (config.go:19-20), HTTP read timeout 15 s (main.go:86)."""
+    assert H.DEFAULT_BATCH_SIZE == 100
+    assert H.DEFAULT_BATCH_TIMEOUT_S == 1.0
+    assert H.DEFAULT_AUTH_CACHE_SIZE == 10_000
+    assert H.DEFAULT_AUTH_CACHE_TTL_S == 3600.0
+    assert H.HTTP_READ_TIMEOUT_S == 15
+    assert H.HTTP_WRITE_TIMEOUT_S == 15
+    assert H.HTTP_IDLE_TIMEOUT_S == 60
+    assert H._Handler.timeout == 15
