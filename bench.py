@@ -82,6 +82,11 @@ HEADLINE = [
     # retrieval / LM quality
     "bm25_search_topk",
     "text_unigram_logprob_scores",
+    # containment dedup, Z-order layout, BPE training, PQ search
+    "dedup_containment_pairs",
+    "zorder_locality_stats",
+    "bpe_train_merges",
+    "pq_adc_topk",
 ]
 
 

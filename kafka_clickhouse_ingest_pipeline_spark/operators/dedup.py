@@ -283,6 +283,57 @@ def simhash_hamming_pairs(
     )
 
 
+def _shingle_pair_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared inverted-index machinery behind the Jaccard and containment
+    pair operators: shingle set (hot-shingle DF cap applied BEFORE the
+    self-join), one materialization, per-doc sizes, and the (id_a, id_b,
+    inter) intersection counts.
+
+    The `sh` frame fans out three ways (sizes + both join sides);
+    localCheckpoint materializes it once and truncates lineage WITHOUT the
+    InMemoryRelation stats problem that made persist() degrade the
+    self-join plan (measured at sf0.1: plain 7.3s cold / persist 57s /
+    localCheckpoint 2.4s). Trade-off: checkpoint blocks are
+    executor-local and unrecoverable on executor loss — on a real
+    cluster, write the inverted index to storage instead.
+
+    A shingle appearing in f docs produces f^2 join rows, so one
+    boilerplate/stopword n-gram is a hot key AQE can split but not
+    shrink. `max_df` caps that: shingles with document frequency >
+    max_df are dropped from the index BEFORE the self-join (set sizes
+    are computed over the filtered universe so the similarity stays
+    internally consistent).
+
+    Returns (sizes, inter): sizes = (id, sz), inter = (id_a, id_b, inter).
+    """
+    sh = shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .where(F.col("df_count") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return sizes, inter
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -306,33 +357,7 @@ def ngram_jaccard_pairs(
     corpus-common shingles scores 0 — acceptable, since shingles shared
     by >max_df docs carry no near-duplicate signal by definition.
     """
-    # sh fans out three ways (sizes + both join sides). localCheckpoint
-    # materializes it once and truncates lineage WITHOUT the
-    # InMemoryRelation stats problem that made persist() degrade the
-    # self-join plan (measured at sf0.1: plain 7.3s cold / persist 57s /
-    # localCheckpoint 2.4s). Trade-off: checkpoint blocks are
-    # executor-local and unrecoverable on executor loss — on a real
-    # cluster, write the inverted index to storage instead.
-    sh = shingles(df, text_col, id_col, n)
-    if max_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_count"))
-            .where(F.col("df_count") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle")
-    sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    sizes, inter = _shingle_pair_index(df, text_col, id_col, n, max_df)
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
@@ -664,25 +689,7 @@ def ngram_containment_pairs(
     direction's containment clears the threshold. Output keeps both
     directions plus the Jaccard for triage.
     """
-    sh = shingles(df, text_col, id_col, n)
-    if max_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_count"))
-            .where(F.col("df_count") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle")
-    sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    sizes, inter = _shingle_pair_index(df, text_col, id_col, n, max_df)
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     c_ab = round4(F.col("inter") / F.col("sz_a"))

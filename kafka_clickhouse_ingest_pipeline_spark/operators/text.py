@@ -293,10 +293,20 @@ def bpe_train_merges(
     merges = None
     for t in range(1, rounds + 1):
         syms = F.split(F.trim(F.col("s")), "  ")
-        pairs = F.transform(
-            F.sequence(F.lit(0), F.size(syms) - 2),
-            lambda i: F.concat(F.get(syms, i), F.lit(" "), F.get(syms, i + 1)),
-        )
+        # guard: a word fully merged to ONE symbol has no adjacent pairs.
+        # Unguarded, sequence(0, -1) yields [0, -1] whose NULL "pairs"
+        # would outweigh real pairs and null the vocab via replace(s, NULL)
+        # — the oracle's range(0, len-1) is naturally empty, so this guard
+        # is also what keeps the engines in lockstep.
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(syms) - 2),
+                lambda i: F.concat(
+                    F.get(syms, i), F.lit(" "), F.get(syms, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
         best = (
             w.select(F.explode(pairs).alias("pair"), "freq")
             .groupBy("pair")

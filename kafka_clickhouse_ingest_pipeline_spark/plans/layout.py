@@ -128,13 +128,17 @@ def scale_to_bits(col, lo_col, hi_col, bits: int = 16):
     the same bit width — a 150-value user dim against a 65536-value time
     dim otherwise collapses the curve onto the wide dimension.
 
-    floor((c-lo)*top / span) through double division is exact here: the
-    numerator stays far below 2^53 and the quotient is never within an ulp
-    of an integer unless it IS one, so it matches integer `//` division.
+    Computed entirely in long arithmetic — x - (x % span) is an exact
+    multiple of span, so the final double division is exact for any span
+    (a plain floor((c-lo)*top/span) silently diverges from the SQL twin's
+    integer `//` once the span passes ~2^37, e.g. a raw epoch-ms column).
+    The numerator (c-lo)*top must stay under 2^63: spans up to ~2^47 are
+    safe with 16-bit targets.
     """
     c = F.col(col) if isinstance(col, str) else col
     lo = F.col(lo_col) if isinstance(lo_col, str) else lo_col
     hi = F.col(hi_col) if isinstance(hi_col, str) else hi_col
     top = F.lit((1 << bits) - 1)
     span = F.greatest(F.lit(1), hi - lo)
-    return F.floor((c - lo) * top / span).cast("long")
+    x = ((c - lo).cast("long") * top).cast("long")
+    return ((x - x % span) / span).cast("long")

@@ -209,7 +209,27 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # silence per-request stderr noise
         pass
 
+    def _drain_body(self) -> None:
+        """Consume any unread request body before replying.
+
+        Early replies (401/405/404/400) otherwise leave the body on the
+        keep-alive socket, and the NEXT request parse reads it as a
+        request line — a pooled client retrying with a fixed key would
+        get a bogus 501 (the Go reference's net/http drains/closes).
+        Chunked uploads can't be drained without a decoder http.server
+        lacks, so those connections close after the reply.
+        """
+        if getattr(self, "_body", None) is not None:
+            return
+        if self.headers.get("Transfer-Encoding", "").lower() == "chunked":
+            self.close_connection = True
+            return
+        length = int(self.headers.get("Content-Length") or 0)
+        if length > 0:
+            self.rfile.read(length)
+
     def _reply(self, code: int, body: str) -> None:
+        self._drain_body()
         data = body.encode()
         self.send_response(code)
         self.send_header("Content-Type", "text/plain; charset=utf-8")
@@ -218,6 +238,9 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def _route(self, method: str) -> None:
+        # one handler instance serves every request on a keep-alive
+        # connection — reset the consumed-body marker per request
+        self._body = None
         if self.path == "/healthz":
             # main.go:77-80: GET only
             if method != "GET":
@@ -251,6 +274,7 @@ class _Handler(BaseHTTPRequestHandler):
         # handler.go:59-71: read body, empty -> 400
         length = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(length) if length else b""
+        self._body = body  # mark consumed so _reply doesn't re-drain
         if not body:
             self._reply(400, "Bad Request: Empty body\n")
             return

@@ -210,3 +210,17 @@ def test_bpe_merge_semantics_match_canonical_left_to_right(spark):
     # 'ab </w>' at 0.
     assert merges[2].pair == "ab </w>" and merges[2].merged == "ab</w>"
     assert merges[2].weight == 10
+
+
+def test_bpe_fully_merged_word_emits_no_pairs(spark):
+    """A word collapsed to a single symbol must drop out of pair counting
+    (regression: unguarded sequence(0,-1) produced NULL pairs that outvoted
+    real pairs and nulled the vocab through replace(s, NULL, ...))."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import text as T
+
+    vocab = spark.createDataFrame([("e", 100), ("xy", 1)], ["term", "freq"])
+    merges = {r.merge_rank: r for r in T.bpe_train_merges(vocab, rounds=2).collect()}
+    assert merges[1].pair == "e </w>" and merges[1].weight == 100
+    # round 2: 'e</w>' is a single symbol now; only 'xy' contributes
+    assert merges[2].pair is not None
+    assert merges[2].pair == "x y" and merges[2].weight == 1

@@ -227,3 +227,28 @@ def test_config_parity_with_reference_defaults():
     assert H.HTTP_WRITE_TIMEOUT_S == 15
     assert H.HTTP_IDLE_TIMEOUT_S == 60
     assert H._Handler.timeout == 15
+
+
+def test_keepalive_connection_survives_early_rejections(server):
+    """Regression: early replies (401/405) must drain the unread body, or
+    the next request on the same keep-alive connection parses the stale
+    body as a request line and gets a bogus 501."""
+    import http.client
+
+    host, port = server.server_address[:2]
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    try:
+        exchanges = [
+            ("POST", b'{"a":1}', {H.API_KEY_HEADER: "stolen"}, 401),
+            ("POST", b'{"a":2}', {H.API_KEY_HEADER: "good-key"}, 202),
+            ("PUT", b'{"x":1}', {}, 405),
+            ("POST", b'{"a":3}', {H.API_KEY_HEADER: "good-key"}, 202),
+        ]
+        for method, body, headers, expected in exchanges:
+            conn.request(method, "/ingest", body=body, headers=headers)
+            resp = conn.getresponse()
+            status = resp.status
+            resp.read()  # finish the response so the socket can be reused
+            assert status == expected, (method, status, expected)
+    finally:
+        conn.close()
