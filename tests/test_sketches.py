@@ -119,3 +119,52 @@ def test_hll_rank_bounds_and_distribution(spark):
     assert 1 <= lo and hi <= 53
     share_r1 = ranks.where(F.col("r") == 1).count() / 4000
     assert 0.4 < share_r1 < 0.6
+
+
+def test_cms_counters_merge_by_sum_across_partitions(spark, sf_dir):
+    """SCALE.md claims CMS counters merge by elementwise SUM — prove it:
+    building one sketch per half of the corpus and summing them must give
+    the whole-corpus sketch exactly (so per-day/per-partition sketches
+    compose without re-reading the data)."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.functions import hashing as HS
+    from kafka_clickhouse_ingest_pipeline_spark.operators import text as T
+    from kafka_clickhouse_ingest_pipeline_spark.queries.text import _CMS_D, _CMS_W
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def sketch(df):
+        tf = T.term_frequencies(df, "text")
+        rows = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        HS.double_hash_pos(F.col("term"), r, _CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+        return (
+            tf.select(rows, "freq")
+            .select("rb.r", "rb.bucket", "freq")
+            .groupBy("r", "bucket")
+            .agg(F.sum("freq").alias("counter"))
+        )
+
+    whole = {(r.r, r.bucket): r.counter for r in sketch(docs).collect()}
+    lo = sketch(docs.where(F.col("doc_id") % 2 == 0))
+    hi = sketch(docs.where(F.col("doc_id") % 2 == 1))
+    merged = {
+        (r.r, r.bucket): r.total
+        for r in lo.unionByName(hi)
+        .groupBy("r", "bucket")
+        .agg(F.sum("counter").alias("total"))
+        .collect()
+    }
+    assert merged == whole
