@@ -939,3 +939,107 @@ def random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def _pq_recall_sql() -> str:
+    parts, _ = _pq_parts()
+    for m in range(_PQ_NSUB):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        parts.append(
+            f"qv_p{m} AS (SELECT list_transform(embedding[{lo}:{hi}], "
+            f"x -> CAST(x AS DOUBLE)) AS qv FROM embeddings "
+            f"WHERE vec_id = {QUERY_VEC_ID})"
+        )
+        qdist = (
+            f"(FLOOR((list_reduce(list_transform(range(1, {_PQ_SUBDIM + 1}), "
+            "i -> (q.qv[i] - k.cv[i]) * (q.qv[i] - k.cv[i])), "
+            "(a, b) -> a + b)) * 10000.0 + 0.5 + 0.000001) / 10000.0)"
+        )
+        parts.append(
+            f"dtab_p{m} AS (SELECT k.cell AS code_{m}, {qdist} AS qd_{m} "
+            f"FROM cbv_p{m} k, qv_p{m} q)"
+        )
+    enc_joins = " ".join(
+        f"JOIN enc_p{m} USING (vec_id)" for m in range(1, _PQ_NSUB)
+    )
+    dtab_joins = " ".join(
+        f"JOIN dtab_p{m} USING (code_{m})" for m in range(_PQ_NSUB)
+    )
+    qds = " + ".join(f"qd_{m}" for m in range(_PQ_NSUB))
+    parts.append(f"""est AS (
+      SELECT vec_id,
+             (FLOOR(({qds}) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+               AS est_dist
+      FROM enc_p0 {enc_joins} {dtab_joins}
+      WHERE vec_id != {QUERY_VEC_ID}
+    )""")
+    parts.append(
+        "adc_top AS (SELECT vec_id FROM est ORDER BY est_dist, vec_id "
+        "LIMIT 10)"
+    )
+    parts.append(
+        "corpus_full AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    )
+    parts.append(
+        "qfull AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})"
+    )
+    true_d = (
+        "(FLOOR((list_reduce(list_transform(range(1, 65), "
+        "i -> (c.v[i] - q.qv[i]) * (c.v[i] - q.qv[i])), (a, b) -> a + b)) "
+        "* 10000.0 + 0.5 + 0.000001) / 10000.0)"
+    )
+    parts.append(f"""exact_top AS (
+      SELECT c.vec_id FROM corpus_full c, qfull q
+      WHERE c.vec_id != {QUERY_VEC_ID}
+      ORDER BY {true_d}, c.vec_id LIMIT 10
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM adc_top JOIN exact_top USING (vec_id))
+                AS BIGINT) AS n_hit,
+           (FLOOR(((SELECT COUNT(*) FROM adc_top JOIN exact_top
+                    USING (vec_id)) / 10.0) * 10000.0 + 0.5 + 0.000001)
+            / 10000.0) AS recall_at_10
+    """
+
+
+@query(
+    "pq_recall_eval",
+    oracle=_pq_recall_sql(),
+    description="C10/PQ eval: recall@10 of ADC search against the exact "
+    "squared-L2 top-10 — the number that decides whether 256x index "
+    "compression is worth it for a given corpus (the tuning dashboard "
+    "row, like ann_recall_eval for LSH). Candidate-bounded: both top-10s "
+    "are TakeOrderedAndProject heaps, the overlap is a 10x10 join.",
+)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    adc = S.pq_adc_topk(
+        emb, q, k_top=10, n_sub=_PQ_NSUB, sub_dim=_PQ_SUBDIM
+    ).select("vec_id")
+    corpus = emb.select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    qv = q.select(S.as_double(F.col("embedding")).alias("qv"))
+    true_d = round4(S._l2sq(F.col("v"), F.col("qv")))
+    exact = (
+        corpus.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", true_d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = adc.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return hits.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_hit",
+        round4(F.col("n_hit") / 10.0).alias("recall_at_10"),
+    )
