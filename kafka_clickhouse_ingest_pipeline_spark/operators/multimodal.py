@@ -300,10 +300,14 @@ def decode_audio(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
 def decode_image(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
     """Image decode kernel. Dispatch, most-reproducible-first:
 
-    - BMP-magic payloads ALWAYS take the stdlib parser (`_bmp_decode`):
-      it is real pixel decode with zero dependencies and engine-pinned
-      arithmetic, so results never depend on which codec lib is
-      installed (PIL's resampling would give different floats).
+    - BMP-magic payloads the stdlib parser can actually read
+      (uncompressed 24-bit) take it first: real pixel decode with zero
+      dependencies and engine-pinned arithmetic, so results never depend
+      on which codec lib is installed (PIL's resampling would give
+      different floats). BMP variants the parser can't handle (palette,
+      16/32-bit, RLE) fall through to PIL like any other format —
+      routing them to the stdlib path would silently zero them even with
+      a capable codec present.
     - other formats: PIL when importable, else the deterministic digest
       stand-in (``fake=None`` auto) or NotImplementedError
       (``fake=False`` demands a real codec).
@@ -314,7 +318,7 @@ def decode_image(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
     """
     if fake:
         return _fake_decode(payload)
-    if _is_bmp(payload):
+    if _is_bmp(payload) and _bmp_gray(payload) is not None:
         return _bmp_decode(payload)
     if HAVE_PIL:
         return _pil_decode(payload)

@@ -48,16 +48,23 @@ def seqdot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     instead of an interpreted 190-node expression per row (the measured
     hot spot of the candidate-pair verify paths).
 
-    Rows where the two vectors differ in length (or are empty) return
-    NaN→null like the HOF's zip_with null propagation would; uniform-
-    width batches take the fast path.
+    Rows where either vector is NULL, or the two differ in length (or
+    are empty), return NaN→null like the HOF's zip_with null propagation
+    would; uniform-width all-non-null batches take the fast path.
     """
     import math
 
     out = np.empty(len(a), dtype=np.float64)
-    la = a.map(len).to_numpy() if len(a) else np.array([], dtype=np.int64)
-    lb = b.map(len).to_numpy() if len(b) else np.array([], dtype=np.int64)
-    uniform = len(a) > 0 and la.min() == la.max() and (la == lb).all()
+    # NULL vectors arrive as None; len(None) would crash the worker
+    _len = lambda v: -1 if v is None else len(v)  # noqa: E731
+    la = a.map(_len).to_numpy() if len(a) else np.array([], dtype=np.int64)
+    lb = b.map(_len).to_numpy() if len(b) else np.array([], dtype=np.int64)
+    uniform = (
+        len(a) > 0
+        and la.min() == la.max()
+        and (la == lb).all()
+        and la.min() >= 0
+    )
     if uniform:
         A = np.vstack(a.to_numpy())
         B = np.vstack(b.to_numpy())
@@ -67,7 +74,7 @@ def seqdot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         out = acc
     else:
         for j, (va, vb) in enumerate(zip(a, b)):
-            if len(va) != len(vb):
+            if va is None or vb is None or len(va) != len(vb):
                 out[j] = math.nan
                 continue
             s = 0.0

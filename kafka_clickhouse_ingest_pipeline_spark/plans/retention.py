@@ -43,8 +43,10 @@ def expired_partitions(
     return out
 
 
-def _recover_interrupted_swap(path: str, boundary_dir: str, cutoff_bucket: str) -> None:
-    """Heal a crash inside apply_ttl's rename window.
+def _recover_interrupted_swap(
+    path: str, partition_col: str, cutoff_bucket: str
+) -> None:
+    """Heal a crash inside apply_ttl's rename window — for EVERY bucket.
 
     The rewrite sequence is: write ``_ttl_tmp_*`` → rename boundary →
     ``_ttl_trash_*`` → rename tmp → boundary → rmtree trash. A crash
@@ -52,19 +54,32 @@ def _recover_interrupted_swap(path: str, boundary_dir: str, cutoff_bucket: str) 
     data sits complete in tmp and the old data in trash. Roll the swap
     forward (tmp has the full post-TTL partition) when tmp exists, else
     roll back from trash; finally drop whichever leftovers remain.
+
+    Recovery scans for any ``_ttl_tmp_*`` / ``_ttl_trash_*`` sibling, not
+    just the current cutoff's: yesterday's run may have crashed on
+    yesterday's (different) boundary bucket, and healing only today's
+    would leave that partition's live rows invisible in trash forever.
     Idempotent: a healthy tree (live boundary, no siblings) is untouched.
     """
-    tmp = os.path.join(path, f"_ttl_tmp_{cutoff_bucket}")
-    trash = os.path.join(path, f"_ttl_trash_{cutoff_bucket}")
-    if not os.path.isdir(boundary_dir):
-        if os.path.isdir(tmp):
-            os.rename(tmp, boundary_dir)  # roll forward: tmp is complete
-        elif os.path.isdir(trash):
-            os.rename(trash, boundary_dir)  # roll back: rewrite never landed
-    # Leftover siblings (crash after a completed swap, or stale trash
-    # alongside a healthy boundary) are junk either way.
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(trash, ignore_errors=True)
+    buckets = set()
+    for entry in os.listdir(path):
+        for prefix in ("_ttl_tmp_", "_ttl_trash_"):
+            if entry.startswith(prefix):
+                buckets.add(entry[len(prefix):])
+    buckets.add(cutoff_bucket)
+    for bucket in sorted(buckets):
+        live = os.path.join(path, f"{partition_col}={bucket}")
+        tmp = os.path.join(path, f"_ttl_tmp_{bucket}")
+        trash = os.path.join(path, f"_ttl_trash_{bucket}")
+        if not os.path.isdir(live):
+            if os.path.isdir(tmp):
+                os.rename(tmp, live)  # roll forward: tmp is complete
+            elif os.path.isdir(trash):
+                os.rename(trash, live)  # roll back: rewrite never landed
+        # Leftover siblings (crash after a completed swap, or stale trash
+        # alongside a healthy boundary) are junk either way.
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
 
 
 def apply_ttl(
@@ -89,7 +104,7 @@ def apply_ttl(
         dropped += 1
 
     boundary_dir = os.path.join(path, f"{partition_col}={cutoff_bucket}")
-    _recover_interrupted_swap(path, boundary_dir, cutoff_bucket)
+    _recover_interrupted_swap(path, partition_col, cutoff_bucket)
     boundary_rewritten = False
     if os.path.isdir(boundary_dir):
         # The boundary partition may hold either physical timestamp form

@@ -2024,12 +2024,20 @@ def url_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            (FLOOR((COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events))
                   * 10000.0 + 0.5 + 0.000001) / 10000.0) AS coverage,
            CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_values,
-           (FLOOR((SUM(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+           (FLOOR((SUM(CASE WHEN regexp_matches(v,
+                    '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                    AND TRY_CAST(v AS DOUBLE) IS NOT NULL
                             THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
                   * 10000.0 + 0.5 + 0.000001) / 10000.0) AS numeric_frac,
-           (FLOOR(MIN(TRY_CAST(v AS DOUBLE)) * 10000.0 + 0.5 + 0.000001)
+           (FLOOR(MIN(CASE WHEN regexp_matches(v,
+                    '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                    THEN TRY_CAST(v AS DOUBLE) END)
+                  * 10000.0 + 0.5 + 0.000001)
             / 10000.0) AS min_numeric,
-           (FLOOR(MAX(TRY_CAST(v AS DOUBLE)) * 10000.0 + 0.5 + 0.000001)
+           (FLOOR(MAX(CASE WHEN regexp_matches(v,
+                    '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                    THEN TRY_CAST(v AS DOUBLE) END)
+                  * 10000.0 + 0.5 + 0.000001)
             / 10000.0) AS max_numeric
     FROM kv
     GROUP BY k
@@ -2055,11 +2063,14 @@ def props_schema_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # try_cast-to-double, NOT try_to_number with a format: the oracle's
-    # TRY_CAST(v AS DOUBLE) accepts signs, scientific notation, and wide
-    # integers that a fixed '999999999.9999' picture rejects — the two
-    # must agree on WHICH strings count as numeric, not just their value.
-    num = F.col("v").try_cast("double")
+    # The two engines must agree on WHICH strings count as numeric, and
+    # neither cast alone pins that set (Spark's string-to-double accepts
+    # Java-isms like '1.5d' that DuckDB rejects; a to_number picture
+    # rejects signs/scientific notation DuckDB accepts). So BOTH sides
+    # gate on the same anchored decimal/scientific regex first, and only
+    # regex-passing strings — where the engines agree exactly — are cast.
+    _num_rx = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+    num = F.when(F.col("v").rlike(_num_rx), F.col("v").try_cast("double"))
     return (
         kv.groupBy("prop_key")
         .agg(

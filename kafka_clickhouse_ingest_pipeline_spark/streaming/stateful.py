@@ -91,6 +91,12 @@ def _band_update_fn(ttl_ms: int):
             out_dup.append(int(seen))
             seen = True  # later rows of this batch dup against the first
             max_ts_ms = max(max_ts_ms, int(row.ts.value // 10**6))
+        # last-seen must be MONOTONIC: a late batch carrying only older
+        # events (still inside the watermark) must not shrink the TTL
+        # below what the previous sighting already earned, or a genuine
+        # near-dup inside the window would be forgotten early
+        if state.exists:
+            max_ts_ms = max(max_ts_ms, int(state.get[0]))
         state.update((max_ts_ms,))
         # event-time TTL: drop this band's state once the watermark
         # passes last-seen + ttl (must stay above the current watermark)

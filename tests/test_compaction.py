@@ -159,3 +159,38 @@ def test_ttl_rolls_back_when_tmp_missing(spark, sf_dir, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == expected
     assert not [e for e in os.listdir(path) if e.startswith("_ttl_")]
+
+
+def test_ttl_heals_stale_crash_from_an_earlier_bucket(spark, sf_dir, tmp_path):
+    """Regression: a crashed swap from YESTERDAY'S run (different boundary
+    bucket) must be healed by today's run — recovery keyed only on the
+    current cutoff bucket left the older partition's rows invisible in
+    _ttl_trash_* forever."""
+    import os
+    import shutil
+
+    from kafka_clickhouse_ingest_pipeline_spark.plans.retention import apply_ttl
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "yyyymmdd", F.date_format("ts", "yyyyMMdd")
+    )
+    path = str(tmp_path / "events_stale_crash")
+    ev.write.partitionBy("yyyymmdd").parquet(path)
+    days = sorted(
+        str(r["yyyymmdd"])
+        for r in spark.read.parquet(path).select("yyyymmdd").distinct().collect()
+    )
+    stale, today = days[3], days[2]  # stale crash on a LATER (kept) bucket
+    # yesterday's crash artifact: boundary renamed to trash, tmp complete
+    stale_dir = os.path.join(path, f"yyyymmdd={stale}")
+    shutil.copytree(stale_dir, os.path.join(path, f"_ttl_tmp_{stale}"))
+    os.rename(stale_dir, os.path.join(path, f"_ttl_trash_{stale}"))
+    assert not os.path.isdir(stale_dir)
+
+    cutoff = f"{today[:4]}-{today[4:6]}-{today[6:]} 12:00:00"
+    expected = ev.where(F.col("ts") >= F.lit(cutoff).cast("timestamp")).count()
+    apply_ttl(spark, path, "ts", cutoff, today, "yyyymmdd")
+    # the stale bucket is back under its live name, rows intact
+    assert os.path.isdir(stale_dir)
+    assert spark.read.parquet(path).count() == expected
+    assert not [e for e in os.listdir(path) if e.startswith("_ttl_")]

@@ -180,3 +180,24 @@ def test_kmeans_empty_cell_reseeds_to_full_coverage(spark):
     # no duplicate seeds, full coverage from round one
     pp = S.kmeans_cells(emb, k=3, iters=2, seeding="farthest")
     assert len({r["cell"] for r in pp.collect()}) == 3
+
+
+def test_seqdot_udf_null_vector_yields_null_not_crash(spark):
+    """Regression: a NULL embedding arrives in the Arrow batch as None;
+    the kernel must emit null (matching zip_with null propagation), not
+    crash the Python worker on len(None)."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators.udfs import seqdot_udf
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0]), (2, None, [1.0, 1.0]),
+         (3, [1.0], [1.0, 2.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {r.id: r.d for r in df.select(
+        "id", seqdot_udf(F.col("a"), F.col("b")).alias("d")
+    ).collect()}
+    assert rows[1] == 11.0
+    assert rows[2] is None  # null vector -> null, job survives
+    assert rows[3] is None  # ragged pair -> null
