@@ -785,7 +785,14 @@ _BM25_B = 0.75
       FROM documents
     ),
     toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
-    dl AS (SELECT doc_id, COUNT(*) * 1.0 AS dl FROM toks2 GROUP BY doc_id),
+    dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> length(x) > 0)) * 1.0 AS dl
+      FROM documents
+      WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> length(x) > 0)) > 0
+    ),
     stats AS (
       SELECT AVG(dl) AS avgdl, COUNT(*) * 1.0 AS n_docs FROM dl
     ),
@@ -832,7 +839,19 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
     ).where(F.length("term") > 0)
-    dl = toks.groupBy("doc_id").agg((F.count(F.lit(1)) * 1.0).alias("dl"))
+    # doc length as an array-size projection, NOT an explode+groupBy: the
+    # exploded token stream should only be paid for the query-term
+    # postings path (measured 6x super-linear growth in the scale probe
+    # when dl re-exploded the whole corpus)
+    nw = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    dl = (
+        docs.select("doc_id", (nw * 1.0).alias("dl")).where(F.col("dl") > 0)
+    )
     stats = dl.agg(
         F.avg("dl").alias("avgdl"), (F.count(F.lit(1)) * 1.0).alias("n_docs")
     )
