@@ -28,7 +28,6 @@ import shutil
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import normalize_ts
 
 
 def expired_partitions(
@@ -107,14 +106,25 @@ def apply_ttl(
     _recover_interrupted_swap(path, partition_col, cutoff_bucket)
     boundary_rewritten = False
     if os.path.isdir(boundary_dir):
-        # The boundary partition may hold either physical timestamp form
-        # (TIMESTAMP(NANOS) needs the legacy long fallback + renormalize,
-        # exactly like tables.load_table) — without this the >= compare
-        # fails analysis on nanos-written tables.
+        # The boundary partition may hold any of three physical timestamp
+        # forms (TIMESTAMP(NANOS) read as long via the legacy fallback,
+        # TIMESTAMP_NTZ, or plain TIMESTAMP). The rewrite must preserve
+        # the NATIVE form — normalizing to TIMESTAMP here would leave ONE
+        # partition with a different parquet type than its siblings, and
+        # the next whole-table read dies on the type mismatch. So only
+        # the cutoff literal converts, into whatever form the data has.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        kept = normalize_ts(spark.read.parquet(boundary_dir), ts_col).where(
-            F.col(ts_col) >= F.lit(cutoff_ts).cast("timestamp")
-        )
+        raw = spark.read.parquet(boundary_dir)
+        dtype = raw.schema[ts_col].dataType.simpleString()
+        if dtype == "bigint":  # nanos-as-long: compare in epoch nanos
+            cutoff_expr = (
+                F.unix_micros(F.lit(cutoff_ts).cast("timestamp")) * 1000
+            )
+        elif dtype == "timestamp_ntz":
+            cutoff_expr = F.lit(cutoff_ts).cast("timestamp_ntz")
+        else:
+            cutoff_expr = F.lit(cutoff_ts).cast("timestamp")
+        kept = raw.where(F.col(ts_col) >= cutoff_expr)
         # '_'-prefixed siblings are invisible to Spark partition discovery
         # (and to expired_partitions above), so a concurrent reader never
         # sees the rewrite in flight. Order: write tmp outside the visible

@@ -243,8 +243,19 @@ def foreach_batch_writer(
             n_prev = attempts_of(batch_id)
             if n_prev > max_retries:
                 # retry budget exhausted on a previous delivery: dead-
-                # letter the whole batch and let the stream commit past it
+                # letter the whole batch and let the stream commit past it.
+                # The ledger marker must be written on THIS path too — a
+                # crash after the dead-letter append but before the
+                # checkpoint commit replays the batch, and without the
+                # marker the replay would append the same rows to
+                # dead_letter a second time despite dedupe_replays.
                 batch_df.write.mode("append").parquet(dead_letter_dir)
+                if dedupe_replays:
+                    os.makedirs(ledger, exist_ok=True)
+                    with open(
+                        os.path.join(ledger, f"{batch_id}.done"), "w"
+                    ) as fh:
+                        fh.write("")
                 return
             if n_prev > 0 and retry_backoff_ms > 0:
                 # FixedBackOff interval before each redelivery

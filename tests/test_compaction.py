@@ -194,3 +194,52 @@ def test_ttl_heals_stale_crash_from_an_earlier_bucket(spark, sf_dir, tmp_path):
     assert os.path.isdir(stale_dir)
     assert spark.read.parquet(path).count() == expected
     assert not [e for e in os.listdir(path) if e.startswith("_ttl_")]
+
+
+def test_ttl_rewrite_preserves_native_timestamp_form(spark, sf_dir, tmp_path):
+    """Regression: the boundary rewrite must keep the table's physical
+    timestamp form. A nanos-generation table (ts read as bigint under the
+    legacy fallback) previously got its boundary rewritten as TIMESTAMP,
+    leaving one partition with a different parquet type than its siblings
+    — the next whole-table read died on the type mismatch."""
+    import os
+
+    from kafka_clickhouse_ingest_pipeline_spark.plans.retention import apply_ttl
+
+    # simulate a nanos-written table: ts as epoch-nanos long
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            (F.unix_micros("ts") * 1000).alias("ts"),
+            F.date_format(
+                F.timestamp_micros(F.floor(F.unix_micros("ts") / 1).cast("long")),
+                "yyyyMMdd",
+            ).alias("yyyymmdd"),
+        )
+    )
+    path = str(tmp_path / "events_nanos")
+    ev.write.partitionBy("yyyymmdd").parquet(path)
+    days = sorted(
+        str(r["yyyymmdd"])
+        for r in spark.read.parquet(path).select("yyyymmdd").distinct().collect()
+    )
+    b = days[2]
+    cutoff = f"{b[:4]}-{b[4:6]}-{b[6:]} 12:00:00"
+    cutoff_ns_rows = ev.where(
+        F.col("ts")
+        >= F.unix_micros(F.lit(cutoff).cast("timestamp")) * 1000
+    ).where(F.col("yyyymmdd") >= b).count()
+
+    dropped, rewrote = apply_ttl(spark, path, "ts", cutoff, b, "yyyymmdd")
+    assert rewrote and dropped == 2
+    # the whole table still reads with ONE schema, ts still bigint
+    after = spark.read.parquet(path)
+    assert after.schema["ts"].dataType.simpleString() == "bigint"
+    assert after.count() == cutoff_ns_rows
+    # the rewritten boundary itself kept the long form
+    bdir = os.path.join(path, f"yyyymmdd={b}")
+    assert (
+        spark.read.parquet(bdir).schema["ts"].dataType.simpleString()
+        == "bigint"
+    )

@@ -562,3 +562,25 @@ def test_streaming_hll_registers_merge_to_batch_estimate(spark, tmp_path):
         for r in hll_distinct_portable(spark, sf).collect()
     }
     assert streamed == batch  # bit-identical estimates
+
+
+def test_dead_letter_replay_is_idempotent_with_ledger(spark, tmp_path):
+    """Regression: the dead-letter path must write the replay-ledger
+    marker too — a crash between the dead-letter append and the
+    checkpoint commit replays the batch, which previously duplicated the
+    poison rows in dead_letter despite dedupe_replays=True."""
+    import os
+
+    out = str(tmp_path / "out")
+    writer = P.foreach_batch_writer(out, dedupe_replays=True, max_retries=0)
+    # simulate an exhausted retry budget for batch 7
+    os.makedirs(os.path.join(out, "_attempts"), exist_ok=True)
+    with open(os.path.join(out, "_attempts", "7.n"), "w") as fh:
+        fh.write("1")
+    batch = spark.createDataFrame(
+        [("s1", 1.0)], "sensorId string, temperature double"
+    )
+    writer(batch, 7)  # dead-letters the batch
+    writer(batch, 7)  # replay of the same batch id: must be a no-op
+    dl = spark.read.parquet(os.path.join(out, "dead_letter"))
+    assert dl.count() == 1
