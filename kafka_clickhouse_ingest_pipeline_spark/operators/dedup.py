@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize
 from ..functions.rounding import round4
 from ..functions.hashing import (
     LSH_BANDS,
@@ -142,9 +143,9 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     parquet scans in the plan). localCheckpoint materializes the
     signatures once (persist() also worked but leaves cache entries and
     plans through InMemoryRelation) — at scale this is "write the
-    signature table once".
+    signature table once" (materialize mode="storage").
     """
-    sig = sig.localCheckpoint(eager=True)
+    sig = materialize(sig, "minhash_sigs")
     bands = []
     for b in range(LSH_BANDS):
         cols = [f"sig{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS)]
@@ -296,12 +297,13 @@ def _shingle_pair_index(
     inter) intersection counts.
 
     The `sh` frame fans out three ways (sizes + both join sides);
-    localCheckpoint materializes it once and truncates lineage WITHOUT the
+    materialize() writes it once and truncates lineage WITHOUT the
     InMemoryRelation stats problem that made persist() degrade the
     self-join plan (measured at sf0.1: plain 7.3s cold / persist 57s /
-    localCheckpoint 2.4s). Trade-off: checkpoint blocks are
-    executor-local and unrecoverable on executor loss — on a real
-    cluster, write the inverted index to storage instead.
+    localCheckpoint 2.4s). In the default "local" mode this is a
+    localCheckpoint (blocks are executor-local, unrecoverable on executor
+    loss); on a real cluster set mode="storage" so the inverted index is
+    written to durable storage instead (plans/materialize.py).
 
     A shingle appearing in f docs produces f^2 join rows, so one
     boilerplate/stopword n-gram is a hot key AQE can split but not
@@ -321,7 +323,7 @@ def _shingle_pair_index(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle")
-    sh = sh.localCheckpoint(eager=True)
+    sh = materialize(sh, "ngram_inverted_index")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -412,7 +414,7 @@ def embedding_near_dup_pairs(
     # this step is "write the bucket index once" — locally,
     # localCheckpoint (measured ~2x on the pair stage; same rationale as
     # the ngram inverted index).
-    base = base.localCheckpoint(eager=True)
+    base = materialize(base, "cosine_bucket_index")
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col("blk").alias("blk_a"),
@@ -490,18 +492,18 @@ def _cc_star(
     regardless of graph shape; rounds are O(log n). At fixpoint every
     non-root node holds exactly the edge (node, component_min).
 
-    Per-round localCheckpoint truncates the lineage (cluster mode: write
-    the edge table per round). Convergence test = (count, hash-sum)
+    Per-round materialize() truncates the lineage (cluster mode: set
+    materialize mode="storage" to write the edge table per round). Convergence test = (count, hash-sum)
     signature over the canonical directed edges — one tiny agg per round.
     """
-    edges = (
+    edges = materialize(
         pairs.select(
             F.greatest(F.col("id_a"), F.col("id_b")).alias("u"),
             F.least(F.col("id_a"), F.col("id_b")).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "cc_edges_init",
     )
 
     def sig(e: DataFrame) -> tuple:
@@ -538,13 +540,13 @@ def _cc_star(
         # small-star over the to-smaller directed view: u and all its
         # smaller neighbors point at the neighborhood minimum.
         nm2 = ls.groupBy("u").agg(F.min("v").alias("m"))
-        ss = (
+        ss = materialize(
             ls.join(nm2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionAll(nm2.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            "cc_edges_round",
         )
         edges = ss
         cur = sig(edges)
@@ -573,24 +575,24 @@ def _cc_minlabel(
 ) -> DataFrame:
     """Min-label propagation: O(component-diameter) rounds, one shuffle
     per round (edge-label join + min-aggregate); intermediates are
-    localCheckpointed so lineage doesn't stack across rounds. Iterates
+    materialized so lineage doesn't stack across rounds. Iterates
     only over nodes that occur in an edge: in a dedup workload the
     candidate graph is a vanishing fraction of the corpus (everything
     else is a singleton = its own cluster), so the per-round shuffles
     touch kilobytes even when `nodes` is the full 100 TB id space.
     """
-    edges = (
+    edges = materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "labelprop_edges",
     )
-    labels = (
+    labels = materialize(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        "labelprop_labels_init",
     )
     rounds = 0
     for _ in range(max_iters):
@@ -600,7 +602,7 @@ def _cc_minlabel(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = materialize(
             labels.withColumnRenamed("label", "old_label")
             .join(nbr_min, "node", "left")
             .select(
@@ -609,8 +611,8 @@ def _cc_minlabel(
                     F.col("old_label"), F.coalesce("nbr_min", "old_label")
                 ).alias("label"),
                 "old_label",
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "labelprop_labels_round",
         )
         changed = new_labels.where(F.col("label") != F.col("old_label")).count()
         labels = new_labels.drop("old_label")

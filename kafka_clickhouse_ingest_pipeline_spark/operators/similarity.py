@@ -29,6 +29,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize
 from ..functions.rounding import round4
 
 # 6 planes → 64 buckets: ~8 candidates/bucket on the 500-vector test
@@ -364,7 +365,7 @@ def kmeans_cells(
             # materialize the (<=k row) seed set each step: the next
             # step broadcasts it, and without this the union lineage
             # replays every earlier corpus pass — O(k^2) scans
-            seeds = seeds.unionByName(far).localCheckpoint(eager=True)
+            seeds = materialize(seeds.unionByName(far), "kmeans_seeds")
         cvec = seeds.select("cell", F.col("v").alias("cv"))
     else:
         seeds = corpus.withColumn("__h", h).orderBy("__h", id_col).limit(k)
@@ -405,7 +406,7 @@ def kmeans_cells(
             # the O(n·k·dim) assign pass isn't executed twice per round
             # (the cluster-mode analog is caching the assignment — the
             # standard Lloyd practice)
-            assign = assign.localCheckpoint(eager=True)
+            assign = materialize(assign, "kmeans_assign_round")
         cent = (
             assign.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
@@ -523,10 +524,10 @@ def pq_train_encode(
             for m in range(n_sub)
         ]
     )
-    sub = (
+    sub = materialize(
         emb.select(F.col(id_col), F.explode(slices).alias("s"))
-        .select("s.m", F.col(id_col), "s.sv")
-        .localCheckpoint(eager=True)  # scanned by seeding + every round
+        .select("s.m", F.col(id_col), "s.sv"),
+        "pq_subvectors",  # scanned by seeding + every round
     )
 
     h = hash60(
@@ -575,10 +576,10 @@ def pq_train_encode(
         )
 
     for _ in range(iters):
-        assign = assign_nearest(cvec).localCheckpoint(eager=True)
+        assign = materialize(assign_nearest(cvec), "pq_assign_round")
         cvec = member_mean(assign)
 
-    codebooks = member_mean(assign_nearest(cvec)).localCheckpoint(eager=True)
+    codebooks = materialize(member_mean(assign_nearest(cvec)), "pq_codebooks")
     enc = assign_nearest(codebooks).select("m", id_col, "cell", "err").withColumnRenamed("cell", "code")
     return enc, codebooks
 
@@ -602,6 +603,13 @@ def pq_adc_topk(
     the k_top result rows are audited with the true squared L2 so the
     eval exposes the PQ approximation error.
     """
+    # dtab drops q_id after the crossJoin, so >1 query row would mix
+    # distances across queries in the (m, code) lookup join — fail loudly
+    n_q = query.limit(2).count()
+    if n_q != 1:
+        raise ValueError(
+            f"pq_adc_topk expects exactly one query row, got {'>=2' if n_q > 1 else 0}"
+        )
     enc, codebooks = pq_train_encode(
         emb, n_sub=n_sub, sub_dim=sub_dim, vec_col=vec_col, id_col=id_col
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import P
 from ..functions.rounding import round4
+from ..plans.materialize import materialize
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 # Chosen to be disjoint tokens, matched with surrounding spaces so the
@@ -307,7 +308,7 @@ def bpe_train_merges(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        best = (
+        best = materialize(
             w.select(F.explode(pairs).alias("pair"), "freq")
             .groupBy("pair")
             .agg(F.sum("freq").alias("weight"))
@@ -318,8 +319,8 @@ def bpe_train_merges(
                 "pair",
                 F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
                 F.col("weight").cast("long").alias("weight"),
-            )
-            .localCheckpoint(eager=True)  # 1 row; feeds rewrite + output
+            ),
+            "bpe_best_merge",  # 1 row; feeds rewrite + output
         )
         merges = best if merges is None else merges.unionByName(best)
         halves = F.split(F.col("pair"), " ")
@@ -327,9 +328,9 @@ def bpe_train_merges(
             F.lit(" "), F.get(halves, 0), F.lit("  "), F.get(halves, 1), F.lit(" ")
         )
         rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
-        w = (
+        w = materialize(
             w.crossJoin(F.broadcast(best.select("pair", "merged")))
-            .select("freq", F.replace(F.col("s"), pat, rep).alias("s"))
-            .localCheckpoint(eager=True)  # vocab-sized; stops round replay
+            .select("freq", F.replace(F.col("s"), pat, rep).alias("s")),
+            "bpe_workset_round",  # vocab-sized; stops round replay
         )
     return merges.orderBy("merge_rank")

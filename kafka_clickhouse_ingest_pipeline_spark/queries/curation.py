@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions.rounding import round4, round4_sql
 from ..operators import packing as PK
+from ..plans.materialize import materialize
 from ..operators import text as T
 from ..registry import query
 from ..tables import load_table
@@ -246,8 +247,8 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # null otherwise; explode drops null arrays, matching WHERE len>=5
     # The gram frame fans out (benchmark side + training side); materialize
     # it once — at cluster scale, write the gram table to storage instead.
-    grams = docs.select("doc_id", F.explode(grams5).alias("gram")).localCheckpoint(
-        eager=True
+    grams = materialize(
+        docs.select("doc_id", F.explode(grams5).alias("gram")), "decontam_grams"
     )
     is_bench = F.col("doc_id") % 97 == 0
     bench = grams.where(is_bench).select("gram").distinct()
@@ -341,8 +342,8 @@ def decontaminate_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    grams = docs.select("doc_id", F.explode(grams5).alias("gram")).localCheckpoint(
-        eager=True
+    grams = materialize(
+        docs.select("doc_id", F.explode(grams5).alias("gram")), "decontam_grams"
     )
     is_bench = F.col("doc_id") % 97 == 0
     bench = grams.where(is_bench).select("gram").distinct()

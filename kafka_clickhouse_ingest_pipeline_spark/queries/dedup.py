@@ -27,6 +27,7 @@ from ..functions.hashing import (
 )
 from ..functions.rounding import round4
 from ..operators import dedup as D
+from ..plans.materialize import materialize
 from ..operators.similarity import lsh_bucket_sql
 from ..registry import query
 from ..tables import load_table
@@ -517,9 +518,10 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature pass per crawl generation, stored); localCheckpoint
     # models that here so each increment pays O(|increment|) + the
     # bucket join, not a corpus re-signature.
-    corpus_index = band_keys(
-        D.minhash_signatures(docs, "text", "doc_id")
-    ).localCheckpoint(eager=True)
+    corpus_index = materialize(
+        band_keys(D.minhash_signatures(docs, "text", "doc_id")),
+        "corpus_band_index",
+    )
     near_hit = (
         band_keys(D.minhash_signatures(fresh, "text", "doc_id"))
         .join(corpus_index, ["band", "band_key"], "left_semi")
@@ -845,9 +847,10 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_planted(spark, sf_dir)
     sig = D.minhash_signatures(docs, "text", "doc_id")
     cand = D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
-    sh = docs.select(
-        "doc_id", D.shingle_array(docs, "text").alias("arr")
-    ).localCheckpoint(eager=True)
+    sh = materialize(
+        docs.select("doc_id", D.shingle_array(docs, "text").alias("arr")),
+        "shingle_arrays",
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("arr").alias("arr_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("arr").alias("arr_b"))
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
@@ -934,7 +937,7 @@ def _simhash_hamming_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_planted(spark, sf_dir)
     # fingerprint frame fans out (bands + both verify sides): materialize
-    fp = D.simhash(docs, "text", "doc_id").localCheckpoint(eager=True)
+    fp = materialize(D.simhash(docs, "text", "doc_id"), "simhash_fp")
     return D.simhash_hamming_pairs(
         fp, "doc_id", max_hamming=SIMHASH_MAX_HAMMING
     ).orderBy("id_a", "id_b")
@@ -985,15 +988,15 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_planted(spark, sf_dir)
     sig = D.minhash_signatures(docs, "text", "doc_id")
-    cand = (
-        D.lsh_candidate_pairs(sig, "doc_id")
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+    cand = materialize(
+        D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b"),
+        "lsh_eval_candidates",
     )
-    truth = (
-        D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_df=None)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+    truth = materialize(
+        D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, max_df=None
+        ).select("id_a", "id_b"),
+        "lsh_eval_truth",
     )
     tp = cand.intersect(truth)
     # three single-row aggregates crossJoined broadcast — no driver-side

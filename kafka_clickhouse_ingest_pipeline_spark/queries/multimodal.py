@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round4
+from ..plans.materialize import materialize
 from ..operators import multimodal as M
 from ..registry import query
 from ..tables import load_table
@@ -246,9 +247,10 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hashes.append(M.image_dhash(bmp))
             yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
 
-    fp = docs.mapInPandas(
-        build_and_hash, "doc_id long, dhash long"
-    ).localCheckpoint(eager=True)
+    fp = materialize(
+        docs.mapInPandas(build_and_hash, "doc_id long, dhash long"),
+        "dhash_fp",
+    )
     from ..operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(

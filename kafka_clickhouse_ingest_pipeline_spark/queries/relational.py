@@ -2010,7 +2010,7 @@ def url_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "props_schema_drift_stats",
-    oracle="""
+    oracle=r"""
     WITH kv AS (
       SELECT event_id, k,
              json_extract_string(props, '$.' || k) AS v

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash60_sql
 from ..functions.rounding import round4
 from ..operators import similarity as S
+from ..plans.materialize import materialize
 from ..registry import query
 from ..tables import load_table
 
@@ -353,7 +354,7 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inverted index in operators/dedup.py). Checkpointing BEFORE the
     # bucket expression also stops Catalyst inlining the centering
     # transform into each of lsh_bucket's ~384 element references.
-    normed = normed.localCheckpoint(eager=True)
+    normed = materialize(normed, "activity_profiles")
     bucketed = normed.withColumn("bucket", S.lsh_bucket(F.col("vc"))).drop("vc")
     # Multi-probe Hamming<=1: probe the own bucket plus each one-bit
     # neighbor. Pairing becomes a bucket EQUI-join (hash, not nested

@@ -224,9 +224,24 @@ class _Handler(BaseHTTPRequestHandler):
         if self.headers.get("Transfer-Encoding", "").lower() == "chunked":
             self.close_connection = True
             return
-        length = int(self.headers.get("Content-Length") or 0)
+        length = self._content_length()
+        if length is None:
+            # malformed header: can't know how much to drain — close
+            self.close_connection = True
+            return
         if length > 0:
             self.rfile.read(length)
+
+    def _content_length(self):
+        """Parse Content-Length; None if malformed (Go's net/http → 400)."""
+        raw = self.headers.get("Content-Length")
+        if raw is None or raw.strip() == "":
+            return 0
+        try:
+            length = int(raw)
+        except ValueError:
+            return None
+        return length if length >= 0 else None
 
     def _reply(self, code: int, body: str) -> None:
         self._drain_body()
@@ -271,8 +286,14 @@ class _Handler(BaseHTTPRequestHandler):
         if not valid:
             self._reply(401, "Unauthorized: Invalid API key\n")
             return
-        # handler.go:59-71: read body, empty -> 400
-        length = int(self.headers.get("Content-Length") or 0)
+        # handler.go:59-71: read body, empty -> 400; net/http rejects a
+        # malformed Content-Length with 400 before the handler runs
+        length = self._content_length()
+        if length is None:
+            self._body = b""
+            self.close_connection = True
+            self._reply(400, "Bad Request\n")
+            return
         body = self.rfile.read(length) if length else b""
         self._body = body  # mark consumed so _reply doesn't re-drain
         if not body:

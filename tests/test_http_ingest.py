@@ -252,3 +252,26 @@ def test_keepalive_connection_survives_early_rejections(server):
             assert status == expected, (method, status, expected)
     finally:
         conn.close()
+
+
+def test_malformed_content_length_is_400_not_crash(server):
+    """ADVICE r3: a non-numeric Content-Length used to raise ValueError in
+    the handler thread (connection dropped with a traceback); Go's
+    net/http rejects such requests with 400 before the handler runs."""
+    import http.client
+
+    host, port = server.server_address[:2]
+    for bad in ("abc", "-5", "12x"):
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        try:
+            conn.putrequest("POST", "/ingest", skip_host=False)
+            conn.putheader(H.API_KEY_HEADER, "good-key")
+            conn.putheader("Content-Length", bad)
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400, (bad, resp.status)
+            resp.read()
+        finally:
+            conn.close()
+    # the server is still alive and serving afterwards
+    assert _req(server.url + "/healthz") == (200, "OK\n")

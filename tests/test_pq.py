@@ -75,3 +75,22 @@ def test_random_projection_distortion_concentrates_near_one(spark, sf_dir):
     assert 0.6 < median < 1.5
     inside = sum(1 for r in ratios if 0.25 < r < 2.5)
     assert inside / len(ratios) > 0.9
+
+
+def test_pq_adc_rejects_multi_row_query(spark, sf_dir):
+    """ADVICE r3: dtab drops q_id after the crossJoin, so a >1-row query
+    frame would silently mix distances across queries — must fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    two = emb.orderBy("vec_id").limit(2)
+    with pytest.raises(ValueError, match="exactly one query row"):
+        pq_adc_topk(emb, two)
+    with pytest.raises(ValueError, match="exactly one query row"):
+        pq_adc_topk(emb, emb.where(F.lit(False)))
