@@ -58,8 +58,85 @@ def json_validity_gate(df: DataFrame, payload_col: str = "value") -> DataFrame:
 
     ``json.Valid`` accepts any JSON value; we use try-parse-as-variant so
     scalars, arrays and objects all pass, mirroring Go's semantics.
+    json.Valid is also whole-string strict, so bracketed docs with
+    trailing garbage ('{"a":1}junk') are rejected via the span fold —
+    the same strictness DuckDB's json_valid applies on the oracle side.
+    (Scalar docs keep the lenient path; try_parse_json already rejects
+    scalar-with-trailing-garbage like '12junk'/'nulljunk'. The one
+    remaining deviation is a string scalar with trailing garbage
+    ('"x"junk' passes here, json.Valid rejects) — never produced by the
+    reference's object-shaped payloads.)
     """
-    return df.filter(F.try_parse_json(F.col(payload_col).cast("string")).isNotNull())
+    raw = F.col(payload_col).cast("string")
+    lt = F.ltrim(raw)
+    bracketed = F.startswith(lt, F.lit("{")) | F.startswith(lt, F.lit("["))
+    return df.filter(
+        F.try_parse_json(raw).isNotNull()
+        & (~bracketed | json_value_spans_string(raw))
+    )
+
+
+def json_value_spans_string(raw: Column) -> Column:
+    """True iff the first JSON object/array in ``raw`` ends at the last
+    non-whitespace character — kotlinx/Go whole-string strictness.
+
+    Spark's ``try_parse_json``/``from_json`` stop at the end of the first
+    complete document and accept trailing garbage (``'{"a":1}junk'``);
+    kotlinx ``decodeFromString`` (MessageProcessorTest.kt: ``'{"sensorId":
+    "G7"}invalid'`` must drop) and Go ``json.Valid`` require the value to
+    span the input. No parser option closes the gap, so this walks the
+    characters with a JVM higher-order ``aggregate`` fold (still no
+    Python): a depth/in-string/escape state machine that flags anything
+    non-whitespace after the value closes. Combine with ``try_parse_json``
+    (which validates the prefix is real JSON) for full strictness.
+
+    Scalar documents (``'null'``, ``'12'``) report False here — callers
+    that accept scalars must gate only bracketed docs on this check.
+    Payloads are event-sized; the per-character fold is in-row work that
+    scales linearly with payload bytes, not corpus size.
+    """
+    init = F.struct(
+        F.lit(0).alias("depth"),
+        F.lit(False).alias("instr"),
+        F.lit(False).alias("esc"),
+        F.lit(False).alias("done"),
+        F.lit(False).alias("bad"),
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        is_ws = c.isin(" ", "\t", "\n", "\r", "")
+        open_b = (c == "{") | (c == "[")
+        close_b = (c == "}") | (c == "]")
+        in_str = acc["instr"]
+        depth_inc = ~in_str & ~acc["done"] & open_b
+        depth_dec = ~in_str & ~acc["done"] & close_b
+        new_depth = acc["depth"] + F.when(depth_inc, 1).when(depth_dec, -1).otherwise(0)
+        new_done = acc["done"] | (depth_dec & (new_depth == 0))
+        new_bad = (
+            acc["bad"]
+            | (acc["done"] & ~is_ws)  # anything after the value closed
+            | (depth_dec & (new_depth < 0))  # unbalanced close
+            # non-ws before any bracket opens = scalar doc or garbage
+            | (~in_str & ~acc["done"] & (acc["depth"] == 0) & ~is_ws & ~open_b)
+        )
+        # leaving a string needs an unescaped quote; entering one needs
+        # to be inside the doc (depth > 0)
+        stays_in_str = in_str & ~(~acc["esc"] & (c == '"'))
+        enters_str = ~in_str & ~acc["done"] & (acc["depth"] > 0) & (c == '"')
+        return F.struct(
+            new_depth.alias("depth"),
+            F.when(in_str, stays_in_str).otherwise(enters_str).alias("instr"),
+            (in_str & ~acc["esc"] & (c == "\\")).alias("esc"),
+            new_done.alias("done"),
+            new_bad.alias("bad"),
+        )
+
+    return F.aggregate(
+        F.split(raw, ""),
+        init,
+        step,
+        lambda acc: acc["done"] & ~acc["bad"],
+    )
 
 
 def parse_typed(
@@ -85,12 +162,14 @@ def parse_typed(
         # PERMISSIVE from_json yields an all-null struct (not a null) for
         # malformed documents, so gate on JSON validity too; and kotlinx
         # decodeFromString<IngestedData> rejects valid-but-non-object JSON
-        # ('null', '[1,2]'), so require an object (first char '{'). Known
-        # deviation: a complete document followed by trailing garbage
-        # ('{"a":1}junk') passes here but is dropped by kotlinx.
+        # ('null', '[1,2]'), so require an object (first char '{'). The
+        # span check closes the former trailing-garbage deviation:
+        # '{"sensorId":"G7"}invalid' (MessageProcessorTest.kt) now drops
+        # here exactly as kotlinx drops it.
         out = out.filter(
             F.try_parse_json(raw).isNotNull()
             & F.startswith(F.ltrim(raw), F.lit("{"))
+            & json_value_spans_string(raw)
             & F.col("_parsed").isNotNull()
         )
     return out.select("_parsed.*", *(["_raw_data"] if keep_raw else []))

@@ -151,3 +151,58 @@ class TestObservability:
         # is not exposed on plain observe(name, ...); presence of the column
         # pipeline and a clean run is the assertion here.
         assert observed.count() == 3
+
+
+class TestKotlinxStrictParseParity:
+    """VERDICT r3 #4: kotlinx decodeFromString accept/reject parity,
+    enumerating MessageProcessorTest.kt's cases plus the structural edges
+    of the whole-string span rule. The former documented deviation
+    ('{"a":1}junk' accepted) is closed: trailing garbage now drops."""
+
+    KOTLINX_ACCEPT = [
+        '{"sensorId": "A1", "temperature": 25.5}',   # MessageProcessorTest.kt:32
+        '{"sensorId": "B2", "message": "OK"}',       # :33
+        '{"sensorId": "C3", "value": 99}',           # :65
+        '{"sensorId": "E5"}',                        # :97
+        '  {"sensorId": "H8"}  \n',                  # surrounding whitespace ok
+        '{"a":"}"}',                                 # brace inside a string
+        '{"a":"\\"}"}',                              # escaped quote then brace
+        '{"a":{"b":[1,2]}}',                         # nesting
+    ]
+    KOTLINX_REJECT = [
+        '{"sensorId": "D4", "value":}',              # :66 invalid JSON
+        '{"sensorId": "F6",,}',                      # :113 invalid JSON
+        '{"sensorId": "G7"}invalid',                 # :114 trailing garbage
+        '{"a":1}{"b":2}',                            # concatenated docs
+        '{"a":1},',                                  # trailing comma
+        "null",                                      # non-object value
+        "[1,2]",                                     # non-object value
+        '"just a string"',                           # non-object value
+        "",                                          # empty body
+    ]
+
+    def test_accept_set_parses(self, spark):
+        out = ingest.parse_typed(_payload_df(spark, self.KOTLINX_ACCEPT))
+        assert out.count() == len(self.KOTLINX_ACCEPT)
+
+    def test_reject_set_drops(self, spark):
+        out = ingest.parse_typed(_payload_df(spark, self.KOTLINX_REJECT))
+        assert out.count() == 0
+
+    def test_mixed_batch_keeps_exactly_the_kotlinx_survivors(self, spark):
+        df = _payload_df(spark, self.KOTLINX_ACCEPT + self.KOTLINX_REJECT)
+        out = ingest.parse_typed(df, keep_raw=True)
+        assert sorted(r["_raw_data"] for r in out.collect()) == sorted(
+            self.KOTLINX_ACCEPT
+        )
+
+    def test_validity_gate_rejects_bracketed_trailing_garbage(self, spark):
+        """Go json.Valid is whole-string strict too (A3)."""
+        df = _payload_df(
+            spark,
+            ['{"a":1}junk', "[1,2]extra", '{"a":1}', "[1,2]", "null", "12junk"],
+        )
+        kept = sorted(
+            r["value"] for r in ingest.json_validity_gate(df).collect()
+        )
+        assert kept == ["[1,2]", "null", '{"a":1}']
