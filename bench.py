@@ -87,6 +87,8 @@ HEADLINE = [
     "zorder_locality_stats",
     "bpe_train_merges",
     "pq_adc_topk",
+    # round 4: composed IVFADC (coarse cell prune + residual-PQ ADC)
+    "ivfadc_topk",
 ]
 
 

@@ -304,7 +304,8 @@ def kmeans_cells(
     salt: str = "km",
     seeding: str = "hash",
     reseed_empty: bool = True,
-) -> DataFrame:
+    with_centroids: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """IVF train step done properly: k-means (Lloyd) cell assignment.
 
     `centroids`/`ivf_topk` accept any precomputed cell column; this
@@ -335,6 +336,9 @@ def kmeans_cells(
 
     Returns (id_col, cell, dist_sq) — the assignment under the final
     centroids; `dist_sq` is the round4-ed squared L2 to the chosen cell.
+    With ``with_centroids=True`` returns the tuple (assignment incl. the
+    vector column ``v``, centroids (cell, cv)) — the IVFADC composition
+    needs both to form residuals.
     """
     from ..functions.hashing import hash60
 
@@ -441,6 +445,8 @@ def kmeans_cells(
             repl = empty_rn.join(cand_rn, "rn").select("cell", "cv")
             cvec = cvec.unionByName(repl)
     # final assignment under the last centroids
+    if with_centroids:
+        return assign_nearest(cvec), cvec
     return assign_nearest(cvec).select(id_col, "cell", "dist_sq")
 
 
@@ -637,6 +643,127 @@ def pq_adc_topk(
         for m in range(n_sub)
     ]
     est_terms = enc.join(F.broadcast(dtab), ["m", "code"]).groupBy(id_col).agg(*per_m)
+    est_sum = F.col("qd_0")
+    for m in range(1, n_sub):
+        est_sum = est_sum + F.col(f"qd_{m}")
+    top = (
+        est_terms.crossJoin(F.broadcast(q.select("q_id")))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(F.col(id_col), round4(est_sum).alias("est_dist"))
+        .orderBy("est_dist", id_col)
+        .limit(k_top)
+    )
+    corpus = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    true_d = round4(_l2sq(F.col("v"), F.col("qv")))
+    return (
+        top.join(corpus, id_col)
+        .crossJoin(F.broadcast(q.select("qv")))
+        .select(F.col(id_col), "est_dist", true_d.alias("true_dist"))
+        .orderBy("est_dist", id_col)
+    )
+
+
+def ivfadc_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k_top: int = 10,
+    n_coarse: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): coarse k-means cell prune + ADC over PQ codes of
+    the RESIDUALS within probed cells — the billion-vector architecture.
+
+    Index build (once, via materialize — write tables at scale):
+      1. coarse quantizer: k-means (`kmeans_cells`, hash seeding, Lloyd)
+         assigns every vector to one of ``n_coarse`` cells;
+      2. residual r = v − centroid(cell) (exact double subtraction of the
+         round4-ed centroid — engine-portable);
+      3. PQ codebooks trained on the residuals (`pq_train_encode`), each
+         vector stored as (cell, n_sub codes).
+
+    Query time: distance to each of the ``n_coarse`` centroids picks the
+    ``n_probe`` nearest cells; per probed cell the query RESIDUAL builds
+    the per-subspace distance table (n_probe·n_sub·k rows, broadcast);
+    scoring a corpus vector is n_sub table lookups keyed on (cell, m,
+    code) — the scan reads 2-byte codes of probed cells only, never
+    float vectors. Top-k rows are audited with the true squared L2.
+
+    At 100 TB: the corpus is partitioned by cell (the inverted file), the
+    probe prunes partitions, the distance table is a broadcast join —
+    no shuffle of vector data at query time.
+    """
+    n_q = query.limit(2).count()
+    if n_q != 1:
+        raise ValueError(
+            f"ivfadc_topk expects exactly one query row, got {'>=2' if n_q > 1 else 0}"
+        )
+    assign, coarse_cvec = kmeans_cells(
+        emb,
+        k=n_coarse,
+        iters=2,
+        vec_col=vec_col,
+        id_col=id_col,
+        with_centroids=True,
+    )
+    coarse_cvec = materialize(coarse_cvec, "ivfadc_coarse_centroids")
+    # residual encode: v - centroid of the assigned cell
+    resid = assign.join(F.broadcast(coarse_cvec), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("resid"),
+    )
+    resid = materialize(resid, "ivfadc_residuals")
+    enc, codebooks = pq_train_encode(
+        resid, n_sub=n_sub, sub_dim=sub_dim, vec_col="resid", id_col=id_col
+    )
+    enc_cells = enc.join(resid.select(id_col, "cell"), id_col)
+
+    q = query.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    # coarse probe: n_probe nearest cells to the (un-quantized) query
+    cd = round4(_l2sq(F.col("qv"), F.col("cv")))
+    probe = (
+        coarse_cvec.crossJoin(F.broadcast(q))
+        .select("cell", "cv", cd.alias("cd"))
+        .orderBy("cd", "cell")
+        .limit(n_probe)
+    )
+    # per-probed-cell query residual feeds the ADC distance tables
+    qres = probe.crossJoin(F.broadcast(q)).select(
+        "cell", F.zip_with("qv", "cv", lambda a, b: a - b).alias("qr")
+    )
+    qslice = F.element_at(
+        F.array(
+            *[F.slice(F.col("qr"), m * sub_dim + 1, sub_dim) for m in range(n_sub)]
+        ),
+        F.col("m").cast("int") + 1,
+    )
+    dtab = (
+        codebooks.withColumnRenamed("cell", "code")
+        .crossJoin(F.broadcast(qres))
+        .select(
+            "cell",
+            "m",
+            "code",
+            round4(_l2sq(qslice, F.col("cv"))).alias("qd"),
+        )
+    )
+    # est over probed cells only: the dtab inner join IS the cell prune
+    per_m = [
+        F.max(F.when(F.col("m") == m, F.col("qd"))).alias(f"qd_{m}")
+        for m in range(n_sub)
+    ]
+    est_terms = (
+        enc_cells.join(F.broadcast(dtab), ["cell", "m", "code"])
+        .groupBy(id_col)
+        .agg(*per_m)
+    )
     est_sum = F.col("qd_0")
     for m in range(1, n_sub):
         est_sum = est_sum + F.col(f"qd_{m}")

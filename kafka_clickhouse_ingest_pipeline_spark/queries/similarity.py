@@ -661,16 +661,23 @@ _PQ_SUBDIM = 16
 _PQ_K = 16
 
 
-def _pq_parts() -> tuple[list[str], str]:
+def _pq_parts(
+    src_table: str = "embeddings",
+    src_col: str = "embedding",
+    tag: str = "p",
+) -> tuple[list[str], str]:
     """Compose one k-means CTE chain per PQ subspace plus member-mean
-    codebook and argmin re-encode; returns (parts, 16-dim dist expr)."""
+    codebook and argmin re-encode; returns (parts, 16-dim dist expr).
+    Parameterized over the source list column so the IVFADC oracle can
+    train the same chains on coarse-quantizer residuals (tag picks the
+    CTE namespace)."""
     all_parts: list[str] = []
     dist16 = ""
     for m in range(_PQ_NSUB):
         lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
         corpus_sql = (
-            f"SELECT vec_id, list_transform(embedding[{lo}:{hi}], "
-            "x -> CAST(x AS DOUBLE)) AS v\n      FROM embeddings"
+            f"SELECT vec_id, list_transform({src_col}[{lo}:{hi}], "
+            f"x -> CAST(x AS DOUBLE)) AS v\n      FROM {src_table}"
         )
         parts, prev, dist = _kmeans_parts(
             k=_PQ_K,
@@ -680,36 +687,36 @@ def _pq_parts() -> tuple[list[str], str]:
             corpus_sql=corpus_sql,
             dim=_PQ_SUBDIM,
             salt=f"pq{m}",
-            sfx=f"_p{m}",
+            sfx=f"_{tag}{m}",
         )
         dist16 = dist
         all_parts.extend(parts)
-        all_parts.append(f"""assignf_p{m} AS (
+        all_parts.append(f"""assignf_{tag}{m} AS (
       SELECT vec_id, cell, v FROM (
         SELECT c.vec_id, k.cell, c.v,
                ROW_NUMBER() OVER (
                  PARTITION BY c.vec_id ORDER BY {dist}, k.cell
                ) AS rn
-        FROM corpus_p{m} c CROSS JOIN {prev} k
+        FROM corpus_{tag}{m} c CROSS JOIN {prev} k
       ) WHERE rn = 1
     )""")
-        all_parts.append(f"""cb_p{m} AS (
+        all_parts.append(f"""cb_{tag}{m} AS (
       SELECT cell, i - 1 AS dim,
              (FLOOR(AVG(v[i]) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS c
-      FROM assignf_p{m}, (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i)
+      FROM assignf_{tag}{m}, (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i)
       GROUP BY cell, i
     )""")
         all_parts.append(
-            f"cbv_p{m} AS (SELECT cell, list(c ORDER BY dim) AS cv "
-            f"FROM cb_p{m} GROUP BY cell)"
+            f"cbv_{tag}{m} AS (SELECT cell, list(c ORDER BY dim) AS cv "
+            f"FROM cb_{tag}{m} GROUP BY cell)"
         )
-        all_parts.append(f"""enc_p{m} AS (
+        all_parts.append(f"""enc_{tag}{m} AS (
       SELECT vec_id, cell AS code_{m}, dist_sq AS err_{m} FROM (
         SELECT c.vec_id, k.cell, {dist} AS dist_sq,
                ROW_NUMBER() OVER (
                  PARTITION BY c.vec_id ORDER BY {dist}, k.cell
                ) AS rn
-        FROM corpus_p{m} c CROSS JOIN cbv_p{m} k
+        FROM corpus_{tag}{m} c CROSS JOIN cbv_{tag}{m} k
       ) WHERE rn = 1
     )""")
     return all_parts, dist16
@@ -1022,6 +1029,201 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
     adc = S.pq_adc_topk(
         emb, q, k_top=10, n_sub=_PQ_NSUB, sub_dim=_PQ_SUBDIM
+    ).select("vec_id")
+    corpus = emb.select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    qv = q.select(S.as_double(F.col("embedding")).alias("qv"))
+    true_d = round4(S._l2sq(F.col("v"), F.col("qv")))
+    exact = (
+        corpus.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", true_d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = adc.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return hits.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_hit",
+        round4(F.col("n_hit") / 10.0).alias("recall_at_10"),
+    )
+
+
+def _ivfadc_parts(n_probe: int = 2) -> list[str]:
+    """Shared CTE chain for the IVFADC oracles: coarse k-means (identical
+    to the ivf_kmeans_cells twin), residuals, per-subspace PQ chains on
+    the residuals, query probe, per-probed-cell ADC distance tables, and
+    the `est` estimated-distance relation."""
+    parts, prev, dist = _kmeans_parts(k=8, iters=2, seeding="hash", reseed=True)
+    # MATERIALIZED: the final coarse centroids / assignment / residuals
+    # are each referenced by several downstream chains (4 residual-PQ
+    # chains x every Lloyd round, probe, est); left inline DuckDB
+    # re-evaluates the whole coarse k-means per reference (measured 283s
+    # -> ~20s at sf0.01)
+    parts.append(
+        f"coarse_cvec AS MATERIALIZED (SELECT cell, cv FROM {prev})"
+    )
+    parts.append(f"""coarse_assign AS MATERIALIZED (
+      SELECT vec_id, cell, v FROM (
+        SELECT c.vec_id, k.cell, c.v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id ORDER BY {dist}, k.cell
+               ) AS rn
+        FROM corpus c CROSS JOIN coarse_cvec k
+      ) WHERE rn = 1
+    )""")
+    # residual = v - round4-ed centroid: exact double subtraction, same
+    # on both engines, so NO extra rounding here
+    parts.append("""resid AS MATERIALIZED (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1, 65), i -> a.v[i] - k.cv[i]) AS r
+      FROM coarse_assign a JOIN coarse_cvec k USING (cell)
+    )""")
+    pq_parts, _ = _pq_parts(src_table="resid", src_col="r", tag="r")
+    parts.extend(pq_parts)
+    parts.append(
+        "qfull AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})"
+    )
+    cdist = (
+        "(FLOOR((list_reduce(list_transform(range(1, 65), "
+        "i -> (q.qv[i] - k.cv[i]) * (q.qv[i] - k.cv[i])), (a, b) -> a + b)) "
+        "* 10000.0 + 0.5 + 0.000001) / 10000.0)"
+    )
+    parts.append(f"""probe AS (
+      SELECT k.cell, k.cv, {cdist} AS cd
+      FROM coarse_cvec k, qfull q
+      ORDER BY cd, k.cell LIMIT {n_probe}
+    )""")
+    parts.append("""qres AS (
+      SELECT p.cell, list_transform(range(1, 65), i -> q.qv[i] - p.cv[i]) AS qr
+      FROM probe p, qfull q
+    )""")
+    for m in range(_PQ_NSUB):
+        lo = m * _PQ_SUBDIM
+        qdist = (
+            f"(FLOOR((list_reduce(list_transform(range(1, {_PQ_SUBDIM + 1}), "
+            f"i -> (p.qr[{lo} + i] - k.cv[i]) * (p.qr[{lo} + i] - k.cv[i])), "
+            "(a, b) -> a + b)) * 10000.0 + 0.5 + 0.000001) / 10000.0)"
+        )
+        parts.append(
+            f"dtab_r{m} AS (SELECT p.cell, k.cell AS code_{m}, {qdist} "
+            f"AS qd_{m} FROM cbv_r{m} k CROSS JOIN qres p)"
+        )
+    enc_joins = " ".join(
+        f"JOIN enc_r{m} e{m} USING (vec_id)" for m in range(1, _PQ_NSUB)
+    )
+    dtab_joins = " ".join(
+        f"JOIN dtab_r{m} d{m} ON d{m}.cell = a.cell "
+        f"AND d{m}.code_{m} = e{m}.code_{m}"
+        for m in range(_PQ_NSUB)
+    )
+    qds = " + ".join(f"d{m}.qd_{m}" for m in range(_PQ_NSUB))
+    parts.append(f"""est AS (
+      SELECT e0.vec_id,
+             (FLOOR(({qds}) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+               AS est_dist
+      FROM enc_r0 e0 {enc_joins}
+      JOIN coarse_assign a USING (vec_id) {dtab_joins}
+      WHERE e0.vec_id != {QUERY_VEC_ID}
+    )""")
+    return parts
+
+
+def _ivfadc_sql() -> str:
+    parts = _ivfadc_parts()
+    parts.append(
+        "top AS (SELECT * FROM est ORDER BY est_dist, vec_id LIMIT 10)"
+    )
+    parts.append(
+        "corpus_full AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    )
+    true_d = (
+        "(FLOOR((list_reduce(list_transform(range(1, 65), "
+        "i -> (c.v[i] - q.qv[i]) * (c.v[i] - q.qv[i])), (a, b) -> a + b)) "
+        "* 10000.0 + 0.5 + 0.000001) / 10000.0)"
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT t.vec_id, t.est_dist, {true_d} AS true_dist
+    FROM top t JOIN corpus_full c ON t.vec_id = c.vec_id, qfull q
+    ORDER BY t.est_dist, t.vec_id
+    """
+
+
+def _ivfadc_recall_sql() -> str:
+    parts = _ivfadc_parts()
+    parts.append(
+        "adc_top AS (SELECT vec_id FROM est ORDER BY est_dist, vec_id "
+        "LIMIT 10)"
+    )
+    parts.append(
+        "corpus_full AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+    )
+    true_d = (
+        "(FLOOR((list_reduce(list_transform(range(1, 65), "
+        "i -> (c.v[i] - q.qv[i]) * (c.v[i] - q.qv[i])), (a, b) -> a + b)) "
+        "* 10000.0 + 0.5 + 0.000001) / 10000.0)"
+    )
+    parts.append(f"""exact_top AS (
+      SELECT c.vec_id FROM corpus_full c, qfull q
+      WHERE c.vec_id != {QUERY_VEC_ID}
+      ORDER BY {true_d}, c.vec_id LIMIT 10
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM adc_top JOIN exact_top USING (vec_id))
+                AS BIGINT) AS n_hit,
+           (FLOOR(((SELECT COUNT(*) FROM adc_top JOIN exact_top
+                    USING (vec_id)) / 10.0) * 10000.0 + 0.5 + 0.000001)
+            / 10000.0) AS recall_at_10
+    """
+
+
+@query(
+    "ivfadc_topk",
+    oracle=_ivfadc_sql(),
+    description="C10/IVFADC (Jégou et al. 2011): the composed "
+    "billion-vector architecture — coarse k-means (k=8) cell prune, PQ "
+    "codebooks trained on the RESIDUALS v-centroid, query probes the 2 "
+    "nearest cells and scores only their members via per-cell ADC lookup "
+    "tables (2-byte codes, no float vectors at query time). Top-10 rows "
+    "audited with the true squared L2. Oracle replays coarse chain, "
+    "residuals, 4 residual-PQ chains, probe and distance tables "
+    "CTE-for-stage.",
+)
+def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return S.ivfadc_topk(
+        emb, q, k_top=10, n_coarse=8, n_probe=2,
+        n_sub=_PQ_NSUB, sub_dim=_PQ_SUBDIM,
+    )
+
+
+@query(
+    "ivfadc_recall_eval",
+    oracle=_ivfadc_recall_sql(),
+    description="C10/IVFADC eval: recall@10 of the composed "
+    "cell-prune+residual-ADC search against the exact squared-L2 top-10 "
+    "— quantifies what the 2/8-cell probe plus 256x code compression "
+    "costs in answer quality (the n_probe tuning number).",
+)
+def ivfadc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    adc = S.ivfadc_topk(
+        emb, q, k_top=10, n_coarse=8, n_probe=2,
+        n_sub=_PQ_NSUB, sub_dim=_PQ_SUBDIM,
     ).select("vec_id")
     corpus = emb.select(
         "vec_id", S.as_double(F.col("embedding")).alias("v")

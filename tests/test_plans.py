@@ -268,3 +268,16 @@ def test_hll_register_agg_is_partial(spark, sf_dir):
     # register table: partial max per partition before the shuffle — the
     # map-side combine that makes the sketch O(m) per partition
     assert "partial_max" in plan
+
+
+def test_ivfadc_cell_prune_and_code_lookups_are_broadcast(spark, sf_dir):
+    df = registry.REGISTRY["ivfadc_topk"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes; coarse/PQ training materializes here
+    plan = _executed_plan(df)
+    # the (cell, m, code) ADC distance table join is the cell prune AND
+    # the code lookup in one broadcast hash join; no corpus self-join,
+    # no cartesian product over data
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # final top-k is a heap, not a global sort of the estimates
+    assert "TakeOrderedAndProject" in plan
