@@ -87,8 +87,10 @@ HEADLINE = [
     "zorder_locality_stats",
     "bpe_train_merges",
     "pq_adc_topk",
-    # round 4: composed IVFADC (coarse cell prune + residual-PQ ADC)
+    # round 4: composed IVFADC (coarse cell prune + residual-PQ ADC),
+    # index-probing BM25 (postings/df/dl materialized once, reused)
     "ivfadc_topk",
+    "bm25_indexed_topk",
 ]
 
 

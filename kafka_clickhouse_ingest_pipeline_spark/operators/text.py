@@ -334,3 +334,104 @@ def bpe_train_merges(
             "bpe_workset_round",  # vocab-sized; stops round replay
         )
     return merges.orderBy("merge_rank")
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_tag: str = "default",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the BM25 inverted index ONCE: postings (term, doc, tf),
+    per-term document frequencies, and doc lengths — each materialized
+    under a stable per-corpus name (``materialize(reuse=True)``), so
+    repeated queries probe stored tables instead of re-tokenizing the
+    corpus.
+
+    This is the production retrieval shape at 100 TB: the corpus explode
+    + tf aggregation (the expensive part — SCALEPROBE measured BM25's
+    growth dominated by exactly this) is paid once per corpus
+    generation; a query is then a broadcast semi-join of its terms
+    against the postings/df tables plus one tiny stats aggregate. In
+    storage mode the three tables are real parquet tables (partition
+    postings by term prefix on a cluster); ``corpus_tag`` must identify
+    the corpus so two corpora never share an index name.
+
+    Returns (postings, df_tbl, dl): postings = (term, id, tf),
+    df_tbl = (term, df), dl = (id, dl).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    postings = materialize(
+        toks.groupBy("term", id_col).agg(
+            (F.count(F.lit(1)) * 1.0).alias("tf")
+        ),
+        f"bm25_postings_{corpus_tag}",
+        reuse=True,
+    )
+    df_tbl = materialize(
+        postings.groupBy("term").agg(
+            (F.count(F.lit(1)) * 1.0).alias("df")
+        ),
+        f"bm25_df_{corpus_tag}",
+        reuse=True,
+    )
+    nw = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    dl = materialize(
+        docs.select(F.col(id_col), (nw * 1.0).alias("dl")).where(
+            F.col("dl") > 0
+        ),
+        f"bm25_dl_{corpus_tag}",
+        reuse=True,
+    )
+    return postings, df_tbl, dl
+
+
+def bm25_query_indexed(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k_top: int = 20,
+) -> DataFrame:
+    """Okapi BM25 top-k over a prebuilt index: probe-only, no corpus scan.
+
+    Every input is an index table — the query-term semi-join pushes into
+    the postings scan (PushedFilters on term at scale with a term-
+    partitioned layout), df/stats are broadcast, and the final top-k is
+    a TakeOrderedAndProject heap. Identical arithmetic to the from-
+    scratch `bm25_search_topk` (idf = ln((N-df+.5)/(df+.5)+1), round4),
+    so the same DuckDB oracle covers both paths.
+    """
+    postings, df_tbl, dl = index
+    spark = postings.sparkSession
+    qterms = spark.createDataFrame([(t,) for t in terms], ["term"])
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), (F.count(F.lit(1)) * 1.0).alias("n_docs")
+    )
+    tf = postings.join(F.broadcast(qterms), "term")
+    dfq = df_tbl.join(F.broadcast(qterms), "term")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(round4(F.sum(term_score)).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k_top)
+    )

@@ -28,7 +28,9 @@ directory (the ``name`` is a label only), so a returned DataFrame can
 never be silently repointed at later data. Passing ``reuse=True`` with a
 stable ``name`` writes ``{base}/{name}`` exactly once per (session,
 name) and returns a reader over it on subsequent calls — the
-probe-an-index-many-times path (e.g. the BM25 postings index).
+probe-an-index-many-times path (e.g. the BM25 postings index). In
+``local`` mode, ``reuse=True`` caches the checkpointed frame in-session
+under the same key, so repeated queries skip the rebuild there too.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ from pyspark.sql import DataFrame
 MODES = ("local", "storage")
 
 _cache: dict[tuple[int, str], str] = {}
+_local_cache: dict[tuple[int, str], DataFrame] = {}
 _lock = threading.Lock()
 
 
@@ -85,13 +88,23 @@ def materialize(
     """
     spark = df.sparkSession
     resolved = _resolve_mode(spark, mode)
+    if reuse and not name:
+        raise ValueError("materialize(reuse=True) requires a stable name")
     if resolved == "local":
+        if reuse:
+            key = (id(spark._jsparkSession), name)
+            with _lock:
+                cached = _local_cache.get(key)
+            if cached is not None:
+                return cached
+            out = df.localCheckpoint(eager=True)
+            with _lock:
+                _local_cache[key] = out
+            return out
         return df.localCheckpoint(eager=True)
 
     base = _resolve_base(spark, path)
     if reuse:
-        if not name:
-            raise ValueError("materialize(reuse=True) requires a stable name")
         key = (id(spark._jsparkSession), name)
         with _lock:
             target = _cache.get(key)
@@ -118,3 +131,4 @@ def reset_reuse_cache() -> None:
     """Test hook: forget written reuse tables (does not delete files)."""
     with _lock:
         _cache.clear()
+        _local_cache.clear()
