@@ -286,7 +286,15 @@ def mix_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pw"),
         )
     )
-    w_run = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded frame: one row per language (|langs| <= 5 markers + und),
+    # never corpus-sized — the constant-valued partition key (attr % 1;
+    # bare literals are constant-folded away) documents that and
+    # silences the WindowExec single-partition warning
+    w_run = (
+        Window.partitionBy(F.length("lang") % F.lit(1))
+        .orderBy("lang")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     run = pw.withColumn("r", F.sum("pw").over(w_run))
     denom = run.agg(F.max("r").alias("denom"))
     rates = (

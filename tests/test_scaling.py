@@ -1,0 +1,92 @@
+"""Asserted scale probe (VERDICT r3 #2): linearity is the load-bearing
+100 TB claim — this test FAILS if a future change reintroduces a
+quadratic plan in any probed family, instead of just reporting it.
+
+Corpus: sf0.01 documents/embeddings scaled 1x -> 16x with the same
+perturbed-union scheme as tools/scale_probe.py (duplicate structure held
+constant, so pair counts grow linearly by construction). Bound:
+time(16x) <= 1.5 * 16 * max(time(1x), floor) — a quadratic pair plan
+grows ~256x and clears the bound by an order of magnitude even on this
+noisy box; the floor keeps sub-second 1x timings from making the bound
+flaky-tight.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from kafka_clickhouse_ingest_pipeline_spark import registry
+from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+from tools.scale_probe import scaled_docs, scaled_emb
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.01"
+SCALES = (1, 16)
+BOUND_FACTOR = 1.5  # time growth allowed per unit of data growth
+FLOOR_S = 0.5  # amortizes fixed job/stage overhead at tiny 1x timings
+
+PROBED = [
+    # the pair-generating family — where a quadratic would hide
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",
+    "dedup_semdedup_keep",
+    # shuffle/agg families
+    "text_top_terms",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh_pairs",
+    "ann_lsh_topk",
+    "bm25_search_topk",
+    "bm25_indexed_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def scaled_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("scaleprobe")
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    emb = emb.select(
+        *[c for c in ("vec_id", "embedding", "label") if c in emb.columns]
+    )
+    dirs = {}
+    for s in SCALES:
+        d = base / f"x{s}"
+        d.mkdir()
+        scaled_docs(docs, s).repartition(8).write.parquet(
+            str(d / "documents.parquet")
+        )
+        scaled_emb(emb, s).repartition(8).write.parquet(
+            str(d / "embeddings.parquet")
+        )
+        dirs[s] = str(d)
+    return dirs
+
+
+def _best_of(fn, n=2):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+@pytest.mark.parametrize("qname", PROBED)
+def test_time_growth_is_at_most_linear(spark, scaled_dirs, qname):
+    times = {}
+    for s in SCALES:
+        df = registry.REGISTRY[qname].fn(spark, scaled_dirs[s])
+        run = lambda: df.write.mode("overwrite").format("noop").save()
+        run()  # warm (plan + shuffle files + any index build)
+        times[s] = _best_of(run)
+    data_growth = SCALES[-1] / SCALES[0]
+    bound = BOUND_FACTOR * data_growth * max(times[SCALES[0]], FLOOR_S)
+    assert times[SCALES[-1]] <= bound, (
+        f"{qname}: {times[SCALES[0]]:.2f}s @1x -> "
+        f"{times[SCALES[-1]]:.2f}s @{SCALES[-1]}x exceeds the "
+        f"{BOUND_FACTOR}x-linear bound {bound:.2f}s — a super-linear "
+        "plan crept in"
+    )

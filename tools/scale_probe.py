@@ -37,6 +37,13 @@ PROBES = [
     ("ann_lsh_topk", "LSH-bucket-pruned ANN search"),
     ("hll_distinct_portable", "HLL register aggregation"),
     ("bm25_search_topk", "BM25 over query-term postings"),
+    # round 4: the pair-GENERATING family — the queries where a quadratic
+    # plan would hide at small SF (VERDICT r3 #2) — plus the indexed BM25
+    # whose growth should flatten once the index is built in-session
+    ("dedup_ngram_jaccard_pairs", "inverted-index Jaccard pairs (DF cap)"),
+    ("dedup_containment_pairs", "inverted-index containment pairs"),
+    ("dedup_semdedup_keep", "LSH-blocked embedding cosine dedup"),
+    ("bm25_indexed_topk", "BM25 probe over the materialized index"),
 ]
 
 
