@@ -91,6 +91,7 @@ HEADLINE = [
     # index-probing BM25 (postings/df/dl materialized once, reused)
     "ivfadc_topk",
     "bm25_indexed_topk",
+    "multimodal_png_pixel_features",
 ]
 
 

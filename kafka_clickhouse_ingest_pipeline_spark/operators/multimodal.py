@@ -1,11 +1,12 @@
 """Multimodal column plumbing (tier C): image/audio/video as opaque binary
 columns with typed metadata, processed through Arrow-batched Pandas UDFs.
 
-Decode kernels are REAL in this codec-less container for two formats:
-WAV audio (stdlib `wave`) and uncompressed 24-bit BMP images (stdlib
-byte parsing — header, stride padding, bottom-up rows). Other image
-formats use PIL when importable, else a deterministic digest stand-in,
-clearly marked. Everything around the kernels — schema, batch
+Decode kernels are REAL in this codec-less container for three formats:
+WAV audio (stdlib `wave`), uncompressed 24-bit BMP images (stdlib byte
+parsing — header, stride padding, bottom-up rows), and non-interlaced
+8-bit PNG (stdlib `zlib` inflate + the five scanline unfilters). Other
+image formats use PIL when importable, else a deterministic digest
+stand-in, clearly marked. Everything around the kernels — schema, batch
 iteration, partition sizing, UDF signatures — is identical either way.
 
 Design for 100 TB of media:
@@ -259,6 +260,182 @@ def make_bmp(pixels: np.ndarray) -> bytes:
     return bytes(header) + bytes(body)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# bit-depth-8 color types the stdlib parser handles: gray, RGB, gray+A, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _is_png(payload: bytes | None) -> bool:
+    return (
+        payload is not None
+        and len(payload) >= 8
+        and bytes(payload[:8]) == _PNG_MAGIC
+    )
+
+
+def _png_gray(payload: bytes | None) -> np.ndarray | None:
+    """Parse a non-interlaced 8-bit PNG (gray/RGB/gray+alpha/RGBA) into an
+    (h, w) float64 grayscale array, or None if unparseable — stdlib only
+    (`zlib` inflate + the five scanline unfilters: None/Sub/Up/Average/
+    Paeth, per the PNG spec §9). Gray = mean of the color channels
+    (alpha ignored); RGB channel sums are exact small ints, so /3.0 is
+    one well-defined rounding — the same arithmetic contract as
+    `_bmp_gray`, which is what lets the closed-form SQL oracle cover
+    PNG-decoded pixels too."""
+    import zlib
+
+    try:
+        if not _is_png(payload):
+            return None
+        data = bytes(payload)
+        pos, w = 8, None
+        idat = bytearray()
+        while pos + 8 <= len(data):
+            ln = int.from_bytes(data[pos : pos + 4], "big")
+            ctype = data[pos + 4 : pos + 8]
+            chunk = data[pos + 8 : pos + 8 + ln]
+            if ctype == b"IHDR":
+                w = int.from_bytes(chunk[0:4], "big")
+                h = int.from_bytes(chunk[4:8], "big")
+                depth, color = chunk[8], chunk[9]
+                interlace = chunk[12]
+                if (
+                    depth != 8
+                    or color not in _PNG_CHANNELS
+                    or interlace != 0
+                    or w <= 0
+                    or h <= 0
+                ):
+                    return None
+                ch = _PNG_CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat += chunk
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        rowlen = 1 + w * ch
+        if len(raw) < rowlen * h:
+            return None
+        out = np.zeros((h, w * ch), dtype=np.uint8)
+        prev = np.zeros(w * ch, dtype=np.int64)
+        for y in range(h):
+            row = raw[y * rowlen : (y + 1) * rowlen]
+            ftype = row[0]
+            cur = np.frombuffer(row, dtype=np.uint8, count=w * ch, offset=1)
+            cur = cur.astype(np.int64)
+            if ftype == 0:  # None
+                rec = cur
+            elif ftype == 2:  # Up
+                rec = (cur + prev) & 0xFF
+            else:  # Sub/Average/Paeth need the left neighbor sequentially
+                rec = np.zeros(w * ch, dtype=np.int64)
+                for i in range(w * ch):
+                    a = rec[i - ch] if i >= ch else 0  # left
+                    b = prev[i]  # up
+                    if ftype == 1:
+                        pred = a
+                    elif ftype == 3:
+                        pred = (a + b) // 2
+                    elif ftype == 4:
+                        c = prev[i - ch] if i >= ch else 0  # up-left
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    else:
+                        return None
+                    rec[i] = (cur[i] + pred) & 0xFF
+            out[y] = rec.astype(np.uint8)
+            prev = rec
+        px = out.reshape(h, w, ch).astype(np.int64)
+        ncolor = 1 if ch in (1, 2) else 3  # drop the alpha channel
+        if ncolor == 1:
+            return px[:, :, 0].astype(np.float64)
+        return px[:, :, :3].sum(axis=2) / 3.0
+    except Exception:  # noqa: BLE001 — any parse failure = undecodable
+        return None
+
+
+def _png_decode(payload: bytes | None) -> np.ndarray:
+    """Real PNG decode → 4×4 grid-mean unit-norm feature vector, the exact
+    `_bmp_decode` arithmetic over `_png_gray` pixels (shared oracle)."""
+    import math
+
+    zeros = np.zeros(FEATURE_DIM, dtype=np.float64)
+    side = int(FEATURE_DIM**0.5)
+    gray = _png_gray(payload)
+    if gray is None or gray.shape[0] < side or gray.shape[1] < side:
+        return zeros
+    try:
+        v = _grid_means(gray, side, side).reshape(-1) / 255.0
+        acc = 0.0  # sequential fold — matches list_reduce oracle order
+        for x in v:
+            acc += float(x) * float(x)
+        n = math.sqrt(acc)
+        return v / n if n else v
+    except Exception:  # noqa: BLE001
+        return zeros
+
+
+def make_png(pixels: np.ndarray, filter_mix: bool = True) -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (stdlib zlib only) — real payloads for the real decode path. With
+    ``filter_mix`` (default) row y uses filter type y % 5, so fixtures
+    exercise every unfilter branch (None/Sub/Up/Average/Paeth), not just
+    the trivial one."""
+    import zlib
+
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.int64)
+    lines = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for y in range(h):
+        row = px[y]
+        f = (y % 5) if filter_mix else 0
+        if f == 0:
+            enc = row
+        elif f == 1:  # Sub
+            left = np.vstack([np.zeros((1, 3), dtype=np.int64), row[:-1]])
+            enc = (row - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (row - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.vstack([np.zeros((1, 3), dtype=np.int64), row[:-1]])
+            enc = (row - (left + prev) // 2) & 0xFF
+        else:  # Paeth
+            enc = np.zeros_like(row)
+            for x in range(w):
+                for c in range(3):
+                    a = int(row[x - 1, c]) if x > 0 else 0
+                    b = int(prev[x, c])
+                    cc = int(prev[x - 1, c]) if x > 0 else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                    enc[x, c] = (int(row[x, c]) - pred) & 0xFF
+        lines.append(f)
+        lines += enc.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + ctype + body + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _wav_decode(payload: bytes | None) -> np.ndarray:
     """Real audio decode: WAV via the stdlib `wave` module — PCM needs no
     external codec, so unlike image/video this path is ALWAYS real.
@@ -320,14 +497,21 @@ def decode_image(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
         return _fake_decode(payload)
     if _is_bmp(payload) and _bmp_gray(payload) is not None:
         return _bmp_decode(payload)
+    if _is_png(payload) and _png_gray(payload) is not None:
+        # stdlib zlib + unfilter: real pixels, engine-pinned arithmetic
+        # (same grid-mean/unit-norm kernel as BMP). PNG variants the
+        # parser can't handle (16-bit, palette, interlaced) fall through
+        # to PIL like any other format.
+        return _png_decode(payload)
     if HAVE_PIL:
         return _pil_decode(payload)
     if fake is None:
         return _fake_decode(payload)
     raise NotImplementedError(
         "no image codec for this payload in this environment: only "
-        "uncompressed 24-bit BMP decodes without PIL; pass fake=True "
-        "(or fake=None for auto-fallback) for the deterministic stand-in"
+        "uncompressed 24-bit BMP and non-interlaced 8-bit PNG decode "
+        "without PIL; pass fake=True (or fake=None for auto-fallback) "
+        "for the deterministic stand-in"
     )
 
 

@@ -289,3 +289,86 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("frame_offset_ms").cast("long").alias("frame_offset_ms"),
     )
+
+
+@query(
+    "multimodal_png_pixel_features",
+    oracle="""
+    WITH px AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id AS d
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id,
+        list_transform(range(16), k ->
+          (list_sum(list_transform(range(48), i ->
+             CASE WHEN ((i // 6) * 4 // 8) = (k // 4)
+                   AND ((i % 6) * 4 // 6) = (k % 4)
+                  THEN CAST((d * 41 + (i // 6) * 7 + (i % 6) * 13) % 256
+                            AS DOUBLE)
+                  ELSE 0.0 END))
+           / list_sum(list_transform(range(48), i ->
+             CASE WHEN ((i // 6) * 4 // 8) = (k // 4)
+                   AND ((i % 6) * 4 // 6) = (k % 4)
+                  THEN 1.0 ELSE 0.0 END)))
+          / 255.0
+        ) AS v
+      FROM px
+    ),
+    normed AS (
+      SELECT media_id, v,
+        sqrt(list_reduce(list_transform(v, x -> x * x),
+                         (a, b) -> a + b)) AS nrm
+      FROM blocks
+    )
+    SELECT media_id, CAST(k AS INT) AS dim,
+           (FLOOR((v[k + 1] / nrm) * 10000.0 + 0.5 + 0.000001)
+            / 10000.0) AS feat_val
+    FROM normed CROSS JOIN (SELECT unnest(range(16)) AS k) dims
+    ORDER BY media_id, dim
+    """,
+    description="Multimodal with REAL PNG pixel decode, no codec libs: "
+    "each doc deterministically becomes an 8x6 8-bit truecolor PNG (gray "
+    "gradient seeded by doc_id; make_png cycles the filter type per row, "
+    "so every unfilter branch — None/Sub/Up/Average/Paeth — and the zlib "
+    "inflate run on every payload), then the stdlib PNG parser "
+    "(_png_gray) recovers the pixels and emits the same 4x4 block-mean "
+    "unit-normed feature as the BMP kernel. The oracle recomputes every "
+    "feature component closed-form from the gradient — a value-hashed "
+    "proof the decoded pixels are exactly right.",
+)
+def multimodal_png_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    yy, xx = np.mgrid[0:8, 0:6]
+    grad = (yy * 7 + xx * 13).astype(np.int64)  # distinct from the BMP mix
+
+    def build_and_decode(batches):
+        for pdf in batches:
+            payloads = (
+                M.make_png(np.repeat(g[:, :, None], 3, axis=2))
+                for g in (
+                    ((int(d) * 41 + grad) % 256).astype(np.uint8)
+                    for d in pdf["doc_id"]
+                )
+            )
+            feats = [M.decode_image(p).tolist() for p in payloads]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "feature": feats}
+            )
+
+    feats = docs.mapInPandas(
+        build_and_decode, "media_id string, feature array<double>"
+    )
+    return (
+        feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
+        .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
+        .orderBy("media_id", "dim")
+    )

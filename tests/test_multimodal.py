@@ -233,3 +233,76 @@ def test_dhash_rejects_small_or_junk_payloads():
     assert M.image_dhash(b"not a bmp") == 0
     tiny = M.make_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
     assert M.image_dhash(tiny) == 0  # grid exceeds image -> undecodable
+
+
+class TestPngCodec:
+    """Stdlib PNG decode (round 4): zlib inflate + all five unfilters,
+    same feature arithmetic as the BMP kernel."""
+
+    def test_roundtrip_exact_pixels_all_filters(self):
+        import numpy as np
+
+        from kafka_clickhouse_ingest_pipeline_spark.operators import (
+            multimodal as M,
+        )
+
+        rng = np.random.RandomState(3)
+        px = rng.randint(0, 256, (10, 7, 3)).astype(np.uint8)
+        # filter_mix cycles None/Sub/Up/Average/Paeth across rows
+        g = M._png_gray(M.make_png(px, filter_mix=True))
+        assert np.array_equal(g, px.astype(np.int64).sum(axis=2) / 3.0)
+        g0 = M._png_gray(M.make_png(px, filter_mix=False))
+        assert np.array_equal(g0, g)
+
+    def test_png_and_bmp_features_agree_on_same_pixels(self):
+        import numpy as np
+
+        from kafka_clickhouse_ingest_pipeline_spark.operators import (
+            multimodal as M,
+        )
+
+        rng = np.random.RandomState(5)
+        px = rng.randint(0, 256, (8, 6, 3)).astype(np.uint8)
+        assert np.array_equal(
+            M.decode_image(M.make_bmp(px)), M.decode_image(M.make_png(px))
+        )
+
+    def test_undecodable_png_falls_through_not_raises(self):
+        import numpy as np
+
+        from kafka_clickhouse_ingest_pipeline_spark.operators import (
+            multimodal as M,
+        )
+
+        whole = M.make_png(np.zeros((8, 6, 3), dtype=np.uint8))
+        for bad in (whole[:20], b"\x89PNG\r\n\x1a\njunk"):
+            # stdlib parser declines; dispatch falls through to the
+            # PIL/stand-in path per the decode_image contract
+            assert M._png_gray(bad) is None
+            v = M.decode_image(bad)  # must not raise with fake=None auto
+            assert v.shape == (M.FEATURE_DIM,)
+
+    def test_interlaced_or_16bit_refused_by_stdlib_path(self):
+        import zlib
+
+        import numpy as np
+
+        from kafka_clickhouse_ingest_pipeline_spark.operators import (
+            multimodal as M,
+        )
+
+        def chunk(t, b):
+            crc = zlib.crc32(t + b) & 0xFFFFFFFF
+            return len(b).to_bytes(4, "big") + t + b + crc.to_bytes(4, "big")
+
+        # interlace=1: the stdlib parser must decline (-> PIL/stub path)
+        ihdr = (6).to_bytes(4, "big") + (8).to_bytes(4, "big") + bytes(
+            [8, 2, 0, 0, 1]
+        )
+        png = (
+            M._PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 19 * 8))
+            + chunk(b"IEND", b"")
+        )
+        assert M._png_gray(png) is None
