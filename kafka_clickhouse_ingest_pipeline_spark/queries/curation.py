@@ -459,7 +459,10 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("pct_short"),
     )
-    total = Window.partitionBy()
+    # total-over-total on the O(|langs|) aggregate — bounded frame; the
+    # constant-valued partition key (attr % 1; literals constant-fold out
+    # of the spec) silences the WindowExec single-partition warning
+    total = Window.partitionBy(F.col("n_docs") % F.lit(1))
     return per_lang.select(
         "lang",
         "n_docs",
