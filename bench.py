@@ -92,6 +92,7 @@ HEADLINE = [
     "ivfadc_topk",
     "bm25_indexed_topk",
     "multimodal_png_pixel_features",
+    "bpe_encode_token_counts",
 ]
 
 

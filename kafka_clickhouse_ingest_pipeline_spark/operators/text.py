@@ -435,3 +435,50 @@ def bm25_query_indexed(
         .orderBy(F.col("bm25").desc(), id_col)
         .limit(k_top)
     )
+
+
+def bpe_apply_merges(
+    vocab: DataFrame,
+    merges: DataFrame,
+    rounds: int,
+    term_col: str = "term",
+) -> DataFrame:
+    """Encode each DISTINCT word with the learned BPE merges — the apply
+    half of `bpe_train_merges` (train once, encode any corpus).
+
+    Same spaced-symbol representation and one-string-replace-per-merge
+    rewrite as training, applied in merge_rank order; each rank's
+    (pair, merged) row rides as a 1-row broadcast. Crucially the merges
+    are applied to the VOCAB (one row per distinct word), never
+    per-occurrence: a 100 TB corpus encodes through a |vocab|-sized
+    table plus one hash join from the token stream — the same shape
+    tokenize_corpus_to_ids uses.
+
+    Returns (term, n_bpe_tokens, encoded) where `encoded` is the
+    double-space-joined symbol string.
+    """
+    chars = F.split(F.col(term_col), "")
+    syms0 = F.concat(
+        F.lit(" "),
+        F.concat_ws("  ", F.concat(chars, F.array(F.lit("</w>")))),
+        F.lit(" "),
+    )
+    enc = vocab.select(F.col(term_col), syms0.alias("s"))
+    halves = F.split(F.col("pair"), " ")
+    pat = F.concat(
+        F.lit(" "), F.get(halves, 0), F.lit("  "), F.get(halves, 1), F.lit(" ")
+    )
+    rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+    for t in range(1, rounds + 1):
+        mt = merges.where(F.col("merge_rank") == t).select("pair", "merged")
+        enc = materialize(
+            enc.crossJoin(F.broadcast(mt)).select(
+                term_col, F.replace(F.col("s"), pat, rep).alias("s")
+            ),
+            "bpe_apply_round",  # vocab-sized; stops round replay
+        )
+    return enc.select(
+        F.col(term_col),
+        F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_bpe_tokens"),
+        F.col("s").alias("encoded"),
+    )

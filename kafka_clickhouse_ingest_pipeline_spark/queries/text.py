@@ -891,7 +891,9 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_parts(rounds: int = _BPE_ROUNDS) -> list[str]:
+    """Shared training CTE chain (wc, w0, p/b/w per round) behind the BPE
+    train and encode oracles."""
     parts = [
         """wc AS (
       SELECT term, COUNT(*) AS freq
@@ -933,7 +935,11 @@ def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
                ' ' || b.merged || ' ') AS s
       FROM w{t - 1}, b{t} b
     )""")
-    ctes = ",\n    ".join(parts)
+    return parts
+
+
+def _bpe_train_sql(rounds: int = _BPE_ROUNDS) -> str:
+    ctes = ",\n    ".join(_bpe_parts(rounds))
     union = "\n    UNION ALL\n    ".join(
         f"SELECT merge_rank, pair, merged, weight FROM b{t}"
         for t in range(1, rounds + 1)
@@ -1042,4 +1048,74 @@ def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return T.bm25_query_indexed(
         index, _BM25_INDEXED_TERMS, k1=_BM25_K1, b=_BM25_B, k_top=20
+    )
+
+
+def _bpe_encode_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Train chain (shared CTEs with _bpe_train_sql) + an encode chain
+    e0..e{rounds} that carries the term through the same replaces, then
+    per-document BPE token counts via a vocab join."""
+    parts = list(_bpe_parts(rounds))
+    parts.append("""e0 AS (
+      SELECT term,
+             ' ' || array_to_string(
+               list_append(string_split(term, ''), '</w>'), '  ') || ' '
+               AS s
+      FROM wc
+    )""")
+    for t in range(1, rounds + 1):
+        parts.append(f"""e{t} AS (
+      SELECT term,
+             replace(s,
+               ' ' || string_split(b.pair, ' ')[1] || '  '
+                   || string_split(b.pair, ' ')[2] || ' ',
+               ' ' || b.merged || ' ') AS s
+      FROM e{t - 1}, b{t} b
+    )""")
+    parts.append("""toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    )""")
+    ctes_all = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes_all}
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(trim(e.s, ' '), '  '))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM toks t JOIN e{rounds} e USING (term)
+    WHERE length(t.term) > 0
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+@query(
+    "bpe_encode_token_counts",
+    oracle=_bpe_encode_sql(),
+    description="C11/BPE apply: encode the corpus with the 6 learned "
+    "merges — the train->apply loop closed. Merges rewrite the DISTINCT-"
+    "word vocab (one 1-row broadcast replace per rank, |vocab|-sized "
+    "table), then the token stream hash-joins the encoded vocab: per-doc "
+    "word and BPE-token counts. Corpus size enters only via the join — "
+    "the encode itself is O(|vocab| x rounds) at any scale. Oracle "
+    "replays training AND encoding CTE-for-round.",
+)
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = T.term_frequencies(docs, "text")
+    merges = T.bpe_train_merges(tf, rounds=_BPE_ROUNDS)
+    enc = T.bpe_apply_merges(tf.select("term"), merges, _BPE_ROUNDS)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    return (
+        toks.join(enc.select("term", "n_bpe_tokens"), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
     )

@@ -224,3 +224,48 @@ def test_bpe_fully_merged_word_emits_no_pairs(spark):
     # round 2: 'e</w>' is a single symbol now; only 'xy' contributes
     assert merges[2].pair is not None
     assert merges[2].pair == "x y" and merges[2].weight == 1
+
+
+def test_bpe_apply_zero_merges_counts_chars_plus_eow(spark):
+    """bpe_apply_merges with an empty merge prefix: every word encodes to
+    len(word)+1 symbols (chars + </w>)."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_train_merges,
+    )
+
+    vocab = spark.createDataFrame(
+        [("ab", 5), ("abc", 3), ("a", 1)], ["term", "freq"]
+    )
+    merges = bpe_train_merges(vocab, rounds=2)
+    enc = bpe_apply_merges(vocab.select("term"), merges, rounds=0)
+    got = {r["term"]: r["n_bpe_tokens"] for r in enc.collect()}
+    assert got == {"ab": 3, "abc": 4, "a": 2}
+
+
+def test_bpe_apply_merges_shrinks_tokens_consistently_with_training(spark):
+    """Applying the learned merges to the training vocab reproduces the
+    training chain's final symbol counts (train and apply share the
+    rewrite machinery, so w_rounds == e_rounds)."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators.text import (
+        bpe_apply_merges,
+        bpe_train_merges,
+    )
+
+    vocab = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        ["term", "freq"],
+    )
+    merges = bpe_train_merges(vocab, rounds=3)
+    assert merges.count() == 3
+    enc = bpe_apply_merges(vocab.select("term"), merges, rounds=3)
+    got = {r["term"]: r["n_bpe_tokens"] for r in enc.collect()}
+    # 3 merges each strictly reduce some word's symbol count; every word
+    # still ends with </w> and nothing grows
+    base = {"low": 4, "lower": 6, "newest": 7, "widest": 7}
+    assert all(got[t] <= base[t] for t in base)
+    assert sum(got.values()) <= sum(base.values()) - 3
