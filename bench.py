@@ -93,6 +93,8 @@ HEADLINE = [
     "bm25_indexed_topk",
     "multimodal_png_pixel_features",
     "bpe_encode_token_counts",
+    "corpus_snapshot_diff",
+    "histogram_equidepth_prices",
 ]
 
 

@@ -542,3 +542,72 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+      WHERE doc_id % 10 != 0
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                      ELSE text END) AS digest
+      FROM documents WHERE doc_id % 7 != 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+       OR v1.digest != v2.digest
+    ORDER BY doc_id
+    """,
+    description="Incremental corpus versioning: diff two snapshot "
+    "versions by content digest — added / removed / changed rows only "
+    "(unchanged rows never leave the join). The input of every "
+    "incremental pipeline run: re-embed, re-dedup, re-index only the "
+    "diff instead of the corpus. One digest projection per side and one "
+    "full-outer hash join on doc_id; at 100 TB both snapshots are "
+    "written partitioned/bucketed on doc_id so the join is co-located "
+    "(zero shuffle), and the diff output is bounded by the churn rate, "
+    "not the corpus. Versions are simulated deterministically from "
+    "`documents` (10% dropped in v1, 14% dropped in v2, every 5th doc "
+    "edited).",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    v2 = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.where(
+            F.col("a.doc_id").isNull()
+            | F.col("b.doc_id").isNull()
+            | (F.col("a.digest") != F.col("b.digest"))
+        )
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .orderBy("doc_id")
+    )

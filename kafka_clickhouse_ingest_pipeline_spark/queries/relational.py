@@ -2289,3 +2289,59 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "histogram_equidepth_prices",
+    oracle=f"""
+    WITH b AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice,
+                 [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+               x -> {round4_sql("x")}) AS bs
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(p) AS min_price,
+           MAX(p) AS max_price,
+           {round4_sql("AVG(p)")} AS avg_price
+    FROM (
+      SELECT len(list_filter(b.bs, x -> o.o_totalprice > x)) AS bucket,
+             o.o_totalprice AS p
+      FROM orders o, b
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    description="C1/histogram, equi-DEPTH twin of histogram_order_prices: "
+    "8 quantile buckets over order totals. The scale-correct plan — one "
+    "exact-percentile aggregate produces 7 cut points (round4-ed so both "
+    "engines compare identical doubles), broadcast against the scan, "
+    "bucket = count of bounds below the value (a 7-element HOF filter, "
+    "no global NTILE sort of the fact table). ClickHouse "
+    "quantilesExact+countIf analog.",
+)
+def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fracs = [i / 8.0 for i in range(1, 8)]
+    bounds = orders.agg(
+        F.transform(
+            F.percentile(F.col("o_totalprice"), F.array(*[F.lit(q) for q in fracs])),
+            lambda x: round4(x),
+        ).alias("bs")
+    )
+    p = F.col("o_totalprice")
+    bucket = F.size(F.filter(F.col("bs"), lambda x: p > x))
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("long").alias("bucket"), p.alias("p"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("p").alias("min_price"),
+            F.max("p").alias("max_price"),
+            round4(F.avg("p")).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
