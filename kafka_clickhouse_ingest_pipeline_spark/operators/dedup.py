@@ -24,7 +24,7 @@ pair join is id<id-triangularized to halve the work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.materialize import materialize
@@ -712,5 +712,67 @@ def ngram_containment_pairs(
         .where(
             (F.col("contain_a_in_b") >= threshold)
             | (F.col("contain_b_in_a") >= threshold)
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Exact-substring dedup ACTION (Lee et al. 2021 §3): every duplicated
+    k-word span keeps only its corpus-wide FIRST occurrence (min (doc,
+    pos)); later occurrences — in other docs or later in the same doc —
+    are cut, and each document's text is rebuilt from its surviving
+    chunks. `duplicated_spans` is the detector; this is the rewrite.
+
+    Scale shape: one posexplode (~n_words/k rows), one window over the
+    span key (shuffle on `chunk`, AQE-split for boilerplate skew — the
+    same key the detector aggregates on), one per-doc rebuild whose
+    collect_list is bounded by document length, never corpus size.
+    Trailing words that don't fill a chunk are dropped by the chunking,
+    as in :func:`doc_chunks`.
+
+    Returns (id, n_chunks, n_kept, text_deduped).
+    """
+    w = F.split(F.col(text_col), " ")
+    m = F.floor(F.size(w) / F.lit(k)).cast("int")
+    chunks = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda j: F.concat_ws(" ", F.slice(w, j * k + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = df.select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))
+    wspan = Window.partitionBy("chunk").orderBy(F.col(id_col), F.col("pos"))
+    wcnt = Window.partitionBy("chunk")
+    ranked = ch.select(
+        id_col,
+        "pos",
+        "chunk",
+        F.row_number().over(wspan).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n_occ"),
+    )
+    kept = ranked.where((F.col("n_occ") == 1) | (F.col("rn") == 1))
+    rebuilt = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+            lambda s: s["chunk"],
+        ),
+    )
+    totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            rebuilt.alias("text_deduped"),
+        )
+        .join(totals, id_col)
+        .select(
+            id_col,
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            "n_kept",
+            "text_deduped",
         )
     )

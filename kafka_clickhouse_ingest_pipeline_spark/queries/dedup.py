@@ -1132,3 +1132,47 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "dedup_substring_removed",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, u.pos AS pos, u.chunk AS chunk
+      FROM (
+        SELECT doc_id,
+               unnest([{'pos': j,
+                        'chunk': array_to_string(w[(j*5)+1:(j*5)+5], ' ')}
+                       FOR j IN range(0, CAST(floor(len(w)/5) AS INT))]) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY chunk) AS n_occ
+      FROM ch
+    ),
+    kept AS (SELECT * FROM ranked WHERE n_occ = 1 OR rn = 1),
+    totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
+    SELECT k.doc_id,
+           CAST(t.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           array_to_string(list(k.chunk ORDER BY k.pos), ' ')
+             AS text_deduped
+    FROM kept k JOIN totals t USING (doc_id)
+    GROUP BY k.doc_id, t.n_chunks
+    ORDER BY k.doc_id
+    """,
+    description="C9: exact-substring dedup REWRITE (Lee et al. 2021 §3) — "
+    "the action to dedup_substring_spans' detector: every duplicated "
+    "5-word span keeps only its corpus-wide first occurrence (min (doc, "
+    "pos)); later occurrences anywhere are cut and each doc's text is "
+    "rebuilt from surviving chunks. One posexplode, one window on the "
+    "span key (same shuffle key as the detector, AQE-split skew), per-doc "
+    "rebuild bounded by document length.",
+)
+def dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(docs, "text", "doc_id", 5).orderBy("doc_id")
