@@ -103,3 +103,69 @@ def test_round4_is_engine_portable(spark, xs):
         for x in xs
     ]
     assert got_spark == got_duck
+
+
+# JSON values for the whole-string span-fold property: nested objects/
+# arrays with string values that may contain braces/brackets/escapes —
+# the cases that break naive balance counters.
+_json_vals = st.recursive(
+    st.one_of(
+        st.integers(min_value=-1000, max_value=1000),
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\x00"
+            ),
+            max_size=8,
+        ),
+        st.booleans(),
+        st.none(),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(
+            st.text(
+                alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+                max_size=5,
+            ),
+            children,
+            max_size=3,
+        ),
+    ),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _json_vals,
+            st.sampled_from(["", " ", "\n\t ", "junk", "{", "]", ',{"b":2}']),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_fold_accepts_iff_whole_string_is_one_value(spark, batch):
+    """json_value_spans_string must be True exactly when the serialized
+    bracketed doc plus the suffix is still ONE whole JSON value (i.e. the
+    suffix is whitespace) — for arbitrarily nested docs whose strings may
+    contain braces, quotes and escapes."""
+    from pyspark.sql import functions as F
+
+    rows, want = [], []
+    for val, suffix in batch:
+        doc = json.dumps(val)
+        if not doc or doc[0] not in "{[":
+            doc = json.dumps({"v": val})  # force a bracketed doc
+        payload = doc + suffix
+        rows.append((payload,))
+        want.append(suffix.strip() == "")
+    df = spark.createDataFrame(rows, "raw string")
+    got = [
+        r["ok"]
+        for r in df.select(
+            ingest.json_value_spans_string(F.col("raw")).alias("ok")
+        ).collect()
+    ]
+    assert got == want, list(zip([r[0] for r in rows], got, want))
