@@ -2315,11 +2315,15 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY bucket
     """,
     description="C1/histogram, equi-DEPTH twin of histogram_order_prices: "
-    "8 quantile buckets over order totals. The scale-correct plan — one "
-    "exact-percentile aggregate produces 7 cut points (round4-ed so both "
-    "engines compare identical doubles), broadcast against the scan, "
-    "bucket = count of bounds below the value (a 7-element HOF filter, "
-    "no global NTILE sort of the fact table). ClickHouse "
+    "8 quantile buckets over order totals. Cut points broadcast against "
+    "the scan, bucket = count of bounds below the value (a 7-element HOF "
+    "filter) — never a global NTILE sort of the fact table. The cut-point "
+    "aggregate here is EXACT percentile (deterministic interpolation both "
+    "engines share — the oracle requirement); exact percentile buffers "
+    "the column in the final reducer, so the 100 TB swap is "
+    "percentile_approx (mergeable GK sketch, identical downstream "
+    "bucketing) — equivalence at this SF pinned in "
+    "test_relational.test_equidepth_approx_bounds_match_exact. ClickHouse "
     "quantilesExact+countIf analog.",
 )
 def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:

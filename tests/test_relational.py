@@ -83,3 +83,38 @@ def test_hll_sketch_union_matches_direct(spark, sf_dir):
     assert whole == merged
     exact = o.select("o_custkey").distinct().count()
     assert abs(whole - exact) / exact < 0.05
+
+
+def test_equidepth_approx_bounds_match_exact(spark, sf_dir):
+    """The documented 100 TB swap for histogram_equidepth_prices: cut
+    points from percentile_approx (mergeable sketch, no full-column
+    buffer in the reducer) give the same bucketing as exact percentile
+    at high accuracy — and the bucket depths stay near-equal."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.registry import REGISTRY
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    fracs = [i / 8.0 for i in range(1, 8)]
+    bounds = orders.agg(
+        F.percentile_approx(
+            F.col("o_totalprice"),
+            F.array(*[F.lit(q) for q in fracs]),
+            F.lit(100000),
+        ).alias("bs")
+    )
+    p = F.col("o_totalprice")
+    bucket = F.size(F.filter(F.col("bs"), lambda x: p > x))
+    depths = [
+        r["n"]
+        for r in orders.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+        .collect()
+    ]
+    n = sum(depths)
+    assert len(depths) == 8
+    # equi-depth within sketch tolerance: every bucket within 10% of n/8
+    assert all(abs(d - n / 8) <= 0.1 * n / 8 + 2 for d in depths), depths
