@@ -17,6 +17,10 @@ Parquet equivalents:
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -57,6 +61,55 @@ def write_clustered(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    bucket_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed parquet table (``bucketBy`` + ``saveAsTable``).
+
+    Bucketing is the persisted form of a shuffle: rows are hash-placed into
+    ``num_buckets`` files by the bucket key at WRITE time, so every later
+    join or aggregation on that key reads the data already co-located —
+    Catalyst drops the Exchange on the bucketed side(s) entirely. At 100 TB
+    this converts the recurring fact⨝fact shuffle (the single most expensive
+    stage in the pipeline) into a one-time write cost: the ClickHouse
+    analog is the MergeTree ORDER BY key making point/merge reads cheap
+    (init-db.sh:34), but bucketing additionally fixes the *placement*, which
+    a sort key alone does not.
+
+    The pre-write ``repartition`` puts exactly one task (and hence one file)
+    per bucket, which keeps file counts bounded (files = buckets, not
+    buckets x write-tasks) and lets Spark trust per-bucket ``sortBy`` order
+    on read. Bucket counts should be sized like shuffle partitions: at
+    100 TB, ``bytes / ~512 MB`` rounded to a power of two, identical on
+    both sides of the intended join.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    # A previous PROCESS may have left the managed location behind while
+    # this process's metastore has no row for it — saveAsTable then fails
+    # with LOCATION_ALREADY_EXISTS. Clear the orphan before writing.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if warehouse.scheme in ("", "file"):
+        orphan = os.path.join(warehouse.path, table.lower())
+        if os.path.exists(orphan):
+            shutil.rmtree(orphan)
+
+    keyed = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    writer = (
+        keyed.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
 
 
 def _interleave_terms(col: F.Column, start_bit: int, bits: int) -> list[F.Column]:

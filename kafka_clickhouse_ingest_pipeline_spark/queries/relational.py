@@ -2349,3 +2349,86 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- B7 bucketed layout: the persisted-shuffle story ---------------------
+
+_BUCKETED_READY: set[tuple[int, str]] = set()
+_BUCKET_N = 8
+
+
+def bucketed_orders_customer(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Ensure bucketed twins of orders/customer exist; return readers.
+
+    Both tables are hash-bucketed into the same ``_BUCKET_N`` buckets on
+    their join key (o_custkey / c_custkey), written once per (session,
+    sf_dir) via ``ZL.write_bucketed``. Every subsequent join or
+    aggregation on the custkey reads pre-placed data: the join below runs
+    as a SortMergeJoin with NO Exchange on either side (pinned in
+    test_plans.test_bucketed_join_reads_colocated_data). This is the
+    pay-the-shuffle-once layout for recurring fact⨝fact joins at 100 TB.
+    """
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _BUCKETED_READY:
+        ZL.write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+            ),
+            "graft_bucketed_orders",
+            _BUCKET_N,
+            ("o_custkey",),
+            sort_cols=("o_custkey",),
+        )
+        ZL.write_bucketed(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            ),
+            "graft_bucketed_customer",
+            _BUCKET_N,
+            ("c_custkey",),
+            sort_cols=("c_custkey",),
+        )
+        _BUCKETED_READY.add(key)
+    return (
+        spark.table("graft_bucketed_orders"),
+        spark.table("graft_bucketed_customer"),
+    )
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {round4_sql("SUM(o.o_totalprice)")} AS revenue,
+           {round4_sql("AVG(c.c_acctbal)")} AS avg_acctbal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    description="B7/bucketed layout: orders and customer hash-bucketed on "
+    "custkey at write time (8 buckets each side, one file per bucket, "
+    "in-bucket sortBy), then joined with a merge hint. The bucketed scan "
+    "satisfies the join's hashpartitioning requirement, so the plan has "
+    "ZERO exchanges before the join — the persisted-shuffle layout that "
+    "turns a recurring 100 TB fact⨝fact shuffle into a one-time write "
+    "(plan pinned in test_plans). The merge hint is deliberate: at scale "
+    "neither side broadcasts, and SMJ-over-buckets is the plan this "
+    "layout exists to produce. Oracle = the same join/agg on the raw "
+    "parquet — bucketing must never change an answer, only the plan.",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = bucketed_orders_customer(spark, sf_dir)
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            round4(F.sum("o_totalprice")).alias("revenue"),
+            round4(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

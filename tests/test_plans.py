@@ -281,3 +281,52 @@ def test_ivfadc_cell_prune_and_code_lookups_are_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # final top-k is a heap, not a global sort of the estimates
     assert "TakeOrderedAndProject" in plan
+
+
+# --- B7 bucketed layout: the persisted shuffle -------------------------
+
+
+def test_bucketed_join_reads_colocated_data(spark, sf_dir):
+    """Both sides hash-bucketed on the join key at write time: the SMJ's
+    hashpartitioning requirement is satisfied by the scan itself, so the
+    join subtree contains NO Exchange at all — the one-time-write,
+    many-time-join layout for recurring fact⨝fact joins at 100 TB."""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.relational import (
+        bucketed_orders_customer,
+    )
+
+    o, c = bucketed_orders_customer(spark, sf_dir)
+    j = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    j.collect()
+    plan = _executed_plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert plan.count("Bucketed: true") >= 2
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_bucketed_groupby_on_bucket_key_has_no_shuffle(spark, sf_dir):
+    """Aggregating on the bucket key reuses the persisted placement too:
+    partial and final HashAggregate fuse into one codegen stage over the
+    scan, with no Exchange between them."""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.relational import (
+        bucketed_orders_customer,
+    )
+
+    o, _ = bucketed_orders_customer(spark, sf_dir)
+    agg = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    agg.collect()
+    plan = _executed_plan(agg)
+    assert "Exchange" not in plan
+    assert "partial_sum" in plan
+
+
+def test_bucketed_query_shuffles_only_the_final_aggregate(spark, sf_dir):
+    """The registered query's only exchange is the tiny post-join
+    mktsegment rollup — neither fact side shuffles on custkey."""
+    df = registry.REGISTRY["bucketed_colocated_join"].fn(spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
+    assert "SortMergeJoin" in plan
