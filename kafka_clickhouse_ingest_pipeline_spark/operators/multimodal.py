@@ -436,6 +436,52 @@ def make_png(pixels: np.ndarray, filter_mix: bool = True) -> bytes:
     )
 
 
+def _is_jpeg(payload: bytes | None) -> bool:
+    from . import jpeg as _J
+
+    return _J.is_jpeg(payload)
+
+
+def _jpeg_gray(payload: bytes | None) -> np.ndarray | None:
+    """Baseline JPEG → grayscale via the stdlib+numpy codec
+    (operators/jpeg.py); None for variants it can't handle (progressive,
+    arithmetic, 12-bit) so callers fall through to PIL."""
+    from . import jpeg as _J
+
+    return _J.jpeg_gray(payload)
+
+
+def make_jpeg(pixels: np.ndarray, quant_value: int = 1) -> bytes:
+    """Baseline JFIF encoder (operators/jpeg.py) — real JPEG payloads for
+    the real decode path, like make_bmp/make_png/make_wav."""
+    from . import jpeg as _J
+
+    return _J.make_jpeg(pixels, quant_value)
+
+
+def _jpeg_decode(payload: bytes | None) -> np.ndarray:
+    """Real JPEG decode → 4×4 grid-mean unit-norm feature vector, the
+    exact `_bmp_decode`/`_png_decode` arithmetic over `_jpeg_gray` pixels
+    (shared closed-form oracle; exact for block-constant quant-1
+    fixtures, see operators/jpeg.py)."""
+    import math
+
+    zeros = np.zeros(FEATURE_DIM, dtype=np.float64)
+    side = int(FEATURE_DIM**0.5)
+    gray = _jpeg_gray(payload)
+    if gray is None or gray.shape[0] < side or gray.shape[1] < side:
+        return zeros
+    try:
+        v = _grid_means(gray, side, side).reshape(-1) / 255.0
+        acc = 0.0  # sequential fold — matches list_reduce oracle order
+        for x in v:
+            acc += float(x) * float(x)
+        n = math.sqrt(acc)
+        return v / n if n else v
+    except Exception:  # noqa: BLE001
+        return zeros
+
+
 def _wav_decode(payload: bytes | None) -> np.ndarray:
     """Real audio decode: WAV via the stdlib `wave` module — PCM needs no
     external codec, so unlike image/video this path is ALWAYS real.
@@ -503,6 +549,11 @@ def decode_image(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
         # parser can't handle (16-bit, palette, interlaced) fall through
         # to PIL like any other format.
         return _png_decode(payload)
+    if _is_jpeg(payload) and _jpeg_gray(payload) is not None:
+        # baseline JPEG: stdlib+numpy Huffman/IDCT decode, real pixels
+        # (operators/jpeg.py). Progressive/arithmetic/12-bit fall
+        # through to PIL like any other format.
+        return _jpeg_decode(payload)
     if HAVE_PIL:
         return _pil_decode(payload)
     if fake is None:

@@ -372,3 +372,86 @@ def multimodal_png_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
         .orderBy("media_id", "dim")
     )
+
+
+@query(
+    "multimodal_jpeg_pixel_features",
+    oracle="""
+    WITH px AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id AS d
+      FROM documents
+    ),
+    blocks AS (
+      SELECT media_id,
+        list_transform(range(16), k ->
+          CAST((d * 53 + ((k // 4) // 2) * 17 + ((k % 4) // 2) * 29) % 256
+               AS DOUBLE) / 255.0
+        ) AS v
+      FROM px
+    ),
+    normed AS (
+      SELECT media_id, v,
+        sqrt(list_reduce(list_transform(v, x -> x * x),
+                         (a, b) -> a + b)) AS nrm
+      FROM blocks
+    )
+    SELECT media_id, CAST(k AS INT) AS dim,
+           (FLOOR((v[k + 1] / nrm) * 10000.0 + 0.5 + 0.000001)
+            / 10000.0) AS feat_val
+    FROM normed CROSS JOIN (SELECT unnest(range(16)) AS k) dims
+    ORDER BY media_id, dim
+    """,
+    description="Multimodal with REAL baseline-JPEG decode, no codec "
+    "libs: each doc becomes a 16x16 grayscale JPEG of four 8x8 "
+    "constant blocks seeded by doc_id (operators/jpeg.py make_jpeg, "
+    "quant table all ones), then the stdlib+numpy baseline decoder — "
+    "marker parse, canonical Huffman with FF00 unstuffing, DC "
+    "prediction + EXTEND, dequant, inverse zigzag, IDCT — recovers the "
+    "pixels and emits the same 4x4 block-mean unit-norm feature as the "
+    "BMP/PNG kernels. Block-constant + quant-1 makes the lossy format "
+    "exactly invertible (DC-only blocks), so the oracle recomputes "
+    "every feature dimension in closed form from doc_id: a value-hashed "
+    "proof of real entropy-coded JPEG decode. The general AC path is "
+    "pinned separately (tests/test_multimodal: arbitrary images "
+    "roundtrip within one gray level at quant 1).",
+)
+def multimodal_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+
+    bi, bj = np.mgrid[0:2, 0:2]
+    block_mix = (bi * 17 + bj * 29).astype(np.int64)  # per-block part, fixed
+
+    def build_and_decode(batches):
+        # One fused Python stage: encode real JPEG bytes, Huffman-decode
+        # them back, featurize — payloads never visit the driver.
+        for pdf in batches:
+            payloads = (
+                M.make_jpeg(
+                    np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(
+                        np.uint8
+                    )
+                )
+                for v in (
+                    (int(d) * 53 + block_mix) % 256 for d in pdf["doc_id"]
+                )
+            )
+            feats = [M.decode_image(p).tolist() for p in payloads]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "feature": feats}
+            )
+
+    feats = docs.mapInPandas(
+        build_and_decode, "media_id string, feature array<double>"
+    )
+    return (
+        feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
+        .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
+        .orderBy("media_id", "dim")
+    )

@@ -306,3 +306,76 @@ class TestPngCodec:
             + chunk(b"IEND", b"")
         )
         assert M._png_gray(png) is None
+
+
+class TestJpegCodec:
+    """Baseline JPEG codec (operators/jpeg.py): stdlib+numpy encode and
+    entropy-coded decode, no codec libraries."""
+
+    def test_block_constant_roundtrip_exact(self):
+        # per-8x8-block constant + quant 1 => DC-only blocks, an exactly
+        # invertible corner of the lossy format — the oracle contract
+        # behind multimodal_jpeg_pixel_features
+        import numpy as np
+        from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(0, 256, size=(3, 2))
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+        out = J.jpeg_gray(J.make_jpeg(img))
+        assert out is not None and out.shape == img.shape
+        assert np.array_equal(out, img.astype(float))
+
+    def test_arbitrary_gray_roundtrips_within_one_level(self):
+        # full AC Huffman path: runs, ZRL, EOB, every magnitude class the
+        # noise hits; quant-1 error budget is IDCT rounding only
+        import numpy as np
+        from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, size=(24, 17)).astype(np.uint8)  # pad path
+        out = J.jpeg_gray(J.make_jpeg(img))
+        assert out.shape == (24, 17)
+        assert np.abs(out - img).max() <= 1.0
+
+    def test_rgb_color_path_within_channel_rounding(self):
+        import numpy as np
+        from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        out = J.jpeg_gray(J.make_jpeg(img))
+        gray = img.astype(float).sum(axis=2) / 3.0
+        # YCbCr forward/backward + per-channel rounding: <=1 per channel,
+        # so <=4/3 on the 3-channel mean, plus quant-1 IDCT rounding
+        assert np.abs(out - gray).max() <= 2.5
+
+    def test_undecodable_or_unsupported_returns_none(self):
+        import numpy as np
+        from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+        img = np.zeros((8, 8), dtype=np.uint8)
+        good = J.make_jpeg(img)
+        assert J.jpeg_gray(None) is None
+        assert J.jpeg_gray(b"") is None
+        assert J.jpeg_gray(b"\xff\xd8\xff\xe0junk") is None
+        assert J.jpeg_gray(good[:40]) is None  # truncated mid-marker
+        # progressive (SOF2) must refuse -> dispatch falls through to PIL
+        prog = bytearray(good)
+        sof = prog.find(b"\xff\xc0")
+        prog[sof + 1] = 0xC2
+        assert J.jpeg_gray(bytes(prog)) is None
+
+    def test_decode_image_dispatches_jpeg_before_stub(self):
+        # the real decoder must win over the digest stand-in: features of
+        # a gray-gradient JPEG match the BMP kernel on the same pixels
+        import numpy as np
+        from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+        yy, xx = np.mgrid[0:8, 0:8]
+        vals = ((yy // 8 * 50 + xx // 8 * 30 + 99) % 256).astype(np.uint8)
+        g = np.repeat(np.repeat(vals, 2, axis=0), 2, axis=1)
+        jf = M.decode_image(J.make_jpeg(g))
+        bf = M.decode_image(M.make_bmp(np.repeat(g[:, :, None], 3, axis=2)))
+        assert np.allclose(jf, bf)
+        assert float(np.abs(jf).sum()) > 0
