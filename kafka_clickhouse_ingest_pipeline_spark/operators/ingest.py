@@ -61,18 +61,20 @@ def json_validity_gate(df: DataFrame, payload_col: str = "value") -> DataFrame:
     json.Valid is also whole-string strict, so bracketed docs with
     trailing garbage ('{"a":1}junk') are rejected via the span fold —
     the same strictness DuckDB's json_valid applies on the oracle side.
-    (Scalar docs keep the lenient path; try_parse_json already rejects
-    scalar-with-trailing-garbage like '12junk'/'nulljunk'. The one
-    remaining deviation is a string scalar with trailing garbage
-    ('"x"junk' passes here, json.Valid rejects) — never produced by the
-    reference's object-shaped payloads.)
+    Non-string scalars keep the lenient path: try_parse_json already
+    rejects '12junk'/'nulljunk'. String scalars get the same whole-string
+    strictness via their own span fold ('"x"junk' drops, matching
+    json.Valid) — with that, the gate is whole-string strict for every
+    JSON value shape.
     """
     raw = F.col(payload_col).cast("string")
     lt = F.ltrim(raw)
     bracketed = F.startswith(lt, F.lit("{")) | F.startswith(lt, F.lit("["))
+    str_scalar = F.startswith(lt, F.lit('"'))
     return df.filter(
         F.try_parse_json(raw).isNotNull()
         & (~bracketed | json_value_spans_string(raw))
+        & (~str_scalar | string_scalar_spans_string(raw))
     )
 
 
@@ -129,6 +131,47 @@ def json_value_spans_string(raw: Column) -> Column:
             (in_str & ~acc["esc"] & (c == "\\")).alias("esc"),
             new_done.alias("done"),
             new_bad.alias("bad"),
+        )
+
+    return F.aggregate(
+        F.split(raw, ""),
+        init,
+        step,
+        lambda acc: acc["done"] & ~acc["bad"],
+    )
+
+
+def string_scalar_spans_string(raw: Column) -> Column:
+    """True iff ``raw`` is exactly one JSON string scalar (optionally
+    whitespace-padded) — the string-scalar twin of
+    :func:`json_value_spans_string`, closing the last documented
+    deviation from Go ``json.Valid`` / kotlinx whole-string strictness
+    (``'"x"junk'`` must drop). Same JVM higher-order fold, simpler state
+    machine: before-quote / in-string(+escape) / after-close. Combine
+    with ``try_parse_json`` (which validates escapes are real)."""
+    init = F.struct(
+        F.lit(False).alias("started"),
+        F.lit(False).alias("instr"),
+        F.lit(False).alias("esc"),
+        F.lit(False).alias("done"),
+        F.lit(False).alias("bad"),
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        is_ws = c.isin(" ", "\t", "\n", "\r", "")
+        closes = acc["instr"] & ~acc["esc"] & (c == '"')
+        return F.struct(
+            (acc["started"] | (c == '"')).alias("started"),
+            F.when(acc["instr"], ~closes)
+            .otherwise(~acc["started"] & (c == '"'))
+            .alias("instr"),
+            (acc["instr"] & ~acc["esc"] & (c == "\\")).alias("esc"),
+            (acc["done"] | closes).alias("done"),
+            (
+                acc["bad"]
+                | (acc["done"] & ~is_ws)  # anything after the close quote
+                | (~acc["started"] & ~is_ws & (c != '"'))  # pre-quote junk
+            ).alias("bad"),
         )
 
     return F.aggregate(

@@ -206,3 +206,30 @@ class TestKotlinxStrictParseParity:
             r["value"] for r in ingest.json_validity_gate(df).collect()
         )
         assert kept == ["[1,2]", "null", '{"a":1}']
+
+
+class TestStringScalarStrictness:
+    """A3 gate, string-scalar whole-string strictness — the LAST
+    documented deviation from Go json.Valid, now closed: '"x"junk' drops
+    while every legal string scalar (escapes, padding, embedded quotes)
+    still passes."""
+
+    def test_validity_gate_full_json_valid_parity(self, spark):
+        cases = {
+            '"x"': True,
+            '  "padded"  ': True,
+            '""': True,
+            '"brace } inside"': True,
+            '"esc \\" quote"': True,
+            '"double esc \\\\"': True,
+            '"x"junk': False,           # the former deviation
+            '"a" "b"': False,           # concatenated strings
+            '"unterminated': False,
+            'junk"x"': False,
+            "12": True,
+            "12junk": False,
+            "true": True,
+        }
+        df = _payload_df(spark, list(cases))
+        kept = {r["value"] for r in ingest.json_validity_gate(df).collect()}
+        assert kept == {p for p, ok in cases.items() if ok}
