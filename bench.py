@@ -95,6 +95,9 @@ HEADLINE = [
     "bpe_encode_token_counts",
     "corpus_snapshot_diff",
     "histogram_equidepth_prices",
+    # round 4 cont.: persisted-shuffle bucketed join, real JPEG decode
+    "bucketed_colocated_join",
+    "multimodal_jpeg_pixel_features",
 ]
 
 

@@ -500,3 +500,101 @@ def dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_ms")
     )
+
+
+@query(
+    "events_gap_fill_interp",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hb,
+             COUNT(*) AS n,
+             (FLOOR(AVG(value) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+               AS raw_avg
+      FROM events
+      WHERE event_type = 'purchase' AND value > 90
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(hb) FROM hourly),
+                                    (SELECT MAX(hb) FROM hourly),
+                                    INTERVAL 1 HOUR)) AS hb
+    ),
+    nb AS (
+      SELECT s.hb, h.n, h.raw_avg,
+             last_value(h.raw_avg IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN h.raw_avg IS NOT NULL THEN s.hb END
+                        IGNORE NULLS) OVER wp AS pt,
+             first_value(h.raw_avg IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN h.raw_avg IS NOT NULL THEN s.hb END
+                         IGNORE NULLS) OVER wn AS nt
+      FROM spine s LEFT JOIN hourly h ON s.hb = h.hb
+      WINDOW wp AS (ORDER BY s.hb
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (ORDER BY s.hb
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT CAST(epoch_us(hb) // 1000 AS BIGINT) AS hour_ms,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           (FLOOR((CASE
+              WHEN pv IS NULL THEN nv
+              WHEN nv IS NULL THEN pv
+              WHEN nt = pt THEN pv
+              ELSE pv + (nv - pv) *
+                   (CAST(epoch(hb) - epoch(pt) AS DOUBLE)
+                    / CAST(epoch(nt) - epoch(pt) AS DOUBLE))
+            END) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS avg_value_interp
+    FROM nb
+    """,
+    description="C12: gap-filled hourly series with LINEAR interpolation "
+    "— the INTERPOLATE twin of events_gap_fill_locf (ClickHouse ORDER BY "
+    "... WITH FILL INTERPOLATE). Missing hours get "
+    "prev + (next-prev) * elapsed-fraction between their flanking known "
+    "hours (two bounded windows: last-ignore-nulls forward, "
+    "first-ignore-nulls backward); edge gaps take the nearest known "
+    "value. Same two-level scale shape as LOCF: the raw stream reduces "
+    "to O(hours) rows before the spine join and windows, so 100 TB of "
+    "events still interpolates over ~9k rows/year.",
+)
+def events_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.avg("value")).alias("raw_avg"),
+    )
+    rng = hourly.agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hb")
+    )
+    # bounded O(hours) frame; constant partition key states that intent
+    # (see events_gap_fill_locf)
+    base = (
+        Window.partitionBy(F.unix_timestamp("hb") % F.lit(1)).orderBy("hb")
+    )
+    wp = base.rowsBetween(Window.unboundedPreceding, 0)
+    wn = base.rowsBetween(0, Window.unboundedFollowing)
+    known_ts = F.when(F.col("raw_avg").isNotNull(), F.col("hb"))
+    joined = spine.join(hourly, "hb", "left").select(
+        "hb",
+        "n",
+        F.last("raw_avg", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_ts, ignorenulls=True).over(wp).alias("pt"),
+        F.first("raw_avg", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_ts, ignorenulls=True).over(wn).alias("nt"),
+    )
+    elapsed = (
+        (F.unix_timestamp("hb") - F.unix_timestamp("pt")).cast("double")
+        / (F.unix_timestamp("nt") - F.unix_timestamp("pt")).cast("double")
+    )
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * elapsed)
+    )
+    return joined.select(
+        epoch_ms(F.col("hb")).alias("hour_ms"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        round4(interp).alias("avg_value_interp"),
+    )
