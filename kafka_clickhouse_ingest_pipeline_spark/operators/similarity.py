@@ -490,6 +490,81 @@ def quantize_int8(
 
 
 
+def sq_rescore_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar-quantized scan + exact rescore: the int8 ANN ladder rung.
+
+    Phase 1 scores the whole corpus on symmetric max-abs int8 codes
+    (:func:`quantize_int8`'s arithmetic in array form). Cosine over the
+    quantized vectors needs NO dequantization — the per-vector scales
+    cancel — so the scan reads 1/4 the bytes of the float corpus and the
+    products are exact small-int doubles (bit-identical across engines).
+    Phase 2 joins the ``shortlist`` survivors (a broadcast of ids, never
+    the corpus) back to the full-precision table and re-ranks exactly.
+
+    This is the classic scan-cheap/rescore-exact architecture (FAISS
+    SQ8, ScaNN's AH+rescore): at 100 TB the quantized table is the thing
+    you keep hot, and the float table is touched only for ~4k rows per
+    query. Both phases end in TakeOrderedAndProject heaps — no global
+    sort, nothing collected.
+    """
+    if query.limit(2).count() != 1:
+        raise ValueError("sq_rescore_topk expects exactly one query row")
+
+    def quantized(df: DataFrame, out_id: str, out_q: str) -> DataFrame:
+        v = as_double(F.col(vec_col))
+        maxabs = F.aggregate(
+            v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        )
+        scaled = df.select(
+            F.col(id_col).alias(out_id), v.alias("_v"), maxabs.alias("_s")
+        )
+        q = F.transform(
+            "_v",
+            lambda x: F.when(
+                F.col("_s") > 0,
+                F.floor(x * F.lit(127.0) / F.col("_s") + F.lit(0.5)),
+            )
+            .otherwise(F.lit(0))
+            .cast("double"),
+        )
+        return scaled.select(out_id, q.alias(out_q))
+
+    cq = quantized(emb, id_col, "qv")
+    qq = quantized(query, "q_id", "qqv")
+    cand = (
+        cq.crossJoin(F.broadcast(qq))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(
+            F.col(id_col),
+            cosine(F.col("qv"), F.col("qqv")).alias("_approx"),
+        )
+        .orderBy(F.col("_approx").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    qfull = query.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qfv")
+    )
+    full = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("fv"))
+    return (
+        full.join(F.broadcast(cand), id_col)
+        .crossJoin(F.broadcast(qfull))
+        .select(
+            F.col(id_col),
+            round4(F.col("_approx")).alias("approx_cosine"),
+            round4(cosine(F.col("fv"), F.col("qfv"))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pq_train_encode(
     emb: DataFrame,
     n_sub: int = 4,

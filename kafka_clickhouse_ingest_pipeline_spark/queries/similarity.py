@@ -1246,3 +1246,74 @@ def ivfadc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         round4(F.col("n_hit") / 10.0).alias("recall_at_10"),
     )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB twin of operators.similarity.cosine: sequential-fold dot /
+    (norm * norm), every sum left-folded in index order."""
+    return f"""
+    (list_reduce(
+       list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),
+       (acc, x) -> acc + x
+     ) / (
+       sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x))
+       * sqrt(list_reduce(list_transform({b}, x -> x * x), (acc, x) -> acc + x))
+     ))"""
+
+
+@query(
+    "ann_sq8_rescore_topk",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> abs(x)),
+                         (a, b) -> greatest(a, b)) AS scale
+      FROM corpus
+    ),
+    quant AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CASE WHEN scale > 0
+                  THEN FLOOR(x * 127.0 / scale + 0.5)
+                  ELSE CAST(0 AS DOUBLE) END) AS qv
+      FROM sc
+    ),
+    q AS (
+      SELECT vec_id AS q_id, v AS qfv, qv AS qqv
+      FROM quant WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    approx AS (
+      SELECT vec_id, v, {{acos}} AS a
+      FROM quant CROSS JOIN q WHERE vec_id != q_id
+    ),
+    shortlist AS (
+      SELECT vec_id, v, a FROM approx ORDER BY a DESC, vec_id LIMIT 40
+    )
+    SELECT s.vec_id,
+           (FLOOR(s.a * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS approx_cosine,
+           (FLOOR(({{ecos}}) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS cosine
+    FROM shortlist s CROSS JOIN q
+    ORDER BY cosine DESC, s.vec_id
+    LIMIT 10
+    """.format(
+        acos=_cos_sql("qv", "qqv"),
+        ecos=_cos_sql("s.v", "qfv"),
+    ),
+    description="C10: scalar-quantized (SQ8) scan + exact rescore — the "
+    "int8 ladder rung between brute force and PQ. Phase 1 ranks the "
+    "whole corpus on max-abs int8 codes (scales cancel in cosine, so no "
+    "dequantization; 4x fewer bytes scanned at scale), phase 2 joins "
+    "the 40-candidate shortlist (broadcast ids, never the corpus) back "
+    "to the float table and re-ranks exactly. Both phases are "
+    "TakeOrderedAndProject heaps. The FAISS-SQ8/ScaNN rescore "
+    "architecture; oracle replays both phases closed-form.",
+)
+def ann_sq8_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return S.sq_rescore_topk(emb, q, k=10, shortlist=40)

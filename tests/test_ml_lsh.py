@@ -201,3 +201,41 @@ def test_seqdot_udf_null_vector_yields_null_not_crash(spark):
     assert rows[1] == 11.0
     assert rows[2] is None  # null vector -> null, job survives
     assert rows[3] is None  # ragged pair -> null
+
+
+def test_sq8_rescore_matches_bruteforce_exactly_on_candidates(spark, sf_dir):
+    """SQ8 shortlist-then-rescore: rescored cosines must be the EXACT
+    brute-force values for those ids (rescore reads the float table),
+    and int8 quantization error is small enough at 64 dims that the
+    top-10 recall vs brute force is high."""
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+    from kafka_clickhouse_ingest_pipeline_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    sq = S.sq_rescore_topk(emb, q, k=10, shortlist=40).collect()
+    brute = {
+        r.vec_id: r.cosine
+        for r in S.brute_force_topk(emb, q, k=50).collect()
+    }
+    assert len(sq) == 10
+    for r in sq:
+        if r.vec_id in brute:  # same round4 contract on both paths
+            assert r.cosine == brute[r.vec_id]
+    top10 = set(list(brute)[:10]) if len(brute) >= 10 else set(brute)
+    recall = len({r.vec_id for r in sq} & top10) / max(len(top10), 1)
+    assert recall >= 0.8
+
+
+def test_sq_rescore_rejects_multirow_query(spark, sf_dir):
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+    from kafka_clickhouse_ingest_pipeline_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    two = emb.where(F.col("vec_id") < 2)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        S.sq_rescore_topk(emb, two)
