@@ -611,3 +611,99 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- link-graph quality signal: PageRank ---------------------------------
+
+_PR_EDGE_MULTS = ((31, 7), (43, 19), (57, 3))
+_PR_DANGLING_MOD = 97  # doc_id % 97 == 0 nodes get no out-edges
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _pagerank_sql() -> str:
+    """Chained-CTE DuckDB twin of operators/graph.pagerank: one
+    (mass, dangling, rank) CTE triple per round, every rank snapped to
+    the same 1e-10 grid (the BPE round-for-round replay pattern)."""
+    edge_selects = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % nn.n AS dst "
+        f"FROM documents, nn WHERE doc_id % {_PR_DANGLING_MOD} != 0"
+        for a, b in _PR_EDGE_MULTS
+    )
+    parts = [
+        "WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        f"edges AS ({edge_selects})",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"m{k} AS (SELECT e.dst AS node, SUM(r.pr / d.outdeg) AS mass "
+            f"FROM edges e JOIN deg d ON d.src = e.src "
+            f"JOIN r{k - 1} r ON r.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{k} AS (SELECT COALESCE(SUM(r.pr), 0) AS dm FROM r{k - 1} r "
+            f"WHERE r.node NOT IN (SELECT src FROM deg))"
+        )
+        parts.append(
+            f"r{k} AS (SELECT nd.node, "
+            f"FLOOR(((1.0 - {_PR_DAMPING}) / nn.n + {_PR_DAMPING} * "
+            f"(COALESCE(m.mass, 0) + dd.dm / nn.n)) * 1e10 + 0.5 + 0.0001) "
+            f"/ 1e10 AS pr "
+            f"FROM nodes nd CROSS JOIN nn CROSS JOIN d{k} dd "
+            f"LEFT JOIN m{k} m ON m.node = nd.node)"
+        )
+    parts.append(
+        f"SELECT r.node AS node, {round4_sql(f'r.pr * nn.n')} AS pr_scaled "
+        f"FROM r{_PR_ITERS} r, nn ORDER BY pr_scaled DESC, node LIMIT 20"
+    )
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+@query(
+    "pagerank_doc_quality",
+    oracle=_pagerank_sql(),
+    description="Curation/link-graph quality signal: 5-round damped "
+    "PageRank (d=0.85) over a deterministic 3-out-regular citation graph "
+    "on documents (dst = (doc_id * a + b) mod N; every 97th doc dangling "
+    "so the stochastic-completion path is exercised and verified). Each "
+    "round is edges-join-ranks + partial-agg mass sum + a broadcast "
+    "1-row dangling aggregate, rank vector materialized per round "
+    "(the iterative-lineage cut); ranks snapped to a portable 1e-10 "
+    "grid so the oracle's chained CTEs replay all five rounds to "
+    "identical doubles. Output: top-20 docs by rank, scaled so the "
+    "corpus mean is 1. The web-crawl curation signal (rank domains "
+    "before sampling) expressed Spark-first — per round O(|E|) shuffle "
+    "on co-partitioned keys, nothing but a scalar cardinality and "
+    "1-row aggregates near the driver.",
+)
+def pagerank_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    src = docs.where(F.col("doc_id") % _PR_DANGLING_MOD != 0)
+    edges = src.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (F.col("doc_id") * F.lit(a) + F.lit(b)) % F.lit(n)
+                    for a, b in _PR_EDGE_MULTS
+                ]
+            )
+        ).alias("dst"),
+    )
+    ranks = pagerank(
+        nodes, edges, iterations=_PR_ITERS, damping=_PR_DAMPING
+    )
+    return (
+        ranks.select(
+            "node", round4(F.col("pr") * F.lit(float(n))).alias("pr_scaled")
+        )
+        .orderBy(F.col("pr_scaled").desc(), "node")
+        .limit(20)
+    )
