@@ -95,9 +95,13 @@ HEADLINE = [
     "bpe_encode_token_counts",
     "corpus_snapshot_diff",
     "histogram_equidepth_prices",
-    # round 4 cont.: persisted-shuffle bucketed join, real JPEG decode
+    # round 4 cont.: persisted-shuffle bucketed join, real JPEG decode,
+    # SQ8 rescore ANN, linear-interp gap fill, link-graph PageRank
     "bucketed_colocated_join",
     "multimodal_jpeg_pixel_features",
+    "ann_sq8_rescore_topk",
+    "events_gap_fill_interp",
+    "pagerank_doc_quality",
 ]
 
 

@@ -707,3 +707,80 @@ def pagerank_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr_scaled").desc(), "node")
         .limit(20)
     )
+
+
+@query(
+    "doc_novelty_scores",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]
+             )) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 8
+    ),
+    first_seen AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {round4_sql(
+               "SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)"
+               " / COUNT(*)"
+           )} AS novelty
+    FROM grams g JOIN first_seen f USING (gram)
+    GROUP BY g.doc_id
+    """,
+    description="Curation: dedup-aware novelty score — the fraction of a "
+    "document's distinct 8-grams FIRST seen in that document (ingestion "
+    "order = doc_id). Boilerplate-heavy and near-duplicate docs score "
+    "low without any pairwise comparison: one groupBy-min over the gram "
+    "table assigns each gram its first owner, one co-partitioned join "
+    "back scores every doc — two shuffles on the same gram key total, "
+    "linear at any corpus size (the gram table is the thing to "
+    "materialize once at 100 TB). The signal real pipelines sample "
+    "against (novel-text fraction), complementing the pairwise dedup "
+    "ladder which REMOVES duplicates rather than scoring them.",
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    w = F.split(F.col("text"), " ")
+    grams8 = F.when(
+        F.size(w) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 7),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 8)),
+            )
+        ),
+    )
+    grams = materialize(
+        docs.select("doc_id", F.explode(grams8).alias("gram")),
+        "novelty_grams",
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+            round4(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                        0
+                    )
+                )
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )

@@ -269,3 +269,78 @@ def test_bpe_apply_merges_shrinks_tokens_consistently_with_training(spark):
     base = {"low": 4, "lower": 6, "newest": 7, "widest": 7}
     assert all(got[t] <= base[t] for t in base)
     assert sum(got.values()) <= sum(base.values()) - 3
+
+
+def test_bpe_encode_is_lossless_roundtrip(spark):
+    """BPE is a segmentation, never a rewrite: concatenating the encoded
+    symbols (dropping the double-space joins) must reproduce the original
+    word + '</w>' for EVERY vocab term, at any number of merges — the
+    decode half of the tokenizer loop."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import text as T
+
+    vocab = spark.createDataFrame(
+        [("abab", 10), ("aaa", 3), ("banana", 2), ("a", 7), ("cab", 1)],
+        ["term", "freq"],
+    )
+    for rounds in (0, 2, 4):
+        merges = T.bpe_train_merges(vocab, rounds=max(rounds, 1))
+        enc = T.bpe_apply_merges(vocab, merges, rounds=rounds)
+        decoded = enc.select(
+            "term",
+            F.replace(
+                F.replace(F.trim(F.col("encoded")), F.lit("  "), F.lit("")),
+                F.lit("</w>"),
+                F.lit(""),
+            ).alias("dec"),
+        )
+        bad = decoded.where(F.col("dec") != F.col("term")).count()
+        assert bad == 0, f"roundtrip broke at rounds={rounds}"
+
+
+def test_novelty_exact_duplicate_scores_zero(spark):
+    """A verbatim duplicate of an earlier doc has zero novel 8-grams; the
+    original keeps novelty 1.0 for grams nobody used before it."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.plans.materialize import (
+        reset_reuse_cache,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.registry import REGISTRY
+    import kafka_clickhouse_ingest_pipeline_spark.queries.curation as C
+
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(0, text), (1, text), (2, "totally different words")],
+        ["doc_id", "text"],
+    )
+    # drive the same operator logic directly on a local frame
+    w = F.split(F.col("text"), " ")
+    grams8 = F.when(
+        F.size(w) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 7),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 8)),
+            )
+        ),
+    )
+    grams = docs.select("doc_id", F.explode(grams8).alias("gram"))
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    nov = (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("novelty")
+        )
+    )
+    vals = {r.doc_id: r.novelty for r in nov.collect()}
+    assert vals[0] == 1.0
+    assert vals[1] == 0.0
+    assert 2 not in vals  # < 8 words -> no grams, excluded like the oracle
