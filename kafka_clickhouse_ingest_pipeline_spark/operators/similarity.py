@@ -210,6 +210,64 @@ def multiprobe_topk(
     )
 
 
+def batch_multiprobe_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query ANN top-k for a whole BATCH of query vectors.
+
+    The single-query operators treat the query as a parameter; here the
+    queries are DATA — the production shape (serve a stream of queries
+    against one index, or all-vs-index retrieval for kNN-graph
+    construction). Each query explodes into its 1 + N_PLANES multi-probe
+    buckets; one equi-join on the bucket key matches every query to its
+    candidates simultaneously (broadcast while the batch is small, plain
+    shuffle join at millions of queries — same plan shape); a
+    row_number window partitioned by query ranks within each query.
+    No per-query loop, no collect, |Q| never touches the driver.
+
+    Ranking uses the raw cosine (identical doubles in any engine);
+    round4 only on the output column.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        lsh_bucket(as_double(F.col(vec_col))).alias("q_bucket"),
+    )
+    probe_buckets = F.array(
+        F.col("q_bucket"),
+        *[F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+    )
+    probes = q.select("q_id", "qv", F.explode(probe_buckets).alias("bucket"))
+    c = emb.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket(as_double(F.col(vec_col))).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("q_id")
+        .orderBy(F.col("_c").desc(), F.col(id_col))
+    )
+    return (
+        c.join(F.broadcast(probes), "bucket")
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id", F.col(id_col), cosine(F.col("v"), F.col("qv")).alias("_c")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "q_id",
+            F.col(id_col),
+            round4(F.col("_c")).alias("cosine"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
 def centroids(
     emb: DataFrame,
     block_col: str = "label",

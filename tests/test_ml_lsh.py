@@ -239,3 +239,27 @@ def test_sq_rescore_rejects_multirow_query(spark, sf_dir):
 
     with _pt.raises(ValueError):
         S.sq_rescore_topk(emb, two)
+
+
+def test_batch_topk_agrees_with_single_query_operator(spark, sf_dir):
+    """The batched window-ranked path must reproduce the single-query
+    multiprobe operator's answer for each query it contains."""
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+    from kafka_clickhouse_ingest_pipeline_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = S.batch_multiprobe_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=5
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.cosine))
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        single = S.multiprobe_topk(
+            emb, emb.where(F.col("vec_id") == qid), k=5
+        ).collect()
+        got = [v for _, v, _ in sorted(rows)]
+        want = [r.vec_id for r in single]
+        assert got == want, f"q{qid}: {got} != {want}"
