@@ -598,3 +598,61 @@ def events_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         round4(interp).alias("avg_value_interp"),
     )
+
+
+@query(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, ts, event_id,
+             ts + CASE event_type
+                    WHEN 'purchase' THEN INTERVAL '45 minutes'
+                    WHEN 'click'    THEN INTERVAL '30 minutes'
+                    ELSE                 INTERVAL '15 minutes'
+                  END AS ev_end
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN MAX(ev_end) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) >= ts THEN 0 ELSE 1 END AS new_session
+      FROM gapped
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) // 1000 AS BIGINT) AS session_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    description="C12: DYNAMIC-gap session windows — the inactivity "
+    "timeout depends on the event (purchases hold a session open 45 "
+    "min, clicks 30, views 15), Spark's session_window taking a CASE "
+    "column as the gap. The oracle rebuilds sessions with the "
+    "running-max island trick: an event joins the session iff the max "
+    "event-end (ts + its gap) over all previous events reaches it. The "
+    "engagement-dependent sessionization real clickstream pipelines "
+    "want; same streaming-ready shape as the fixed-gap query.",
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", "45 minutes")
+        .when(F.col("event_type") == "click", "30 minutes")
+        .otherwise("15 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            epoch_ms(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
