@@ -584,3 +584,83 @@ def test_dead_letter_replay_is_idempotent_with_ledger(spark, tmp_path):
     writer(batch, 7)  # replay of the same batch id: must be a no-op
     dl = spark.read.parquet(os.path.join(out, "dead_letter"))
     assert dl.count() == 1
+
+
+def test_streaming_dynamic_gap_sessions_match_batch(spark, tmp_path):
+    """C12: dynamic-gap session_window runs under Structured Streaming
+    with a watermark, and its completed sessions equal the batch result
+    on the same data (the stream-vs-batch contract the fixed-gap and
+    rollup families already pin). Gap depends on the event: 'long' holds
+    a session open 30 min, anything else 10 min."""
+    import json as _json
+
+    src_dir = tmp_path / "dynsess"
+    src_dir.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:00:00Z", "user": 1, "kind": "long"},
+        # 25 min later: within long's 30-min hold -> same session
+        {"ts": "2024-01-01T00:25:00Z", "user": 1, "kind": "short"},
+        # 12 min later: short only holds 10 min -> NEW session
+        {"ts": "2024-01-01T00:37:00Z", "user": 1, "kind": "short"},
+        # another user, one event
+        {"ts": "2024-01-01T00:05:00Z", "user": 2, "kind": "short"},
+    ]
+    (src_dir / "f.txt").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    from pyspark.sql import functions as F
+
+    gap = F.when(F.col("kind") == "long", "30 minutes").otherwise("10 minutes")
+
+    def sessionize(df):
+        return (
+            df.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", gap).alias("w"), "user")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user",
+                F.col("w.start").cast("string").alias("ws"),
+                "n",
+            )
+        )
+
+    raw = P.file_source(spark, str(src_dir))
+    parsed = raw.select(
+        F.from_json("value", "ts timestamp, user long, kind string").alias("p")
+    ).select("p.*")
+    out = str(tmp_path / "dynsink")
+
+    def sink(df, _bid):
+        df.write.mode("overwrite").parquet(out)
+
+    q = (
+        sessionize(parsed)
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "dynckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user, r.ws): r.n for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["ts"].replace("T", " ").replace("Z", ""), r["user"], r["kind"]) for r in rows],
+        "ts string, user long, kind string",
+    ).select(F.to_timestamp("ts").alias("ts"), "user", "kind")
+    batch = {
+        (r.user, r.ws): r.n for r in sessionize_batch(batch_df, gap).collect()
+    }
+    assert streamed == batch
+    # and the dynamic gap actually mattered: user 1 has exactly 2 sessions
+    assert sum(1 for (u, _w) in streamed if u == 1) == 2
+
+
+def sessionize_batch(df, gap):
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user", F.col("w.start").cast("string").alias("ws"), "n")
+    )
