@@ -40,6 +40,9 @@ PROBED = [
     "ann_lsh_topk",
     "bm25_search_topk",
     "bm25_indexed_topk",
+    # round 4 cont.: gram min-ownership novelty, batched multi-probe ANN
+    "doc_novelty_scores",
+    "ann_batch_topk",
 ]
 
 

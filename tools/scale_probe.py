@@ -52,6 +52,10 @@ PROBES = [
     ("dedup_containment_pairs", "inverted-index containment pairs", None),
     ("dedup_semdedup_keep", "LSH-blocked cosine dedup (fixed 64-bucket family)", 16),
     ("bm25_indexed_topk", "BM25 probe over the materialized index", None),
+    # round 4 cont.: first-owner novelty (two shuffles on the gram key),
+    # batched ANN (per-query window rank over bucket-joined candidates)
+    ("doc_novelty_scores", "gram min-ownership novelty (no pairs)", None),
+    ("ann_batch_topk", "batched multi-probe ANN + window rank", None),
 ]
 
 
