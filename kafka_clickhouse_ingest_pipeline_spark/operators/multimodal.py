@@ -199,10 +199,33 @@ def _grid_means(gray: np.ndarray, gw: int, gh: int) -> np.ndarray:
     return out
 
 
+def image_gray(payload: bytes | None) -> np.ndarray | None:
+    """Format-dispatching grayscale decode: BMP, PNG, or baseline JPEG
+    via the stdlib parsers (all three share the exact channel-mean gray
+    contract), None if no real parser handles the payload. The common
+    entry point for pixel-level operators that must not care how the
+    image was serialized — which is the entire premise of perceptual
+    dedup (a re-encoded copy is still the same image)."""
+    if _is_bmp(payload):
+        g = _bmp_gray(payload)
+        if g is not None:
+            return g
+    if _is_png(payload):
+        g = _png_gray(payload)
+        if g is not None:
+            return g
+    if _is_jpeg(payload):
+        g = _jpeg_gray(payload)
+        if g is not None:
+            return g
+    return None
+
+
 def image_dhash(
     payload: bytes | None, gw: int = 5, gh: int = 4
 ) -> int:
-    """Perceptual difference hash (dHash) of a BMP payload.
+    """Perceptual difference hash (dHash) of an image payload (any
+    stdlib-decodable format — BMP, PNG, baseline JPEG).
 
     Classic image near-dup fingerprint: reduce to a (gh, gw) grayscale
     grid, then bit k = 1 iff cell (r, c) > cell (r, c+1) for
@@ -215,7 +238,7 @@ def image_dhash(
     is :func:`operators.dedup.simhash_hamming_pairs` on the hash
     column — same pigeonhole banding, never all-pairs.
     """
-    gray = _bmp_gray(payload)
+    gray = image_gray(payload)
     if gray is None or gray.shape[0] < gh or gray.shape[1] < gw:
         return 0
     grid = _grid_means(gray, gw, gh)

@@ -455,3 +455,82 @@ def multimodal_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFram
         .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
         .orderBy("media_id", "dim")
     )
+
+
+@query(
+    "multimodal_crossformat_dhash_pairs",
+    oracle="""
+    WITH cells AS (
+      SELECT doc_id,
+        list_transform(range(16), k ->
+          CAST((doc_id * doc_id * 7 + doc_id * (k // 4) * 13
+                + (k // 4) * 31 + (k % 4) * (k % 4) * 11
+                + doc_id * (k % 4) * 17) % 256 AS DOUBLE)) AS cm
+      FROM documents
+    ),
+    dh AS (
+      SELECT doc_id,
+        list_sum(list_transform(range(12), k ->
+          CASE WHEN cm[(k // 3) * 4 + (k % 3) + 1]
+                    > cm[(k // 3) * 4 + (k % 3) + 2]
+               THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS dhash
+      FROM cells
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    ORDER BY id_a, id_b
+    """,
+    description="Multimodal dedup ACROSS serialization formats — the "
+    "actual dHash use case: each doc's 32x32 block-constant image (4x4 grid of 8x8 constant "
+    "blocks) is written as BMP, PNG, or baseline JPEG by doc_id % 3, and the "
+    "format-dispatching gray decoder (image_gray) must land all three "
+    "on IDENTICAL pixels (block-constant quant-1 JPEG roundtrips "
+    "exactly), so the oracle's closed-form dHash needs no format term "
+    "at all. A re-encoded copy therefore hashes identically and pairs "
+    "via the same pigeonhole banding equi-join as the single-format "
+    "query (never all-pairs). A green row = three independent codec "
+    "paths byte-exact on the same pixels + the banding join.",
+)
+def multimodal_crossformat_dhash_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bi, bj = np.mgrid[0:4, 0:4]
+
+    def build_and_hash(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                vals = (
+                    d * d * 7 + d * bi * 13 + bi * 31
+                    + bj * bj * 11 + d * bj * 17
+                ) % 256
+                g = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                    np.uint8
+                )
+                fmt = d % 3
+                if fmt == 0:
+                    payload = M.make_bmp(np.repeat(g[:, :, None], 3, axis=2))
+                elif fmt == 1:
+                    payload = M.make_png(np.repeat(g[:, :, None], 3, axis=2))
+                else:
+                    payload = M.make_jpeg(g)
+                ids.append(d)
+                hashes.append(M.image_dhash(payload, gw=4, gh=4))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    fp = materialize(
+        docs.mapInPandas(build_and_hash, "doc_id long, dhash long"),
+        "crossformat_dhash_fp",
+    )
+    from ..operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        fp, "doc_id", fp_col="dhash", max_hamming=2, bits=12
+    ).orderBy("id_a", "id_b")

@@ -379,3 +379,25 @@ class TestJpegCodec:
         bf = M.decode_image(M.make_bmp(np.repeat(g[:, :, None], 3, axis=2)))
         assert np.allclose(jf, bf)
         assert float(np.abs(jf).sum()) > 0
+
+
+def test_dhash_is_invariant_to_serialization_format():
+    """The re-encoded-copy claim, directly: one block-constant image
+    written as BMP, PNG, and baseline JPEG must produce the SAME dHash
+    (all three stdlib decoders land on identical pixels), and a
+    different image must not."""
+    import numpy as np
+    from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+    bi, bj = np.mgrid[0:4, 0:4]
+    vals = (11 * 7 + 11 * bi * 13 + bi * 31 + bj * bj * 11 + 11 * bj * 17) % 256
+    g = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    h_bmp = M.image_dhash(M.make_bmp(rgb), gw=4, gh=4)
+    h_png = M.image_dhash(M.make_png(rgb), gw=4, gh=4)
+    h_jpg = M.image_dhash(J.make_jpeg(g), gw=4, gh=4)
+    assert h_bmp == h_png == h_jpg != 0
+    other = np.repeat(
+        np.repeat((vals[::-1, ::-1] + 97) % 256, 8, axis=0), 8, axis=1
+    ).astype(np.uint8)
+    assert M.image_dhash(J.make_jpeg(other), gw=4, gh=4) != h_jpg
