@@ -401,3 +401,61 @@ def test_dhash_is_invariant_to_serialization_format():
         np.repeat((vals[::-1, ::-1] + 97) % 256, 8, axis=0), 8, axis=1
     ).astype(np.uint8)
     assert M.image_dhash(J.make_jpeg(other), gw=4, gh=4) != h_jpg
+
+
+def test_feature_extraction_runs_in_flight_on_a_stream(spark, tmp_path):
+    """Multimodal decode as a STREAMING stage: the same mapInPandas
+    feature kernel runs inside Structured Streaming (decode-in-flight —
+    payloads featurized as they arrive, never parked for a batch job),
+    and per-row features equal the batch run on identical payloads."""
+    import numpy as np
+    from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+    rows = []
+    for d in range(12):
+        vals = (d * 53 + np.add.outer(
+            np.arange(2) * 17, np.arange(2) * 29
+        )) % 256
+        g = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+        payload = (
+            M.make_bmp(np.repeat(g[:, :, None], 3, axis=2))
+            if d % 2
+            else bytes(J.make_jpeg(g))
+        )
+        rows.append((str(d), "image", bytearray(payload)))
+    src = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary"
+    )
+    src_dir = str(tmp_path / "mediasrc")
+    src.repartition(3).write.parquet(src_dir)
+
+    batch = {
+        r.media_id: r.feature
+        for r in M.extract_features(
+            spark.read.parquet(src_dir), fake=False
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    out = str(tmp_path / "mediafeat")
+
+    def sink(df, _bid):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        M.extract_features(stream, fake=False)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "mediackpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.media_id: r.feature for r in spark.read.parquet(out).collect()
+    }
+    assert set(streamed) == set(batch)
+    for mid, feat in streamed.items():
+        assert feat == batch[mid]
+        # float32 feature storage: unit norm within fp32 rounding
+        assert abs(sum(x * x for x in feat) - 1.0) < 1e-5  # real decode

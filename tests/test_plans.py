@@ -330,3 +330,26 @@ def test_bucketed_query_shuffles_only_the_final_aggregate(spark, sf_dir):
     assert "Exchange hashpartitioning(o_custkey" not in plan
     assert "Exchange hashpartitioning(c_custkey" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_bucketed_point_filter_prunes_to_one_bucket(spark, sf_dir):
+    """Bucket pruning: an equality filter on the bucket key reads ONE of
+    the 8 bucket files — the hash-placement twin of partition pruning.
+    (autoBucketedScan must be off for a bare filter scan: with nothing
+    needing the distribution the planner otherwise reverts to a plain
+    scan; joins/aggs keep bucketed reads automatically.)"""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.relational import (
+        bucketed_orders_customer,
+    )
+
+    o, _ = bucketed_orders_customer(spark, sf_dir)
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        df = o.where(F.col("o_custkey") == 37)
+        df.collect()
+        plan = _executed_plan(df)
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+    finally:
+        spark.conf.set(key, old)
