@@ -327,3 +327,59 @@ def mix_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH a AS (
+      SELECT {SMP.hash_split_sql("md5(coalesce(text, ''))", SPLITS, "leak0")}
+               AS split,
+             md5(coalesce(text, '')) AS digest
+      FROM documents
+    ),
+    x AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_digests_crossing_splits
+      FROM (SELECT digest FROM a GROUP BY digest
+            HAVING COUNT(DISTINCT split) > 1)
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.digest) AS BIGINT) AS n_digests,
+           x.n_digests_crossing_splits
+    FROM a, x
+    GROUP BY a.split, x.n_digests_crossing_splits
+    ORDER BY a.split
+    """,
+    description="Leakage-safe train/valid/test split: assignment hashes "
+    "the CONTENT digest, not the row id, so verbatim duplicates can "
+    "never straddle splits (the eval-contamination failure mode of "
+    "id-hashed splits — a test doc whose duplicate sits in train). "
+    "Same pure per-row membership function as split_train_valid_test "
+    "(stable under reruns/appends, no shuffle to assign); the output "
+    "carries the machine-checked guarantee as data: "
+    "n_digests_crossing_splits, a 1-row broadcast aggregate, must be 0. "
+    "Near-dup-safe variants swap the digest for a dedup cluster id "
+    "(dedup_minhash_clusters) — same assignment shape.",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "digest", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    )
+    assigned = SMP.hash_split(docs, "digest", SPLITS, salt="leak0")
+    crossing = (
+        assigned.groupBy("digest")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_digests_crossing_splits"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("digest").cast("long").alias("n_digests"),
+        )
+        .crossJoin(F.broadcast(crossing))
+        .select("split", "n_docs", "n_digests", "n_digests_crossing_splits")
+        .orderBy("split")
+    )
