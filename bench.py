@@ -102,6 +102,9 @@ HEADLINE = [
     "ann_sq8_rescore_topk",
     "events_gap_fill_interp",
     "pagerank_doc_quality",
+    "doc_novelty_scores",
+    "ann_batch_topk",
+    "session_window_dynamic_gap",
 ]
 
 

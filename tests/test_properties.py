@@ -169,3 +169,36 @@ def test_span_fold_accepts_iff_whole_string_is_one_value(spark, batch):
         ).collect()
     ]
     assert got == want, list(zip([r[0] for r in rows], got, want))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=21),
+    w=st.integers(min_value=1, max_value=21),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_bounded_error_any_shape(h, w, seed):
+    """Baseline JPEG at quant 1: ANY uint8 grayscale image — including
+    sizes that force edge-replicate padding — roundtrips within one gray
+    level, at the original shape. Exercises the full AC Huffman path
+    (runs, ZRL, EOB, every magnitude class the noise hits)."""
+    import numpy as np
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    out = J.jpeg_gray(J.make_jpeg(img))
+    assert out is not None and out.shape == (h, w)
+    assert float(np.abs(out - img).max()) <= 1.0
+
+
+@settings(max_examples=12, deadline=None)
+@given(data=st.binary(max_size=200))
+def test_jpeg_decoder_never_raises_on_garbage(data):
+    """Arbitrary bytes — with or without a forged SOI prefix — must
+    return None, never raise (the fall-through-to-PIL contract)."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+    assert J.jpeg_gray(data) is None or data[:3] == b"\xff\xd8\xff"
+    J.jpeg_gray(b"\xff\xd8\xff" + data)  # must not raise
