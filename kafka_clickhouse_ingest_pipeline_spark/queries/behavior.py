@@ -299,3 +299,49 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(w_row)
         ).alias("p_transition"),
     ).orderBy("prev_type", "curr_type")
+
+
+@query(
+    "scd2_user_state_history",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type AS state, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events
+      WHERE event_type IN ('purchase', 'signup', 'error')
+    )
+    SELECT user_id,
+           CAST(version AS BIGINT) AS version,
+           state,
+           CAST(epoch_us(ts) // 1000 AS BIGINT) AS valid_from_ms,
+           CAST(epoch_us(next_ts) // 1000 AS BIGINT) AS valid_to_ms,
+           CAST(next_ts IS NULL AS INT) AS is_current
+    FROM changes
+    """,
+    description="Warehouse surface: SCD Type-2 history build — the "
+    "change stream (state-bearing events per user) becomes versioned "
+    "validity intervals via one window pass: version = row_number, "
+    "valid_to = lead(ts) (NULL = open interval, is_current flag). The "
+    "standard dimension-history operator every ClickHouse/warehouse "
+    "user has somewhere; single shuffle on user_id, per-user frames "
+    "never collected, arbitrarily skewed users stay in the window "
+    "operator's spillable sort. Streaming twin: the same arithmetic as "
+    "a foreachBatch MERGE into the open intervals (A15's ledger sink "
+    "gives the idempotent replay).",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "signup", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("event_type").alias("state"),
+        epoch_ms(F.col("ts")).alias("valid_from_ms"),
+        epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+    )
