@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
-from urllib.parse import urlparse
+import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,6 +70,7 @@ def write_bucketed(
     bucket_cols: tuple[str, ...],
     sort_cols: tuple[str, ...] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Write a hash-bucketed parquet table (``bucketBy`` + ``saveAsTable``).
 
@@ -92,19 +93,24 @@ def write_bucketed(
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    # A previous PROCESS may have left the managed location behind while
-    # this process's metastore has no row for it — saveAsTable then fails
-    # with LOCATION_ALREADY_EXISTS. Clear the orphan before writing.
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    if warehouse.scheme in ("", "file"):
-        orphan = os.path.join(warehouse.path, table.lower())
-        if os.path.exists(orphan):
-            shutil.rmtree(orphan)
+    # External table under a per-process directory: the catalog entry is
+    # per-process already (in-memory catalog), so giving the DATA a
+    # per-process home too makes concurrent test/gate/bench processes
+    # fully independent — no shared spark-warehouse paths to race on
+    # (one process overwriting bucket files while another scans them).
+    # On a cluster, callers pass an explicit shared `path` instead and
+    # coordinate writes like any other table build.
+    target = path or os.path.join(
+        tempfile.gettempdir(), f"spark_graft_buckets_{os.getpid()}", table
+    )
+    if os.path.exists(target):
+        shutil.rmtree(target)
 
     keyed = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
     writer = (
         keyed.write.mode(mode)
         .format("parquet")
+        .option("path", target)
         .bucketBy(num_buckets, *bucket_cols)
     )
     if sort_cols:
