@@ -58,6 +58,14 @@ def test_query_runs_and_oracle_agrees_on_shape(name, spark, sf_dir, duck):
     q = registry.REGISTRY[name]
     df = q.fn(spark, sf_dir)
     n_spark = df.count()
+    # tree-wide anti-pattern sweep, enforced on EVERY registered query:
+    # no true cartesian product (broadcast-1-row crossJoins compile to
+    # BroadcastNestedLoopJoin, which is fine), and no row-at-a-time
+    # Python (Arrow entry points compile to ArrowEvalPython /
+    # FlatMapGroupsInPandas / MapInPandas, never BatchEvalPython)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
     if q.oracle is None:
         assert n_spark >= 0
         return
