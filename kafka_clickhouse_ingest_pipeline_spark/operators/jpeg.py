@@ -136,10 +136,17 @@ class _BitWriter:
                 self.out.append(0x00)
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # 1-fill per F.1.2.3
+
+    def raw(self, data: bytes) -> None:
+        """Emit marker bytes verbatim (caller must byte_align first)."""
+        self.out += data
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.out)
 
 
@@ -186,13 +193,33 @@ def _marker(tag: int, body: bytes) -> bytes:
     return bytes([0xFF, tag]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def make_jpeg(pixels: np.ndarray, quant_value: int = 1) -> bytes:
+def _pad_to_blocks(p: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    h, w = p.shape
+    full = np.empty((bh * 8, bw * 8))
+    full[:h, :w] = p
+    full[h:, :w] = p[h - 1 : h, :]  # edge replicate
+    full[:, w:] = full[:, w - 1 : w]
+    return full
+
+
+def make_jpeg(
+    pixels: np.ndarray,
+    quant_value: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Serialize an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF JPEG (4:4:4, one all-``quant_value`` quantization table,
+    baseline JFIF JPEG (one all-``quant_value`` quantization table,
     Annex K Huffman tables for every component).
 
     ``quant_value=1`` keeps quantization lossless; block-constant inputs
-    then roundtrip exactly through ``jpeg_gray`` (DC-only blocks)."""
+    then roundtrip exactly through ``jpeg_gray`` (DC-only blocks).
+    ``subsampling='420'`` (color only) encodes chroma at quarter
+    resolution with the standard 2x2-luma-per-MCU interleave;
+    ``restart_interval=N`` emits DRI + a byte-aligned RSTn marker with
+    DC-predictor reset every N MCUs — both exist chiefly so the
+    DECODER's generic-sampling and restart paths are exercised by real
+    bitstreams, not just read by reviewers."""
     px = np.asarray(pixels, dtype=np.float64)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -207,35 +234,82 @@ def make_jpeg(pixels: np.ndarray, quant_value: int = 1) -> bytes:
         ]
         planes = [np.clip(p, 0.0, 255.0) for p in planes]
 
+    sub420 = subsampling == "420" and not gray
     quant = np.full((8, 8), float(quant_value))
     dc = _canonical_codes(_DC_BITS, _DC_VALS)
     ac = _canonical_codes(_AC_BITS, _AC_VALS)
 
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = []
-    for p in planes:
-        full = np.empty((bh * 8, bw * 8))
-        full[:h, :w] = p
-        full[h:, :w] = p[h - 1 : h, :]  # edge replicate
-        full[:, w:] = full[:, w - 1 : w]
-        padded.append(full)
-
     writer = _BitWriter()
     preds = [0] * len(planes)
-    for by in range(bh):  # 4:4:4 -> MCU = one block per component
-        for bx in range(bw):
-            for ci, plane in enumerate(padded):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                preds[ci] = _encode_block(
-                    writer, block, quant, preds[ci], dc, ac
-                )
+    n_mcu = 0
+
+    def maybe_restart() -> None:
+        nonlocal preds, n_mcu
+        n_mcu += 1
+        if restart_interval and n_mcu % restart_interval == 0:
+            writer.byte_align()
+            writer.raw(
+                bytes([0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8])
+            )
+            preds = [0] * len(planes)
+
+    if not sub420:
+        bh, bw = -(-h // 8), -(-w // 8)
+        padded = [_pad_to_blocks(p, bh, bw) for p in planes]
+        for by in range(bh):  # 4:4:4 -> MCU = one block per component
+            for bx in range(bw):
+                for ci, plane in enumerate(padded):
+                    block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    preds[ci] = _encode_block(
+                        writer, block, quant, preds[ci], dc, ac
+                    )
+                maybe_restart()
+    else:
+        mh, mw = -(-h // 16), -(-w // 16)  # MCU grid, 16x16 px each
+        y_plane = _pad_to_blocks(planes[0], mh * 2, mw * 2)
+        # chroma at quarter resolution: 2x2 means of the padded plane
+        chroma = [
+            _pad_to_blocks(p, mh * 2, mw * 2)
+            .reshape(mh * 8, 2, mw * 8, 2)
+            .mean(axis=(1, 3))
+            for p in planes[1:]
+        ]
+        for my in range(mh):
+            for mx in range(mw):
+                for by in range(2):  # 4 luma blocks, raster order
+                    for bx in range(2):
+                        y0, x0 = (my * 2 + by) * 8, (mx * 2 + bx) * 8
+                        preds[0] = _encode_block(
+                            writer,
+                            y_plane[y0 : y0 + 8, x0 : x0 + 8],
+                            quant,
+                            preds[0],
+                            dc,
+                            ac,
+                        )
+                for ci, cp in enumerate(chroma, start=1):
+                    preds[ci] = _encode_block(
+                        writer,
+                        cp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                        quant,
+                        preds[ci],
+                        dc,
+                        ac,
+                    )
+                maybe_restart()
 
     qz = np.round(quant).astype(np.int64).reshape(-1)[_ZIGZAG]
     ncomp = 1 if gray else 3
+    samp = [0x22, 0x11, 0x11] if sub420 else [0x11, 0x11, 0x11]
     sof_comps = b"".join(
-        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+        bytes([cid + 1, samp[cid], 0]) for cid in range(ncomp)
     )
     sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(ncomp))
+    dri = (
+        _marker(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
 
     def huff_body(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
@@ -254,6 +328,7 @@ def make_jpeg(pixels: np.ndarray, quant_value: int = 1) -> bytes:
         )
         + _marker(0xC4, huff_body(0, 0, _DC_BITS, _DC_VALS))
         + _marker(0xC4, huff_body(1, 0, _AC_BITS, _AC_VALS))
+        + dri
         + _marker(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
         + writer.flush()
         + b"\xff\xd9"  # EOI

@@ -459,3 +459,59 @@ def test_feature_extraction_runs_in_flight_on_a_stream(spark, tmp_path):
         assert feat == batch[mid]
         # float32 feature storage: unit norm within fp32 rounding
         assert abs(sum(x * x for x in feat) - 1.0) < 1e-5  # real decode
+
+
+class TestJpegSamplingAndRestarts:
+    """The decoder's generic-sampling and restart paths, driven by real
+    bitstreams from the encoder's 4:2:0 and DRI modes."""
+
+    def test_420_subsampled_color_roundtrips(self):
+        import numpy as np
+        from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+        c = np.full((16, 16, 3), [200, 30, 90], dtype=np.uint8)
+        out = J.jpeg_gray(J.make_jpeg(c, subsampling="420"))
+        want = c.astype(float).sum(axis=2) / 3.0
+        # constant chroma survives subsampling exactly; /3 rounding only
+        assert np.abs(out - want).max() <= 0.5
+
+        yy, xx = np.mgrid[0:32, 0:24]
+        img = np.stack(
+            [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        out2 = J.jpeg_gray(J.make_jpeg(img, subsampling="420"))
+        want2 = img.astype(float).sum(axis=2) / 3.0
+        assert out2.shape == want2.shape
+        # chroma at quarter resolution: smooth gradients stay within a
+        # few gray levels after nearest-neighbor upsampling
+        assert np.abs(out2 - want2).max() <= 4.0
+        # and the stream really is subsampled: smaller than 4:4:4
+        assert len(J.make_jpeg(img, subsampling="420")) < len(J.make_jpeg(img))
+
+    def test_restart_markers_roundtrip_and_reset_predictors(self):
+        import numpy as np
+        from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+        rng = np.random.default_rng(5)
+        g = rng.integers(0, 256, size=(40, 40)).astype(np.uint8)
+        payload = J.make_jpeg(g, restart_interval=3)
+        # DRI marker present, RSTn markers actually emitted
+        assert b"\xff\xdd" in payload
+        n_rst = sum(
+            payload.count(bytes([0xFF, 0xD0 + i])) for i in range(8)
+        )
+        assert n_rst >= 7  # 25 MCUs, interval 3
+        out = J.jpeg_gray(payload)
+        assert np.abs(out - g).max() <= 1.0
+
+    def test_420_with_restarts_combined(self):
+        import numpy as np
+        from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+        yy, xx = np.mgrid[0:32, 0:24]
+        img = np.stack(
+            [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        out = J.jpeg_gray(J.make_jpeg(img, subsampling="420", restart_interval=2))
+        want = img.astype(float).sum(axis=2) / 3.0
+        assert np.abs(out - want).max() <= 4.0
