@@ -251,8 +251,11 @@ def batch_multiprobe_topk(
         Window.partitionBy("q_id")
         .orderBy(F.col("_c").desc(), F.col(id_col))
     )
+    # no broadcast hint: a small batch broadcasts via the threshold/AQE
+    # anyway, and a corpus-sized batch (kNN graph) must be allowed to
+    # fall back to a shuffle join instead of OOMing the driver
     return (
-        c.join(F.broadcast(probes), "bucket")
+        c.join(probes, "bucket")
         .where(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id", F.col(id_col), cosine(F.col("v"), F.col("qv")).alias("_c")
