@@ -482,3 +482,41 @@ def bpe_apply_merges(
         F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_bpe_tokens"),
         F.col("s").alias("encoded"),
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact consecutive-phrase search over a positional postings list.
+
+    The retrieval feature bag-of-words BM25 cannot express: "value table"
+    must match only where the tokens are ADJACENT. Postings carry
+    positions (posexplode); the scan keeps only the phrase's own terms
+    (an IN filter that reaches the parquet scan — at 100 TB the
+    positional index is the materialized table and this is a posting-list
+    intersection, Manning et al.'s positional-intersect); successive
+    terms then equi-join on (doc, pos - offset) so an n-term phrase is
+    n-1 co-partitioned joins on the SAME key, each shrinking the
+    candidate set. Returns (id, n_matches) per matching document.
+    Whitespace tokenization matches the rest of the text family.
+    """
+    if not phrase or len(phrase) < 2:
+        raise ValueError("phrase_match wants >= 2 terms")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    postings = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    ).where(F.col("term").isin(*set(phrase)))
+    out = None
+    for i, term in enumerate(phrase):
+        side = postings.where(F.col("term") == term).select(
+            F.col(id_col),
+            # anchor position: where the phrase would START for this term
+            (F.col("pos") - F.lit(i)).alias("start"),
+        )
+        out = side if out is None else out.join(side, [id_col, "start"])
+    return out.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

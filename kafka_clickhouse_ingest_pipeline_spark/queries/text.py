@@ -1119,3 +1119,37 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_phrase_search",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS term,
+             generate_subscripts(string_split(trim(text), ' '), 1) - 1
+               AS pos
+      FROM documents
+    ),
+    a AS (SELECT doc_id, pos AS start FROM p WHERE term = 'table'),
+    b AS (SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'value')
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM a JOIN b USING (doc_id, start)
+    GROUP BY a.doc_id
+    ORDER BY n_matches DESC, doc_id
+    """,
+    description="C11/retrieval: exact PHRASE search ('table value') over "
+    "a positional postings list — the adjacency constraint bag-of-words "
+    "BM25 cannot express. The scan keeps only the phrase's own terms "
+    "(IN filter at the parquet scan), successive terms equi-join on "
+    "(doc, phrase-start) — n-1 co-partitioned joins on one key, each "
+    "shrinking candidates (Manning et al. positional intersect). At "
+    "100 TB the postings table is the materialized index and this "
+    "probes it. Oracle replays the posting intersection.",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T.phrase_match(docs, ["table", "value"])
+        .orderBy(F.col("n_matches").desc(), "doc_id")
+    )

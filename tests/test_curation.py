@@ -344,3 +344,32 @@ def test_novelty_exact_duplicate_scores_zero(spark):
     assert vals[0] == 1.0
     assert vals[1] == 0.0
     assert 2 not in vals  # < 8 words -> no grams, excluded like the oracle
+
+
+def test_phrase_match_counts_overlaps_and_chains_terms(spark):
+    """Positional phrase search: overlapping matches each count (start
+    positions are what's joined), a 3-term phrase chains two joins, and
+    non-adjacent co-occurrence never matches."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators.text import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a"),               # 'a a' overlaps twice
+            (1, "x a y a"),             # co-occurs, never adjacent
+            (2, "one two three done"),  # 3-term phrase hit
+            (3, "one two one two three"),  # hit at pos 2
+            (4, "three two one"),       # reversed: no hit
+        ],
+        ["doc_id", "text"],
+    )
+    two = {r.doc_id: r.n_matches for r in phrase_match(docs, ["a", "a"]).collect()}
+    assert two == {0: 2}
+    three = {
+        r.doc_id: r.n_matches
+        for r in phrase_match(docs, ["one", "two", "three"]).collect()
+    }
+    assert three == {2: 1, 3: 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        phrase_match(docs, ["solo"])
