@@ -201,3 +201,73 @@ def scale_to_bits(col, lo_col, hi_col, bits: int = 16):
     span = F.greatest(F.lit(1), hi - lo)
     x = ((c - lo).cast("long") * top).cast("long")
     return ((x - x % span) / span).cast("long")
+
+
+def hilbert_key(a, b, bits: int = 16):
+    """Hilbert-curve index of a 2-d point in [0, 2^bits)² — the
+    premium-locality alternative to :func:`zorder_key` (Delta/Iceberg
+    expose both; Hilbert has no Z-curve "seams", so consecutive key
+    ranges stay in tighter bounding boxes and range scans touch fewer
+    files). Classic xy2d: walk levels s = 2^(bits-1) .. 1, accumulate
+    quadrant offsets, reflect+swap the frame below each level — done as
+    a JVM higher-order fold over the level list (struct state (x, y, d),
+    no Python, no UDF). Pure integer arithmetic, identical in any
+    engine; the SQL twin (:func:`hilbert_key_sql`) replays the fold as
+    one chained CTE per level."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    levels = F.array(
+        *[F.lit(1 << k).cast("long") for k in range(bits - 1, -1, -1)]
+    )
+    init = F.struct(
+        a.cast("long").alias("x"),
+        b.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, s):
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        d2 = acc["d"] + s * s * (F.lit(3) * rx).bitwiseXOR(ry)
+        refl_x = F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
+        refl_y = F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
+        # below this level: reflect when rx=1, then swap — only when ry=0
+        fx = F.when(ry == 0, refl_y).otherwise(acc["x"])
+        fy = F.when(ry == 0, refl_x).otherwise(acc["y"])
+        return F.struct(fx.alias("x"), fy.alias("y"), d2.alias("d"))
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
+
+
+def hilbert_key_sql(a_expr: str, b_expr: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`hilbert_key`: the level fold unrolled into
+    one chained CTE per level (the chained-replay pattern the BPE and
+    PageRank oracles use). Returns a full scalar-subquery-free CTE body;
+    embed via `WITH {hilbert_key_sql(...)} SELECT ... FROM h0`.
+
+    The caller's source relation must be named `hsrc` and expose the two
+    coordinates plus any carry-through columns; the final CTE `h0` has
+    the same carry columns plus `hkey`."""
+    parts = [
+        f"h{bits} AS (SELECT *, CAST({a_expr} AS BIGINT) AS hx, "
+        f"CAST({b_expr} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd "
+        f"FROM hsrc)"
+    ]
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        refl_x = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)"
+        refl_y = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)"
+        parts.append(
+            f"h{lvl} AS (SELECT * EXCLUDE (hx, hy, hd), "
+            f"CASE WHEN {ry} = 0 THEN {refl_y} ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN {refl_x} ELSE hy END AS hy, "
+            f"hd + CAST({s * s} AS BIGINT) * xor(3 * {rx}, {ry}) AS hd "
+            f"FROM h{lvl + 1})"
+        )
+    return ",\n".join(parts)

@@ -2432,3 +2432,79 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "hilbert_locality_stats",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id AS ua,
+             ((epoch_us(ts) // 1000000) % 65536) AS ub
+      FROM events
+    ),
+    bounds AS (
+      SELECT MIN(ua) AS mina, MAX(ua) AS maxa,
+             MIN(ub) AS minb, MAX(ub) AS maxb
+      FROM keyed
+    ),
+    hsrc AS (
+      SELECT ((ua - mina) * 65535) // GREATEST(1, maxa - mina) AS a,
+             ((ub - minb) * 65535) // GREATEST(1, maxb - minb) AS b
+      FROM keyed, bounds
+    ),
+    {ZL.hilbert_key_sql('a', 'b', 16)}
+    SELECT CAST(hd // 4194304 AS BIGINT) AS hbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(a) AS BIGINT) AS min_a, CAST(MAX(a) AS BIGINT) AS max_a,
+           CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b,
+           CAST((MAX(a) - MIN(a) + 1) * (MAX(b) - MIN(b) + 1) AS BIGINT)
+             AS bbox_area
+    FROM h0 GROUP BY 1 ORDER BY hbucket
+    """,
+    description="B7/layout: Hilbert-curve locality stats — the premium "
+    "twin of zorder_locality_stats over the same (user_id, time) keying. "
+    "The Hilbert walk has no Z-curve seams (consecutive keys are always "
+    "grid-adjacent — bijectivity and adjacency pinned in test_plans), so "
+    "per-bucket bounding boxes are tighter and range scans touch fewer "
+    "files; Delta/Iceberg expose exactly this OPTIMIZE choice. Computed "
+    "as a JVM fold over bit levels (struct state, no Python); the oracle "
+    "replays the fold as one chained CTE per level and the key values "
+    "are bit-identical across engines.",
+)
+def hilbert_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.col("user_id").alias("ua"),
+        (F.floor(epoch_ms("ts") / F.lit(1000)).cast("long") % 65536).alias(
+            "ub"
+        ),
+    )
+    bounds = keyed.agg(
+        F.min("ua").alias("mina"),
+        F.max("ua").alias("maxa"),
+        F.min("ub").alias("minb"),
+        F.max("ub").alias("maxb"),
+    )
+    scaled = keyed.crossJoin(F.broadcast(bounds)).select(
+        ZL.scale_to_bits("ua", "mina", "maxa", 16).alias("a"),
+        ZL.scale_to_bits("ub", "minb", "maxb", 16).alias("b"),
+    )
+    h = scaled.withColumn("hval", ZL.hilbert_key("a", "b", 16))
+    return (
+        h.groupBy(
+            F.floor(F.col("hval") / F.lit(4194304)).cast("long").alias(
+                "hbucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("a").cast("long").alias("min_a"),
+            F.max("a").cast("long").alias("max_a"),
+            F.min("b").cast("long").alias("min_b"),
+            F.max("b").cast("long").alias("max_b"),
+            ((F.max("a") - F.min("a") + 1) * (F.max("b") - F.min("b") + 1))
+            .cast("long")
+            .alias("bbox_area"),
+        )
+        .orderBy("hbucket")
+    )

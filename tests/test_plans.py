@@ -353,3 +353,42 @@ def test_bucketed_point_filter_prunes_to_one_bucket(spark, sf_dir):
         assert "SelectedBucketsCount: 1 out of 8" in plan
     finally:
         spark.conf.set(key, old)
+
+
+def test_hilbert_key_is_bijective_and_stepwise_adjacent(spark):
+    """The Hilbert curve's defining property: over a full 32x32 grid the
+    key is a bijection onto [0, 1024) and every consecutive key pair is
+    grid-adjacent (manhattan distance exactly 1) — the no-seams
+    guarantee Z-order lacks, and the reason consecutive-key file ranges
+    stay in tight bounding boxes."""
+    from kafka_clickhouse_ingest_pipeline_spark.plans import layout as L
+
+    n = 32
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    got = {
+        (r.x, r.y): r.d
+        for r in grid.select(
+            "x", "y", L.hilbert_key("x", "y", 5).alias("d")
+        ).collect()
+    }
+    assert sorted(got.values()) == list(range(n * n))
+    inv = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_buckets_are_no_looser_than_zorder(spark):
+    """The locality claim, measured: on the same events keying, the mean
+    per-bucket bounding-box area under the Hilbert key must not exceed
+    the Z-order key's (Z-curve seams inflate its boxes)."""
+    from kafka_clickhouse_ingest_pipeline_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    h = registry.REGISTRY["hilbert_locality_stats"].fn(spark, sf).collect()
+    z = registry.REGISTRY["zorder_locality_stats"].fn(spark, sf).collect()
+    mean_h = sum(r.bbox_area for r in h) / len(h)
+    mean_z = sum(r.bbox_area for r in z) / len(z)
+    assert mean_h <= mean_z, (mean_h, mean_z)
