@@ -105,6 +105,7 @@ HEADLINE = [
     "doc_novelty_scores",
     "ann_batch_topk",
     "session_window_dynamic_gap",
+    "hilbert_locality_stats",
 ]
 
 
