@@ -114,26 +114,16 @@ def _is_bmp(payload: bytes | None) -> bool:
     return payload is not None and len(payload) >= 2 and bytes(payload[:2]) == b"BM"
 
 
-def _bmp_decode(payload: bytes | None) -> np.ndarray:
-    """Real image decode with ZERO dependencies: uncompressed 24-bit BMP
-    (BITMAPINFOHEADER, BI_RGB) via stdlib byte slicing — the image twin
-    of the stdlib WAV path, so the image kernel is real in codec-less
-    environments too.
-
-    Parses the actual format: pixel-array offset from the file header,
-    signed height (negative = top-down rows), 4-byte row stride padding.
-    Feature = 4×4 area-style block means of the channel-mean grayscale
-    (bucket x*4//w — uneven buckets for non-multiple-of-4 sides), /255,
-    then unit-normed with a SEQUENTIAL square fold so the result is
-    bit-reproducible against a SQL oracle doing the same arithmetic.
-    Undecodable/unsupported payloads yield the zero vector
-    (drop-don't-fail, same contract as the other kernels).
-    """
+def _gray_feature(gray: np.ndarray | None) -> np.ndarray:
+    """Shared pixel->feature kernel for every real image decoder: 4x4
+    area-style block means of the grayscale, /255, unit-normed with a
+    SEQUENTIAL square fold so the result is bit-reproducible against a
+    SQL oracle doing the same arithmetic. None / too-small input yields
+    the zero vector (drop-don't-fail)."""
     import math
 
     zeros = np.zeros(FEATURE_DIM, dtype=np.float64)
     side = int(FEATURE_DIM**0.5)
-    gray = _bmp_gray(payload)
     if gray is None or gray.shape[0] < side or gray.shape[1] < side:
         return zeros
     try:
@@ -145,6 +135,17 @@ def _bmp_decode(payload: bytes | None) -> np.ndarray:
         return v / n if n else v
     except Exception:  # noqa: BLE001 — any parse failure = undecodable
         return zeros
+
+
+def _bmp_decode(payload: bytes | None) -> np.ndarray:
+    """Real image decode with ZERO dependencies: uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB) via stdlib byte slicing — the image twin
+    of the stdlib WAV path, so the image kernel is real in codec-less
+    environments too. Parses the actual format: pixel-array offset from
+    the file header, signed height (negative = top-down rows), 4-byte
+    row stride padding; features via the shared `_gray_feature` kernel.
+    """
+    return _gray_feature(_bmp_gray(payload))
 
 
 def _bmp_gray(payload: bytes | None) -> np.ndarray | None:
@@ -382,24 +383,9 @@ def _png_gray(payload: bytes | None) -> np.ndarray | None:
 
 
 def _png_decode(payload: bytes | None) -> np.ndarray:
-    """Real PNG decode → 4×4 grid-mean unit-norm feature vector, the exact
-    `_bmp_decode` arithmetic over `_png_gray` pixels (shared oracle)."""
-    import math
-
-    zeros = np.zeros(FEATURE_DIM, dtype=np.float64)
-    side = int(FEATURE_DIM**0.5)
-    gray = _png_gray(payload)
-    if gray is None or gray.shape[0] < side or gray.shape[1] < side:
-        return zeros
-    try:
-        v = _grid_means(gray, side, side).reshape(-1) / 255.0
-        acc = 0.0  # sequential fold — matches list_reduce oracle order
-        for x in v:
-            acc += float(x) * float(x)
-        n = math.sqrt(acc)
-        return v / n if n else v
-    except Exception:  # noqa: BLE001
-        return zeros
+    """Real PNG decode → the shared `_gray_feature` kernel over
+    `_png_gray` pixels (same closed-form oracle as BMP/JPEG)."""
+    return _gray_feature(_png_gray(payload))
 
 
 def make_png(pixels: np.ndarray, filter_mix: bool = True) -> bytes:
@@ -483,26 +469,10 @@ def make_jpeg(pixels: np.ndarray, quant_value: int = 1) -> bytes:
 
 
 def _jpeg_decode(payload: bytes | None) -> np.ndarray:
-    """Real JPEG decode → 4×4 grid-mean unit-norm feature vector, the
-    exact `_bmp_decode`/`_png_decode` arithmetic over `_jpeg_gray` pixels
-    (shared closed-form oracle; exact for block-constant quant-1
-    fixtures, see operators/jpeg.py)."""
-    import math
-
-    zeros = np.zeros(FEATURE_DIM, dtype=np.float64)
-    side = int(FEATURE_DIM**0.5)
-    gray = _jpeg_gray(payload)
-    if gray is None or gray.shape[0] < side or gray.shape[1] < side:
-        return zeros
-    try:
-        v = _grid_means(gray, side, side).reshape(-1) / 255.0
-        acc = 0.0  # sequential fold — matches list_reduce oracle order
-        for x in v:
-            acc += float(x) * float(x)
-        n = math.sqrt(acc)
-        return v / n if n else v
-    except Exception:  # noqa: BLE001
-        return zeros
+    """Real JPEG decode → the shared `_gray_feature` kernel over
+    `_jpeg_gray` pixels (exact for block-constant quant-1 fixtures,
+    see operators/jpeg.py)."""
+    return _gray_feature(_jpeg_gray(payload))
 
 
 def _wav_decode(payload: bytes | None) -> np.ndarray:
