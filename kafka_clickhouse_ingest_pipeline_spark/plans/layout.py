@@ -271,3 +271,27 @@ def hilbert_key_sql(a_expr: str, b_expr: str, bits: int = 16) -> str:
             f"FROM h{lvl + 1})"
         )
     return ",\n".join(parts)
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    a_col: str,
+    b_col: str,
+    bits: int = 16,
+    target_partitions: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write with Hilbert-curve clustering on two pre-bucketed int
+    columns — :func:`write_zordered` with the no-seams key. Same write
+    shape: repartitionByRange on the key (range exchange samples it, no
+    global sort), sortWithinPartitions tightens row-group stats. The
+    key fold costs ~bits struct ops per row at write time only."""
+    k = hilbert_key(a_col, b_col, bits).alias("_h")
+    out = (
+        df.withColumn("_h", k)
+        .repartitionByRange(target_partitions, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+    )
+    out.write.mode(mode).parquet(path)

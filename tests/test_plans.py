@@ -392,3 +392,71 @@ def test_hilbert_buckets_are_no_looser_than_zorder(spark):
     mean_h = sum(r.bbox_area for r in h) / len(h)
     mean_z = sum(r.bbox_area for r in z) / len(z)
     assert mean_h <= mean_z, (mean_h, mean_z)
+
+
+def test_hilbert_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """write_hilbert's file-level min/max stats admit 2-d pruning at
+    least as selectively as the z-ordered layout on the same data and
+    predicate — the write-path proof that the tighter Hilbert boxes
+    (see test_hilbert_buckets_are_no_looser_than_zorder) turn into
+    fewer candidate files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from kafka_clickhouse_ingest_pipeline_spark.plans import layout as ZL
+    from kafka_clickhouse_ingest_pipeline_spark.functions.temporal import epoch_ms
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    keyed = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("ua"),
+        (F.floor(epoch_ms("ts") / F.lit(1000)).cast("long") % 65536).alias("ub"),
+    )
+    bounds = keyed.agg(
+        F.min("ua").alias("mina"),
+        F.max("ua").alias("maxa"),
+        F.min("ub").alias("minb"),
+        F.max("ub").alias("maxb"),
+    )
+    ev = keyed.crossJoin(F.broadcast(bounds)).select(
+        ZL.scale_to_bits("ua", "mina", "maxa", 16).alias("a"),
+        ZL.scale_to_bits("ub", "minb", "maxb", 16).alias("b"),
+    )
+    zor, hil = str(tmp_path / "zorder"), str(tmp_path / "hilbert")
+    ZL.write_zordered(ev, zor, "a", "b", bits=16, target_partitions=16)
+    ZL.write_hilbert(ev, hil, "a", "b", bits=16, target_partitions=16)
+
+    def file_stats(d):
+        out = []
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                mins, maxs = {}, {}
+                for rg in range(md.num_row_groups):
+                    row = md.row_group(rg)
+                    for ci in range(row.num_columns):
+                        col = row.column(ci)
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        name = col.path_in_schema
+                        mins[name] = min(mins.get(name, st.min), st.min)
+                        maxs[name] = max(maxs.get(name, st.max), st.max)
+                if mins:
+                    out.append((mins, maxs))
+        return out
+
+    def candidates(stats, col, lo, hi):
+        return sum(1 for mn, mx in stats if not (mx[col] < lo or mn[col] > hi))
+
+    zs, hs = file_stats(zor), file_stats(hil)
+    assert len(zs) > 8 and len(hs) > 8
+    a_lo, a_hi = 10000, 14000
+    # both prune the user dimension; Hilbert at least as selectively
+    assert candidates(hs, "a", a_lo, a_hi) <= candidates(zs, "a", a_lo, a_hi)
+    assert candidates(hs, "a", a_lo, a_hi) <= len(hs) // 2
+    # and the time dimension still prunes under Hilbert too
+    bs = sorted(mn["b"] for mn, _mx in hs)
+    assert candidates(hs, "b", bs[0], bs[0] + 2000) < len(hs)
