@@ -56,11 +56,20 @@ def write_bucketed(
     amortized over every subsequent join. This is the Spark analog of
     co-partitioned MergeTree shards, and the standard answer to
     "fact-to-fact join at 100 TB".
+
+    Thin wrapper over :func:`plans.layout.write_bucketed` (the single
+    implementation: one file per bucket, per-process external path so
+    concurrent processes never race on bucket files).
     """
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
-    if sort_cols:
-        writer = writer.sortBy(*sort_cols)
-    writer.saveAsTable(table)
+    from ..plans.layout import write_bucketed as _write
+
+    _write(
+        df,
+        table,
+        n_buckets,
+        tuple(bucket_cols),
+        sort_cols=tuple(sort_cols) if sort_cols else None,
+    )
 
 
 def bucketed_join(
