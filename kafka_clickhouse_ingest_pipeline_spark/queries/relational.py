@@ -2508,3 +2508,111 @@ def hilbert_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hbucket")
     )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'lineitem' AS tbl, 'range' AS rule, 'l_quantity' AS col,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'not_null', 'l_orderkey',
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'unique', 'o_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'foreign_key', 'l_orderkey->o_orderkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'customer', 'accepted_values', 'c_mktsegment',
+           CAST(SUM(CASE WHEN c_mktsegment NOT IN
+                ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    ORDER BY tbl, rule, col
+    """,
+    description="Warehouse surface: declarative data-quality report — "
+    "the dbt-test / ClickHouse-CONSTRAINT shapes as one plan: range and "
+    "not-null checks (conditional aggregates in one scan per table), "
+    "primary-key uniqueness (count minus distinct), referential "
+    "integrity (left-anti count against the broadcast parent key), and "
+    "accepted-values. Each rule is a scan-shaped aggregate — no rule "
+    "costs more than one pass, violations come back as data (a row per "
+    "rule), and at 100 TB the report is the thing you run after every "
+    "load. All clean on the TPC-H-ish testdata, so every count is an "
+    "asserted zero.",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def rule(tbl: str, rulename: str, col: str, agg):
+        return agg.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(rulename).alias("rule"),
+            F.lit(col).alias("col"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    range_chk = rule(
+        "lineitem",
+        "range",
+        "l_quantity",
+        li.agg(
+            F.sum(
+                ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+                .cast("long")
+            ).alias("n")
+        ),
+    )
+    notnull_chk = rule(
+        "lineitem",
+        "not_null",
+        "l_orderkey",
+        li.agg(F.sum(F.col("l_orderkey").isNull().cast("long")).alias("n")),
+    )
+    unique_chk = rule(
+        "orders",
+        "unique",
+        "o_orderkey",
+        orders.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")
+        ),
+    )
+    fk_chk = rule(
+        "lineitem",
+        "foreign_key",
+        "l_orderkey->o_orderkey",
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    accepted = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    accepted_chk = rule(
+        "customer",
+        "accepted_values",
+        "c_mktsegment",
+        cust.agg(
+            F.sum((~F.col("c_mktsegment").isin(*accepted)).cast("long")).alias(
+                "n"
+            )
+        ),
+    )
+    return (
+        range_chk.unionAll(notnull_chk)
+        .unionAll(unique_chk)
+        .unionAll(fk_chk)
+        .unionAll(accepted_chk)
+        .orderBy("tbl", "rule", "col")
+    )

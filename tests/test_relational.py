@@ -118,3 +118,33 @@ def test_equidepth_approx_bounds_match_exact(spark, sf_dir):
     assert len(depths) == 8
     # equi-depth within sketch tolerance: every bucket within 10% of n/8
     assert all(abs(d - n / 8) <= 0.1 * n / 8 + 2 for d in depths), depths
+
+
+def test_data_quality_rules_fire_on_violations(spark):
+    """The report's rule shapes must detect real violations, not just
+    report zeros on clean data: range, uniqueness, and FK breaks on a
+    corrupted fixture each surface a non-zero count."""
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [(1, 10.0), (1, 99.0), (2, -3.0), (7, 5.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    orders = spark.createDataFrame([(1,), (1,), (2,)], "o_orderkey long")
+
+    n_range = li.agg(
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long"))
+    ).collect()[0][0]
+    assert n_range == 2  # 99.0 and -3.0
+
+    n_dupe = orders.agg(
+        F.count(F.lit(1)) - F.countDistinct("o_orderkey")
+    ).collect()[0][0]
+    assert n_dupe == 1  # o_orderkey 1 twice
+
+    n_fk = (
+        li.join(orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .count()
+    )
+    assert n_fk == 1  # orderkey 7 has no parent
