@@ -656,3 +656,57 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             CAST(epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS DOUBLE)
+               / 1000000.0 AS dur_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(dur_s) AS BIGINT) AS n_intervals,
+           (FLOOR((SUM(value * dur_s) / SUM(dur_s)) * 10000.0 + 0.5
+                  + 0.000001) / 10000.0) AS tw_avg_value,
+           (FLOOR(SUM(dur_s) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS observed_s
+    FROM d
+    WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="C12: TIME-WEIGHTED average (TimescaleDB time_weight, "
+    "LOCF weighting) — each observation's value counts for the seconds "
+    "it was the latest known state (duration to the next event), so "
+    "irregular sampling can't bias the mean toward chatty periods the "
+    "way a plain AVG does. One window pass for the durations (single "
+    "shuffle on user_id), then an ordinary two-stage aggregate; the "
+    "final open-ended observation carries no weight. The metric every "
+    "sensor/billing pipeline wants from the reference's event stream.",
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+        .cast("double")
+        / F.lit(1000000.0)
+    )
+    d = ev.select("user_id", "value", dur.alias("dur_s")).where(
+        F.col("dur_s").isNotNull()
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count("dur_s").cast("long").alias("n_intervals"),
+            round4(
+                F.sum(F.col("value") * F.col("dur_s")) / F.sum("dur_s")
+            ).alias("tw_avg_value"),
+            round4(F.sum("dur_s")).alias("observed_s"),
+        )
+        .orderBy("user_id")
+    )
