@@ -710,3 +710,104 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ohlc_hourly_bars",
+    oracle="""
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000 AS BIGINT)
+             AS hour_ms,
+           CAST(arg_min(value, ts) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(arg_max(value, ts) AS DOUBLE) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY hour_ms
+    """,
+    description="C12: OHLC candlestick bars — open/high/low/close per "
+    "hour via min_by/max_by(value, ts) + plain min/max, all mergeable "
+    "aggregates (partial+final hash agg, single shuffle on the hour "
+    "key), never a per-bucket sort or collect. The financial/sensor "
+    "downsampling shape (ClickHouse argMin/argMax, kdb xbar). Ties on "
+    "ts within a bucket are broken identically in both engines only if "
+    "at most one tick per (bucket, ts) exists — checked true for the "
+    "purchase stream at every SF; a production variant would tie-break "
+    "on a struct(ts, event_id) ordering key.",
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hb"))
+        .agg(
+            F.min_by("value", "ts").cast("double").alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.max_by("value", "ts").cast("double").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .select(
+            epoch_ms(F.col("hb")).alias("hour_ms"),
+            "open", "high", "low", "close", "n_ticks",
+        )
+        .orderBy("hour_ms")
+    )
+
+
+@query(
+    "counter_rate_with_resets",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             value - LAG(value) OVER w AS delta,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS DOUBLE)
+               / 1000000.0 AS dur_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resets,
+           (FLOOR((SUM(CASE WHEN delta >= 0 THEN delta ELSE 0 END)
+                   / SUM(dur_s)) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS rate_per_s
+    FROM d WHERE delta IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    description="C12: counter rate with reset handling (PromQL rate()): "
+    "per-series deltas via one lag window; negative deltas mark counter "
+    "resets and contribute zero increase (the post-reset absolute value "
+    "would double-count, so like PromQL we drop it rather than guess "
+    "the pre-reset peak); rate = positive increase / covered seconds. "
+    "The monitoring-pipeline shape for cumulative counters that restart "
+    "with their process — one shuffle on the series key, then a plain "
+    "mergeable aggregate.",
+)
+def counter_rate_with_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    dur = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+        .cast("double")
+        / F.lit(1000000.0)
+    )
+    d = ev.select(
+        "user_id", delta.alias("delta"), dur.alias("dur_s")
+    ).where(F.col("delta").isNotNull())
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum((F.col("delta") < 0).cast("long")).alias("n_resets"),
+            round4(
+                F.sum(
+                    F.when(F.col("delta") >= 0, F.col("delta")).otherwise(0.0)
+                )
+                / F.sum("dur_s")
+            ).alias("rate_per_s"),
+        )
+        .orderBy("user_id")
+    )
