@@ -345,3 +345,60 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms(F.lead("ts").over(w)).alias("valid_to_ms"),
         F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
     )
+
+
+SNAPSHOT_AT = "2024-01-15 00:00:00"
+
+
+@query(
+    "scd2_asof_snapshot",
+    oracle=f"""
+    WITH changes AS (
+      SELECT user_id, event_type AS state, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events
+      WHERE event_type IN ('purchase', 'signup', 'error')
+    )
+    SELECT state,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(epoch_us(ts) // 1000) AS BIGINT) AS oldest_from_ms
+    FROM changes
+    WHERE ts <= TIMESTAMP '{SNAPSHOT_AT}'
+      AND (next_ts IS NULL OR next_ts > TIMESTAMP '{SNAPSHOT_AT}')
+    GROUP BY state
+    ORDER BY state
+    """,
+    description="Warehouse surface: point-in-time (AS OF) read over the "
+    "SCD-2 history — each user's state at the snapshot instant is the "
+    "interval containing it (valid_from <= t < valid_to, open interval "
+    "= current), aggregated to a state census. The time-travel query "
+    "shape every dimension-history table exists for: the interval "
+    "predicate prunes on (ts, next_ts) min/max stats when the history "
+    "is written clustered by valid_from, so snapshots of a 100 TB "
+    "history touch only files overlapping the instant.",
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "signup", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    at = F.lit(SNAPSHOT_AT).cast("timestamp")
+    hist = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return (
+        hist.where(
+            (F.col("ts") <= at)
+            & (F.col("next_ts").isNull() | (F.col("next_ts") > at))
+        )
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min(epoch_ms(F.col("ts"))).alias("oldest_from_ms"),
+        )
+        .orderBy("state")
+    )
