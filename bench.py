@@ -106,6 +106,8 @@ HEADLINE = [
     "ann_batch_topk",
     "session_window_dynamic_gap",
     "hilbert_locality_stats",
+    "data_quality_report",
+    "ohlc_hourly_bars",
 ]
 
 
