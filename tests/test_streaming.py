@@ -664,3 +664,80 @@ def sessionize_batch(df, gap):
         .agg(F.count(F.lit(1)).alias("n"))
         .select("user", F.col("w.start").cast("string").alias("ws"), "n")
     )
+
+
+def test_watermark_drops_late_rows_and_accounts_for_them(spark, tmp_path):
+    """Late-data handling is observable, not just configured: in update
+    mode a row arriving after the watermark passed its window is DROPPED
+    (its window gets no update), and the engine's own accounting
+    (numRowsDroppedByWatermark) records it."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "late"
+    src_dir.mkdir()
+    # batch 1: establish event-time up to 10:00 (watermark -> 09:55)
+    (src_dir / "a.txt").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"ts": "2024-01-01T09:01:00Z", "u": 1},
+                {"ts": "2024-01-01T10:00:00Z", "u": 2},
+            ]
+        )
+    )
+
+    raw = P.file_source(spark, str(src_dir))
+    parsed = raw.select(
+        F.from_json("value", "ts timestamp, u long").alias("p")
+    ).select("p.*")
+    agg = (
+        parsed.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = tmp_path / "latesink"
+    out.mkdir()
+    ckpt = str(tmp_path / "lateckpt")
+
+    def run_batch(tag):
+        def sink(df, bid):
+            df.selectExpr("window.start as ws", "n").write.mode(
+                "append"
+            ).parquet(str(out / tag))
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    run_batch("b1")
+    # batch 2: a 09:02 row — its 09:00 window is behind the 09:55
+    # watermark, so it must produce NO update and be counted as dropped
+    (src_dir / "b.txt").write_text(
+        _json.dumps({"ts": "2024-01-01T09:02:00Z", "u": 3})
+    )
+    q2 = run_batch("b2")
+
+    b1 = {str(r.ws): r.n for r in spark.read.parquet(str(out / "b1")).collect()}
+    assert b1["2024-01-01 09:00:00"] == 1
+    b2_dir = out / "b2"
+    b2 = (
+        {str(r.ws): r.n for r in spark.read.parquet(str(b2_dir)).collect()}
+        if any(f.endswith(".parquet") for f in os.listdir(b2_dir))
+        else {}
+    )
+    assert "2024-01-01 09:00:00" not in b2  # late row produced no update
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for pr in q2.recentProgress
+        for op in pr.get("stateOperators", [])
+    )
+    assert dropped >= 1  # and the engine accounted for the drop
