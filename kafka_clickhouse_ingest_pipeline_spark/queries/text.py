@@ -1153,3 +1153,50 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.phrase_match(docs, ["table", "value"])
         .orderBy(F.col("n_matches").desc(), "doc_id")
     )
+
+
+@query(
+    "lang_id_accuracy_eval",
+    oracle=f"""
+    WITH preds AS ({_lang_id_sql()})
+    SELECT label_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pred_lang = label_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           {round4_sql(
+               "SUM(CASE WHEN pred_lang = label_lang THEN 1 ELSE 0 END)"
+               " / COUNT(*)"
+           )} AS accuracy,
+           CAST(SUM(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_undetermined
+    FROM preds
+    GROUP BY label_lang
+    ORDER BY label_lang
+    """,
+    description="C11/eval: language-ID accuracy against the corpus "
+    "labels — per true language: doc count, correct predictions, "
+    "accuracy, and undetermined count. The eval companion the ANN "
+    "family's recall queries set the pattern for: a filter heuristic "
+    "without a measured error rate is a guess. Aggregation-only on top "
+    "of the per-doc classifier (one scan, one small shuffle); the "
+    "oracle replays classifier AND eval.",
+)
+def lang_id_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    preds = docs.select(
+        F.col("lang").alias("label_lang"),
+        T.lang_id(docs, "text").alias("pred_lang"),
+    )
+    correct = (F.col("pred_lang") == F.col("label_lang")).cast("long")
+    return (
+        preds.groupBy("label_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(correct).alias("n_correct"),
+            round4(F.sum(correct) / F.count(F.lit(1))).alias("accuracy"),
+            F.sum((F.col("pred_lang") == "und").cast("long")).alias(
+                "n_undetermined"
+            ),
+        )
+        .orderBy("label_lang")
+    )
