@@ -1200,3 +1200,61 @@ def lang_id_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_lang")
     )
+
+
+from ..registry import REGISTRY as _REG
+
+_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7)
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle=f"""
+    WITH qs AS ({_REG["text_quality_scores"].oracle}),
+    t AS (SELECT CAST(unnest([{", ".join(str(t) for t in _THRESHOLDS)}])
+                      AS DOUBLE) AS thresh)
+    SELECT t.thresh,
+           CAST(SUM(CASE WHEN qs.quality_score >= t.thresh
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           {round4_sql(
+               "SUM(CASE WHEN qs.quality_score >= t.thresh THEN 1 ELSE 0 END)"
+               " / COUNT(*)"
+           )} AS pass_rate,
+           {round4_sql(
+               "AVG(CASE WHEN qs.quality_score >= t.thresh"
+               " THEN qs.n_chars END)"
+           )} AS mean_chars_passing
+    FROM qs CROSS JOIN t
+    GROUP BY t.thresh
+    ORDER BY t.thresh
+    """,
+    description="C11/eval: quality-filter operating curve — corpus yield "
+    "(docs passing, pass rate, mean length of survivors) at five score "
+    "thresholds in one pass: scores computed once, a 5-row threshold "
+    "frame exploded against them, conditional aggregates per threshold. "
+    "The knob-tuning view a curation pipeline needs BEFORE committing a "
+    "cutoff (throw away 10% or 60%?); reuses text_quality_scores' "
+    "oracle verbatim as a CTE so classifier and sweep can never drift.",
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qs = T.quality_features(docs, "text", "doc_id").select(
+        "n_chars", "quality_score"
+    )
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in _THRESHOLDS])
+    ).alias("thresh")
+    passing = (F.col("quality_score") >= F.col("thresh")).cast("long")
+    return (
+        qs.select("n_chars", "quality_score", t)
+        .groupBy("thresh")
+        .agg(
+            F.sum(passing).alias("n_pass"),
+            round4(F.sum(passing) / F.count(F.lit(1))).alias("pass_rate"),
+            round4(
+                F.avg(F.when(F.col("quality_score") >= F.col("thresh"),
+                             F.col("n_chars")))
+            ).alias("mean_chars_passing"),
+        )
+        .orderBy("thresh")
+    )
