@@ -13,7 +13,7 @@ produce bit-identical floats.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -1176,3 +1176,61 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_substring_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.remove_duplicate_spans(docs, "text", "doc_id", 5).orderBy("doc_id")
+
+
+@query(
+    "dedup_savings_summary",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS digest,
+             coalesce(n_chars, 0) AS nc,
+             ROW_NUMBER() OVER (PARTITION BY md5(coalesce(text, ''))
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    sizes AS (
+      SELECT digest, COUNT(*) AS csize FROM d GROUP BY digest
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT d.digest) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removable,
+           (FLOOR((SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / COUNT(*))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS pct_removable,
+           CAST(SUM(nc) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN rn > 1 THEN nc ELSE 0 END) AS BIGINT)
+             AS chars_removable,
+           CAST(MAX(s.csize) AS BIGINT) AS largest_cluster
+    FROM d JOIN sizes s USING (digest)
+    """,
+    description="C9/dashboard: what exact dedup would SAVE — doc and "
+    "char counts of min-id-survivor removal, duplication rate, and the "
+    "largest duplicate cluster, in one pass (window rank over the "
+    "digest + one digest-grain aggregate joined back). The corpus-health "
+    "row a curation run reports before anyone commits to the heavier "
+    "near-dup ladder; at 100 TB both shuffles are on the digest key.",
+)
+def dedup_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("nc"),
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    d = docs.withColumn("rn", F.row_number().over(w))
+    sizes = d.groupBy("digest").agg(F.count(F.lit(1)).alias("csize"))
+    dup = (F.col("rn") > 1).cast("long")
+    return (
+        d.join(sizes, "digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("digest").cast("long").alias("n_unique"),
+            F.sum(dup).alias("n_removable"),
+            round4(F.sum(dup) / F.count(F.lit(1))).alias("pct_removable"),
+            F.sum("nc").cast("long").alias("chars_total"),
+            F.sum(F.when(F.col("rn") > 1, F.col("nc")).otherwise(0))
+            .cast("long")
+            .alias("chars_removable"),
+            F.max("csize").cast("long").alias("largest_cluster"),
+        )
+    )
