@@ -60,7 +60,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (never an error) for zero-norm vectors.
+
+    ANSI mode (Spark 4 default) turns x/0 into a runtime
+    ArithmeticException, so one all-zero embedding in 100 TB of data
+    would kill the whole job; try_divide yields NULL instead, and NULLs
+    sort last under the descending top-k ordering — a zero vector can
+    never rank. On nonzero data try_divide is bit-identical to `/`, so
+    every oracle twin is unaffected."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def lsh_bucket(vec: Column) -> Column:

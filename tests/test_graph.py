@@ -55,3 +55,17 @@ def test_multi_edges_weight_contributions(spark):
     pr = pagerank(nodes, edges, iterations=8)
     vals = {r.node: r.pr for r in pr.collect()}
     assert vals[1] > vals[2]
+
+
+def test_all_dangling_graph_stays_uniform(spark):
+    """No edges at all: every node is dangling, mass redistributes
+    uniformly each round, so ranks stay exactly 1/n."""
+    import pytest as _pt
+
+    nodes = _nodes(spark, range(4))
+    edges = _edges(spark, []).limit(0) if False else spark.createDataFrame(
+        [], "src long, dst long"
+    )
+    pr = pagerank(nodes, edges, iterations=3)
+    for r in pr.collect():
+        assert r.pr == _pt.approx(0.25, abs=1e-9)

@@ -263,3 +263,20 @@ def test_batch_topk_agrees_with_single_query_operator(spark, sf_dir):
         got = [v for _, v, _ in sorted(rows)]
         want = [r.vec_id for r in single]
         assert got == want, f"q{qid}: {got} != {want}"
+
+
+def test_sq_rescore_survives_zero_vectors_in_corpus(spark):
+    """An all-zero embedding (scale 0) must not crash or corrupt the
+    quantized scan — it quantizes to zeros, its cosine is NaN/null, and
+    it simply never ranks."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import similarity as S
+
+    rows = [(0, [1.0, 0.0, 2.0, 1.0]), (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 4.0, 2.0]), (3, [-1.0, 3.0, 0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id = 0")
+    out = S.sq_rescore_topk(emb, q, k=3, shortlist=3).collect()
+    ids = [r.vec_id for r in out]
+    assert 2 in ids          # the parallel vector ranks first
+    assert 1 not in ids or out[-1].vec_id == 1  # zero vector never wins
+    assert out[0].vec_id == 2 and out[0].cosine == 1.0
