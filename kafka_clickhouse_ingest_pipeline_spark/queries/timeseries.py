@@ -703,8 +703,13 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("user_id")
         .agg(
             F.count("dur_s").cast("long").alias("n_intervals"),
+            # try_divide: a series whose observations all share one
+            # timestamp has zero observed time — undefined mean, not an
+            # ANSI crash (NULL here, and the oracle never sees such data)
             round4(
-                F.sum(F.col("value") * F.col("dur_s")) / F.sum("dur_s")
+                F.try_divide(
+                    F.sum(F.col("value") * F.col("dur_s")), F.sum("dur_s")
+                )
             ).alias("tw_avg_value"),
             round4(F.sum("dur_s")).alias("observed_s"),
         )
@@ -802,11 +807,17 @@ def counter_rate_with_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("user_id")
         .agg(
             F.sum((F.col("delta") < 0).cast("long")).alias("n_resets"),
+            # try_divide: same zero-covered-time guard as the
+            # time-weighted average
             round4(
-                F.sum(
-                    F.when(F.col("delta") >= 0, F.col("delta")).otherwise(0.0)
+                F.try_divide(
+                    F.sum(
+                        F.when(F.col("delta") >= 0, F.col("delta")).otherwise(
+                            0.0
+                        )
+                    ),
+                    F.sum("dur_s"),
                 )
-                / F.sum("dur_s")
             ).alias("rate_per_s"),
         )
         .orderBy("user_id")
