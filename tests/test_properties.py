@@ -202,3 +202,32 @@ def test_jpeg_decoder_never_raises_on_garbage(data):
 
     assert J.jpeg_gray(data) is None or data[:3] == b"\xff\xd8\xff"
     J.jpeg_gray(b"\xff\xd8\xff" + data)  # must not raise
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words=st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=24),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_phrase_match_agrees_with_regex_oracle(spark, words, seed):
+    """Cross-validate the postings-intersection phrase search against an
+    independent implementation: overlapping regex lookahead counts on
+    the raw string. Any phrase, any text, identical match counts."""
+    import re
+
+    import random as _random
+
+    rng = _random.Random(seed)
+    phrase = [rng.choice(["a", "b", "c"]) for _ in range(rng.choice([2, 3]))]
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators.text import phrase_match
+
+    got = {r.doc_id: r.n_matches for r in phrase_match(docs, phrase).collect()}
+    # independent oracle: overlapping whole-word matches via lookahead
+    pat = re.compile(
+        r"(?=(?:^|\s)" + r"\s".join(map(re.escape, phrase)) + r"(?:\s|$))"
+    )
+    want = sum(1 for _ in pat.finditer(" " + text + " "))
+    assert got.get(0, 0) == want, (phrase, text, got, want)
