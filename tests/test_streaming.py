@@ -741,3 +741,72 @@ def test_watermark_drops_late_rows_and_accounts_for_them(spark, tmp_path):
         for op in pr.get("stateOperators", [])
     )
     assert dropped >= 1  # and the engine accounted for the drop
+
+
+def test_streaming_ohlc_bars_match_batch(spark, tmp_path):
+    """OHLC downsampling runs as a watermarked streaming aggregate:
+    min_by/max_by/min/max are all mergeable, so candlesticks stream with
+    bounded state and equal the batch bars on the same ticks."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "ticks"
+    src_dir.mkdir()
+    ticks = [
+        ("2024-01-01T09:01:00Z", 10.0),
+        ("2024-01-01T09:05:00Z", 30.0),   # high
+        ("2024-01-01T09:07:00Z", 5.0),    # low
+        ("2024-01-01T09:09:00Z", 20.0),   # close of 09:00 bar
+        ("2024-01-01T09:11:00Z", 15.0),   # next bar
+    ]
+    (src_dir / "t.txt").write_text(
+        "\n".join(_json.dumps({"ts": t, "v": v}) for t, v in ticks)
+    )
+
+    def bars(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(
+                F.min_by("v", "ts").alias("open"),
+                F.max("v").alias("high"),
+                F.min("v").alias("low"),
+                F.max_by("v", "ts").alias("close"),
+            )
+            .select(F.col("w.start").cast("string").alias("ws"),
+                    "open", "high", "low", "close")
+        )
+
+    raw = P.file_source(spark, str(src_dir))
+    parsed = raw.select(
+        F.from_json("value", "ts timestamp, v double").alias("p")
+    ).select("p.*")
+    out = str(tmp_path / "barsink")
+
+    def sink(df, _bid):
+        df.write.mode("overwrite").parquet(out)
+
+    q = (
+        bars(parsed)
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "barckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.ws: (r.open, r.high, r.low, r.close)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(t.replace("T", " ").replace("Z", ""), v) for t, v in ticks],
+        "ts string, v double",
+    ).select(F.to_timestamp("ts").alias("ts"), "v")
+    batch = {
+        r.ws: (r.open, r.high, r.low, r.close)
+        for r in bars(batch_df).collect()
+    }
+    assert streamed == batch
+    assert streamed["2024-01-01 09:00:00"] == (10.0, 30.0, 5.0, 20.0)
