@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60_sql
-from ..functions.rounding import round4
+from ..functions.rounding import round4, round4_sql
 from ..operators import sampling as SMP
 from ..registry import query
 from ..tables import load_table
@@ -382,4 +382,76 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(crossing))
         .select("split", "n_docs", "n_digests", "n_digests_crossing_splits")
         .orderBy("split")
+    )
+
+
+from ..registry import REGISTRY as _REG  # noqa: E402 — oracle reuse
+from ..queries import text as _text_mod  # noqa: F401,E402 — ensures registration
+
+
+@query(
+    "filter_reweighting_factors",
+    oracle=f"""
+    WITH qs AS ({_REG["text_quality_scores"].oracle}),
+    labeled AS (
+      SELECT d.lang, qs.quality_score
+      FROM documents d JOIN qs ON d.doc_id = qs.doc_id
+    ),
+    shares AS (
+      SELECT lang,
+             COUNT(*) AS n_pre,
+             SUM(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) AS n_post
+      FROM labeled GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(n_pre) AS t_pre, SUM(n_post) AS t_post FROM shares
+    )
+    SELECT s.lang,
+           CAST(s.n_pre AS BIGINT) AS n_pre,
+           CAST(s.n_post AS BIGINT) AS n_post,
+           {round4_sql("s.n_pre / t.t_pre")} AS share_pre,
+           {round4_sql("s.n_post / t.t_post")} AS share_post,
+           {round4_sql("(s.n_pre / t.t_pre) / (s.n_post / t.t_post)")}
+             AS reweight
+    FROM shares s CROSS JOIN tot t
+    ORDER BY s.lang
+    """,
+    description="Curation: inverse-propensity reweighting after a "
+    "quality filter — per language, the pre-filter share, the "
+    "post-filter share (score >= 0.5), and the sampling weight that "
+    "restores the original mix (share_pre / share_post). Quality "
+    "filters are never language-neutral (stopword and alpha features "
+    "favor some languages); reweighting keeps the filtered corpus from "
+    "silently drifting its language distribution. One scan + one tiny "
+    "aggregate + a broadcast totals row; the quality-score oracle is "
+    "embedded verbatim so the filter and its correction can't diverge.",
+)
+def filter_reweighting_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = T.quality_features(docs, "text", "doc_id").select(
+        "doc_id", "quality_score"
+    )
+    labeled = docs.select("doc_id", "lang").join(qs, "doc_id")
+    shares = labeled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pre"),
+        F.sum((F.col("quality_score") >= 0.5).cast("long")).alias("n_post"),
+    )
+    tot = shares.agg(
+        F.sum("n_pre").alias("t_pre"), F.sum("n_post").alias("t_post")
+    )
+    share_pre = F.col("n_pre") / F.col("t_pre")
+    share_post = F.col("n_post") / F.col("t_post")
+    return (
+        shares.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_pre",
+            "n_post",
+            round4(share_pre).alias("share_pre"),
+            round4(share_post).alias("share_post"),
+            round4(share_pre / share_post).alias("reweight"),
+        )
+        .orderBy("lang")
     )
