@@ -1234,3 +1234,67 @@ def dedup_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("csize").cast("long").alias("largest_cluster"),
         )
     )
+
+
+@query(
+    "dedup_neardup_savings",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_lsh_pairs_sql()}),
+    nodes AS (SELECT doc_id FROM ({_PLANTED_SQL})),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.d, w.root FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(root) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT)
+             AS n_removable,
+           (FLOOR(((COUNT(*) - COUNT(DISTINCT cluster_id)) / COUNT(*))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS pct_removable,
+           CAST(MAX(csize) AS BIGINT) AS largest_cluster
+    FROM clusters
+    JOIN (SELECT cluster_id AS cid, COUNT(*) AS csize
+          FROM clusters GROUP BY cluster_id) s
+      ON clusters.cluster_id = s.cid
+    """,
+    description="C9/dashboard: the NEAR-dup twin of dedup_savings_summary "
+    "— MinHash-LSH candidate pairs over the planted-duplicate corpus, "
+    "connected components (large-star/small-star), and the keep-one-"
+    "per-cluster savings: docs, clusters, removable count/rate, largest "
+    "cluster. Exact savings say what byte-identical dedup buys; this "
+    "says what the full near-dup ladder buys on the same corpus. Same "
+    "sub-quadratic machinery as the ladder itself (band equi-join + "
+    "O(log n)-round CC); the oracle replays it with a recursive CTE.",
+)
+def dedup_neardup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = _docs_with_planted(spark, sf_dir)
+    sig = D.minhash_signatures(planted, "text", "doc_id")
+    pairs = D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+    clusters = D.connected_components(
+        pairs, planted.select("doc_id"), "doc_id"
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    return clusters.join(sizes, "cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) - F.countDistinct("cluster_id"))
+        .cast("long")
+        .alias("n_removable"),
+        round4(
+            (F.count(F.lit(1)) - F.countDistinct("cluster_id"))
+            / F.count(F.lit(1))
+        ).alias("pct_removable"),
+        F.max("csize").cast("long").alias("largest_cluster"),
+    )
