@@ -1371,3 +1371,84 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 8)
     return S.batch_multiprobe_topk(emb, qs, k=5).orderBy("q_id", "rank")
+
+
+def _centroid_sql(src: str) -> str:
+    """Per-label elementwise mean over 64 dims (1-indexed lists)."""
+    return f"""
+    SELECT label,
+           COUNT(*) AS n,
+           list_transform(range(1, 65),
+             i -> list_sum(list_transform(list({src}.v), vv -> vv[i]))
+                  / COUNT(*)) AS c
+    FROM {src} GROUP BY label
+    """
+
+
+@query(
+    "embedding_drift_by_label",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    old AS (SELECT * FROM corpus WHERE vec_id % 2 = 0),
+    new AS (SELECT * FROM corpus WHERE vec_id % 2 = 1),
+    co AS ({_centroid_sql("old")}),
+    cn AS ({_centroid_sql("new")})
+    SELECT co.label,
+           CAST(co.n AS BIGINT) AS n_old,
+           CAST(cn.n AS BIGINT) AS n_new,
+           (FLOOR(sqrt(list_reduce(
+               list_transform(range(1, 65),
+                 i -> (co.c[i] - cn.c[i]) * (co.c[i] - cn.c[i])),
+               (acc, x) -> acc + x)) * 10000.0 + 0.5 + 0.000001)
+            / 10000.0) AS centroid_shift
+    FROM co JOIN cn USING (label)
+    ORDER BY co.label
+    """,
+    description="ML-ops drift monitor: per-label centroid shift between "
+    "two corpus snapshots (vec_id parity stands in for generation — "
+    "swap in a generation column in production). Centroids are "
+    "elementwise-mean aggregates (posexplode + partial agg, one shuffle "
+    "per half); the shift is an L2 fold over the 64-dim difference. "
+    "When a label's embedding distribution moves between crawls, ANN "
+    "indexes (IVF cells, PQ codebooks) trained on the old snapshot go "
+    "stale — this is the number that says retrain. Sequential-fold "
+    "parity with the oracle; aggregation-order noise absorbed by "
+    "round4's epsilon.",
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", S.as_double(F.col("embedding")).alias("v")
+    )
+
+    def centroid(df, tag):
+        return (
+            df.select("label", F.posexplode("v").alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "label",
+                "dim",
+                (F.col("sx") / F.col("cnt")).alias(f"m_{tag}"),
+                F.col("cnt").alias(f"n_{tag}"),
+            )
+        )
+
+    old = centroid(emb.where(F.col("vec_id") % 2 == 0), "old")
+    new = centroid(emb.where(F.col("vec_id") % 2 == 1), "new")
+    diff = F.col("m_old") - F.col("m_new")
+    joined = old.join(new, ["label", "dim"]).select(
+        "label", "dim", (diff * diff).alias("d2"), "n_old", "n_new"
+    )
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.first("n_old").cast("long").alias("n_old"),
+            F.first("n_new").cast("long").alias("n_new"),
+            round4(F.sqrt(F.sum("d2"))).alias("centroid_shift"),
+        )
+        .orderBy("label")
+    )
