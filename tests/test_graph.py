@@ -63,9 +63,7 @@ def test_all_dangling_graph_stays_uniform(spark):
     import pytest as _pt
 
     nodes = _nodes(spark, range(4))
-    edges = _edges(spark, []).limit(0) if False else spark.createDataFrame(
-        [], "src long, dst long"
-    )
+    edges = spark.createDataFrame([], "src long, dst long")
     pr = pagerank(nodes, edges, iterations=3)
     for r in pr.collect():
         assert r.pr == _pt.approx(0.25, abs=1e-9)
