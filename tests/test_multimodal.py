@@ -360,6 +360,19 @@ class TestJpegCodec:
         assert J.jpeg_gray(b"") is None
         assert J.jpeg_gray(b"\xff\xd8\xff\xe0junk") is None
         assert J.jpeg_gray(good[:40]) is None  # truncated mid-marker
+        # truncation anywhere INSIDE the entropy-coded scan must also
+        # refuse (the 1-padding quickly hits an invalid Huffman code or
+        # coefficient-run overflow), never return silently-wrong pixels
+        import numpy as _np
+
+        big = J.make_jpeg(
+            _np.random.default_rng(3).integers(0, 256, (32, 32)).astype(
+                _np.uint8
+            )
+        )
+        sos = big.find(b"\xff\xda")
+        for cut in (sos + 20, len(big) // 2, len(big) - 10):
+            assert J.jpeg_gray(big[:cut]) is None
         # progressive (SOF2) must refuse -> dispatch falls through to PIL
         prog = bytearray(good)
         sof = prog.find(b"\xff\xc0")
