@@ -162,6 +162,11 @@ def _encode_block(
     q = np.round(coef / quant).astype(np.int64).reshape(-1)[_ZIGZAG]
 
     def magnitude(v: int) -> tuple[int, int]:
+        # uint8 inputs can never overflow the Annex K tables: the largest
+        # achievable |AC| over all level-shifted uint8 blocks is ~1020
+        # (sign-aligned basis extreme; brute-forced over every (u,v) and
+        # pinned in tests) < 1023 = size-10 max, and |DC diff| <= 2040 <
+        # 2047 = size-11 max.
         size = int(abs(v)).bit_length()
         return size, (v if v >= 0 else v + (1 << size) - 1)
 

@@ -528,3 +528,23 @@ class TestJpegSamplingAndRestarts:
         out = J.jpeg_gray(J.make_jpeg(img, subsampling="420", restart_interval=2))
         want = img.astype(float).sum(axis=2) / 3.0
         assert np.abs(out - want).max() <= 4.0
+
+
+def test_jpeg_encoder_survives_every_dct_extreme():
+    """The adversarial encoder bound: for each of the 64 basis functions,
+    the sign-aligned 0/255 block maximizes that coefficient (~1020, just
+    under the size-10 Huffman limit). All 64 extremes must encode and
+    roundtrip within one gray level — no uint8 image can overflow the
+    Annex K tables."""
+    import numpy as np
+    from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+    T = J._T
+    for u in range(8):
+        for v in range(8):
+            block = np.where(np.outer(T[u], T[v]) >= 0, 255, 0).astype(
+                np.uint8
+            )
+            out = J.jpeg_gray(J.make_jpeg(block))
+            assert out is not None
+            assert float(np.abs(out - block).max()) <= 1.0
