@@ -2616,3 +2616,118 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(accepted_chk)
         .orderBy("tbl", "rule", "col")
     )
+
+
+@query(
+    "rolling_7d_uniques_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT date_trunc('day', ts) AS day,
+             ({HS.hash60b_sql("CAST(user_id AS VARCHAR)")}) % {_HLL_M} AS reg,
+             ({HS.hash60_sql("CAST(user_id AS VARCHAR)")}) % 4503599627370496
+               AS h52
+      FROM events
+    ),
+    regs AS (
+      SELECT day, reg,
+             MAX(CASE WHEN h52 > 0 THEN 53 - length(bin(h52)) ELSE 53 END)
+               AS mj
+      FROM h GROUP BY day, reg
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT MIN(day) FROM regs),
+                                    (SELECT MAX(day) FROM regs),
+                                    INTERVAL 1 DAY)) AS day
+    ),
+    merged AS (
+      SELECT s.day, r.reg, MAX(r.mj) AS mj
+      FROM spine s JOIN regs r
+        ON r.day <= s.day AND r.day > s.day - INTERVAL 7 DAY
+      GROUP BY s.day, r.reg
+    ),
+    est AS (
+      SELECT day,
+             SUM(power(2.0, -mj)) + ({_HLL_M} - COUNT(*)) * 1.0 AS denom,
+             ({_HLL_M} - COUNT(*)) AS zeros
+      FROM merged GROUP BY day
+    ),
+    scored AS (
+      SELECT day,
+             CASE WHEN (CAST({_HLL_ALPHA} AS DOUBLE)
+                        * {_HLL_M * _HLL_M} / denom)
+                       <= {2.5 * _HLL_M} AND zeros > 0
+                  THEN {_HLL_M} * ln({float(_HLL_M)} / zeros)
+                  ELSE CAST({_HLL_ALPHA} AS DOUBLE)
+                       * {_HLL_M * _HLL_M} / denom
+             END AS raw
+      FROM est
+    ),
+    exact AS (
+      SELECT s.day, COUNT(DISTINCT e.user_id) AS n_exact
+      FROM spine s JOIN events e
+        ON date_trunc('day', e.ts) <= s.day
+       AND date_trunc('day', e.ts) > s.day - INTERVAL 7 DAY
+      GROUP BY s.day
+    )
+    SELECT CAST(epoch_us(sc.day) // 1000 AS BIGINT) AS day_ms,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           {round4_sql("sc.raw")} AS hll_estimate,
+           CAST(ABS(sc.raw - x.n_exact) / x.n_exact < 0.2 AS INT)
+             AS within_20pct
+    FROM scored sc JOIN exact x USING (day)
+    ORDER BY day_ms
+    """,
+    description="C2/C12 composition: ROLLING 7-day unique users — the "
+    "classic ask that exact distinct cannot serve at scale (no merge "
+    "across days) and the portable HLL serves for free: per-day "
+    "register tables (one shuffle, <= 256 rows per day forever), then "
+    "the 7-day merge is an elementwise MAX over a <= days x 256-row "
+    "frame — CONSTANT cost regardless of corpus size, the whole point "
+    "of mergeable sketches. Exact rolling distinct rides along as the "
+    "eval reference (cheap at test SF, the thing you could NOT afford "
+    "at 100 TB). Estimate value-hashes across engines like "
+    "hll_distinct_portable.",
+)
+def rolling_7d_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    regs = hll_registers(ev, F.col("user_id").cast("string"), "day")
+    rng = regs.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias(
+            "sday"
+        )
+    )
+    merged = (
+        spine.join(
+            regs,
+            (F.col("day") <= F.col("sday"))
+            & (F.col("day") > F.col("sday") - F.expr("interval 7 days")),
+        )
+        .groupBy("sday", "reg")
+        .agg(F.max("mj").alias("mj"))
+    )
+    aggs, est = hll_estimate_expr()
+    per_day = merged.groupBy("sday").agg(*aggs)
+    exact = (
+        spine.join(
+            ev,
+            (F.col("day") <= F.col("sday"))
+            & (F.col("day") > F.col("sday") - F.expr("interval 7 days")),
+        )
+        .groupBy("sday")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        per_day.join(exact, "sday")
+        .select(
+            epoch_ms(F.col("sday")).alias("day_ms"),
+            "n_exact",
+            round4(est).alias("hll_estimate"),
+            (F.abs(est - F.col("n_exact")) / F.col("n_exact") < 0.2)
+            .cast("int")
+            .alias("within_20pct"),
+        )
+        .orderBy("day_ms")
+    )
