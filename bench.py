@@ -108,6 +108,7 @@ HEADLINE = [
     "hilbert_locality_stats",
     "data_quality_report",
     "ohlc_hourly_bars",
+    "rolling_7d_uniques_hll",
 ]
 
 
