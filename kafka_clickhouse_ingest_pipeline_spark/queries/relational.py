@@ -2731,3 +2731,52 @@ def rolling_7d_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_ms")
     )
+
+
+@query(
+    "q4_order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-03-01'
+      AND o.o_orderdate < DATE '1997-06-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="C3/TPC-H Q4 shape: order-priority checking — orders in "
+    "a quarter having at least one lineitem shipped within 90 days of "
+    "order date (the testdata lacks commit/receipt dates, so the "
+    "late-shipment predicate stands in; the PATTERN is Q4's: an EXISTS "
+    "correlated to the outer row compiled to a left-semi join with the "
+    "date predicates pushed into both scans, then a tiny priority "
+    "census). Semi-join means lineitem rows never multiply the order "
+    "side — the at-least-one aggregation trap Q4 exists to teach.",
+)
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-06-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped_soon = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate)
+        & (
+            li.l_shipdate
+            <= F.date_add(orders.o_orderdate.cast("date"), 90)
+        ),
+        "left_semi",
+    )
+    return (
+        shipped_soon.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
