@@ -2780,3 +2780,79 @@ def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q7_binational_trade_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           (FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000.0
+                  + 0.5 + 0.000001) / 10000.0) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate <= DATE '1997-12-31'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    description="C3/TPC-H Q7 (volume shipping): revenue between a nation "
+    "pair by ship year — the DOUBLE dimension path join topology "
+    "(lineitem reaches nation through orders->customer on one side and "
+    "through supplier on the other, with the nation table joined "
+    "twice). Every dimension broadcasts; the disjunctive nation-pair "
+    "predicate applies after both paths resolve; the fact table is "
+    "scanned once with the shipdate range pushed down.",
+)
+def q7_binational_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nck"), F.col("n_name").alias("cust_nation")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("nsk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), cust.c_nationkey == F.col("nck"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), supp.s_nationkey == F.col("nsk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            round4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
