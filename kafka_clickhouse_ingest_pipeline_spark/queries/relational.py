@@ -2856,3 +2856,61 @@ def q7_binational_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "q10_returned_item_reporting",
+    oracle="""
+    SELECT c.c_custkey,
+           n.n_name,
+           (FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000.0
+                  + 0.5 + 0.000001) / 10000.0) AS revenue,
+           (FLOOR(c.c_acctbal * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS c_acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-10-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    description="C3/TPC-H Q10 (returned item reporting): the 20 "
+    "customers losing the most revenue to returns in a quarter — "
+    "fact⨝orders⨝customer⨝nation with the return flag and date range "
+    "pushed to the scans, customer-grain aggregate, TakeOrdered top-20 "
+    "heap (never a global sort). The classic churn-investigation query "
+    "a reference user would have pointed at ClickHouse.",
+)
+def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "n_name", "c_acctbal")
+        .agg(
+            round4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "n_name",
+            "revenue",
+            round4(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
