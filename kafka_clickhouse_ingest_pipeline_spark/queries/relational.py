@@ -2914,3 +2914,49 @@ def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             (FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 10000.0
+                    + 0.5 + 0.000001) / 10000.0) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    description="C3/TPC-H Q15 (top supplier): quarterly revenue per "
+    "supplier (one partial+final aggregate over the pushed-down "
+    "shipdate range), then the max-equality join — the 1-row MAX "
+    "broadcasts back against the revenue view instead of sorting it, "
+    "so ties all surface and nothing global-sorts. Revenue is "
+    "round4-snapped BEFORE the max comparison on both engines, so the "
+    "equality can't be split by summation-order ulps.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        round4(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
