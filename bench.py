@@ -109,6 +109,8 @@ HEADLINE = [
     "data_quality_report",
     "ohlc_hourly_bars",
     "rolling_7d_uniques_hll",
+    "q7_binational_trade_volume",
+    "q10_returned_item_reporting",
 ]
 
 
