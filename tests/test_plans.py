@@ -460,3 +460,21 @@ def test_hilbert_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     # and the time dimension still prunes under Hilbert too
     bs = sorted(mn["b"] for mn, _mx in hs)
     assert candidates(hs, "b", bs[0], bs[0] + 2000) < len(hs)
+
+
+def test_q7_double_dimension_path_broadcasts(spark, sf_dir):
+    """Q7's topology: the fact table reaches nation twice (via customer
+    and via supplier); at this SF every dimension side broadcasts and
+    the shipdate range reaches the lineitem scan."""
+    df = registry.REGISTRY["q7_binational_trade_volume"].fn(spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q10_top20_is_a_heap(spark, sf_dir):
+    df = registry.REGISTRY["q10_returned_item_reporting"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to the scan
