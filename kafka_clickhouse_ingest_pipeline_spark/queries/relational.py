@@ -2960,3 +2960,90 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q6_forecast_revenue_change",
+    oracle="""
+    SELECT (FLOOR(SUM(l_extendedprice * l_discount) * 10000.0
+                  + 0.5 + 0.000001) / 10000.0) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="C1/TPC-H Q6 (forecast revenue change): the canonical "
+    "single-table filtered aggregate — every predicate (date range, "
+    "discount band, quantity cap) reaches the parquet scan as a pushed "
+    "filter, the sum is one partial+final pass with no shuffle beyond "
+    "the final 1-row gather. The query every engine demo starts with, "
+    "included verbatim so a reference user's Q6 runs unchanged.",
+)
+def q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        round4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q19_discounted_revenue_disjunctive",
+    oracle="""
+    SELECT (FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000.0
+                  + 0.5 + 0.000001) / 10000.0) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_type = 'ECONOMY'   AND p.p_size BETWEEN 25 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    description="C3/TPC-H Q19 shape (discounted revenue): the "
+    "OR-of-conjunctions predicate spanning BOTH join sides — the case "
+    "that defeats naive pushdown because no single conjunct can move "
+    "below the join alone; Catalyst still pushes the per-side residuals "
+    "it can derive and evaluates the disjunction post-join on the "
+    "broadcast part dimension. One fact scan, one broadcast join, a "
+    "1-row aggregate.",
+)
+def q19_discounted_revenue_disjunctive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty, size = F.col("l_quantity"), F.col("p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & size.between(1, 15)
+            & qty.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & size.between(10, 30)
+            & qty.between(10, 35)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & size.between(25, 50)
+            & qty.between(20, 50)
+        )
+    )
+    return j.where(cond).agg(
+        round4(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
