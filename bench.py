@@ -23,6 +23,14 @@ from kafka_clickhouse_ingest_pipeline_spark.session import build_session  # noqa
 
 # Representative slice of SURVEY.md §2: ingest dataflow, heavy aggregation,
 # star join, window, top-k, dedup/text/similarity (as they land).
+#
+# SIZE BUDGET: the driver captures only the LAST 2000 chars of output and
+# parses the JSON line out of that tail. Round 4's 79-query line blew past
+# it and recorded parsed=null. The line must stay under ~1900 chars:
+# compact separators, 2-decimal timings, and a capped headline set (all 44
+# baseline keys from BENCH_r01 + one representative per newer family).
+# Full per-query detail for every registered query goes to
+# BENCH_DETAIL.json instead. tests/test_registry.py pins the budget.
 HEADLINE = [
     "pipeline_flagship",
     "agg_pricing_summary",
@@ -46,7 +54,6 @@ HEADLINE = [
     "text_top_terms",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
     "ivf_kmeans_cells",
     "tumbling_window_agg",
@@ -59,13 +66,11 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "argmax_last_event",
     "multimodal_media_features",
-    "multimodal_bmp_pixel_features",
     "text_repetition_scores",
     "pack_token_bins",
     "dedup_substring_spans",
     "dedup_semdedup_keep",
     "dedup_incremental_new_batch",
-    "corpus_dataset_card",
     "tokenize_corpus_to_ids",
     "agg_entropy_user_behavior",
     "events_gap_fill_locf",
@@ -75,41 +80,24 @@ HEADLINE = [
     "window_rolling_median",
     "agg_filtered_family",
     "user_activity_similarity",
-    # sketch family: Bloom decontamination, portable HLL, Count-Min
+    # one representative per newer family (size budget — see header):
+    # sketches, retrieval, containment dedup, BPE, PQ/IVFADC, pixel
+    # decode, layout, graph, serving ANN, warehouse ops, rolling HLL
     "decontaminate_bloom_eval",
     "hll_distinct_portable",
     "cms_heavy_hitters_eval",
-    # retrieval / LM quality
-    "bm25_search_topk",
-    "text_unigram_logprob_scores",
-    # containment dedup, Z-order layout, BPE training, PQ search
+    "bm25_indexed_topk",
     "dedup_containment_pairs",
-    "zorder_locality_stats",
     "bpe_train_merges",
     "pq_adc_topk",
-    # round 4: composed IVFADC (coarse cell prune + residual-PQ ADC),
-    # index-probing BM25 (postings/df/dl materialized once, reused)
     "ivfadc_topk",
-    "bm25_indexed_topk",
-    "multimodal_png_pixel_features",
-    "bpe_encode_token_counts",
-    "corpus_snapshot_diff",
-    "histogram_equidepth_prices",
-    # round 4 cont.: persisted-shuffle bucketed join, real JPEG decode,
-    # SQ8 rescore ANN, linear-interp gap fill, link-graph PageRank
-    "bucketed_colocated_join",
     "multimodal_jpeg_pixel_features",
-    "ann_sq8_rescore_topk",
-    "events_gap_fill_interp",
-    "pagerank_doc_quality",
-    "doc_novelty_scores",
+    "zorder_locality_stats",
     "ann_batch_topk",
-    "session_window_dynamic_gap",
-    "hilbert_locality_stats",
+    "pagerank_doc_quality",
+    "rolling_7d_uniques_hll",
     "data_quality_report",
     "ohlc_hourly_bars",
-    "rolling_7d_uniques_hll",
-    "q7_binational_trade_volume",
     "q10_returned_item_reporting",
 ]
 
@@ -135,18 +123,31 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    total = round(sum(timings.values()), 2)
+    # Full-precision detail survives in a side file; the stdout line keeps
+    # 2-decimal timings + compact separators to fit the driver's 2000-char
+    # output tail (see HEADLINE size-budget comment).
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    Path(__file__).with_name("BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=2) + "\n"
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    print(line)
     spark.stop()
 
 

@@ -38,6 +38,41 @@ def test_every_oracle_key_has_query():
         assert name in qs
 
 
+def test_bench_headline_fits_driver_tail():
+    """The driver captures only the LAST 2000 chars of bench stdout and
+    parses the JSON line from that tail. Round 4's 79-query line exceeded
+    it and the round recorded parsed=null. Pin the pessimistic serialized
+    size (every timing rendered at 5 chars, e.g. '10.12') under budget,
+    and that every headline name resolves in the registry."""
+    import json as _json
+
+    import bench
+
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"headline names not in registry: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    pessimistic = _json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 123.46,
+            "unit": "sec",
+            "queries": {k: 10.12 for k in bench.HEADLINE},
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(pessimistic) < 1900, len(pessimistic)
+    # the 44 baseline keys from BENCH_r01 must stay in the headline so
+    # bench_vs_baseline stays like-for-like comparable
+    from pathlib import Path as _Path
+
+    r01_path = _Path(__file__).resolve().parent.parent / "BENCH_r01.json"
+    r01 = _json.loads(r01_path.read_text())["parsed"]["queries"]
+    lost = set(r01) - set(bench.HEADLINE)
+    assert not lost, f"baseline keys dropped from headline: {sorted(lost)}"
+
+
 def test_oracle_coverage_cannot_rot():
     """VERDICT #10 hook: the driver samples ~50 of the registered queries
     per round; this asserts the *full* registry stays oracle-checked so
