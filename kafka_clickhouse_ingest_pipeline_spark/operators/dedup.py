@@ -732,6 +732,13 @@ def remove_duplicate_spans(
     Trailing words that don't fill a chunk are dropped by the chunking,
     as in :func:`doc_chunks`.
 
+    EVERY input doc appears in the output exactly once: docs with fewer
+    than k words (zero chunks) and docs whose every chunk is a later
+    duplicate occurrence come back as n_chunks/n_kept = 0 and
+    text_deduped = '' — a caller rebuilding the corpus from this output
+    must EMPTY those docs, not delete them (a dropped row is
+    indistinguishable from "never existed" downstream).
+
     Returns (id, n_chunks, n_kept, text_deduped).
     """
     w = F.split(F.col(text_col), " ")
@@ -762,17 +769,22 @@ def remove_duplicate_spans(
         ),
     )
     totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        rebuilt.alias("text_deduped"),
+    )
+    # Left-join from the FULL doc set: an inner join here silently deleted
+    # short docs (no chunks) and fully-duplicated docs (no kept rows).
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
-            rebuilt.alias("text_deduped"),
-        )
-        .join(totals, id_col)
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(kept_agg, id_col, "left")
         .select(
             id_col,
-            F.col("n_chunks").cast("long").alias("n_chunks"),
-            "n_kept",
-            "text_deduped",
+            F.coalesce(F.col("n_chunks"), F.lit(0))
+            .cast("long")
+            .alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
         )
     )

@@ -247,11 +247,22 @@ def make_jpeg(
     writer = _BitWriter()
     preds = [0] * len(planes)
     n_mcu = 0
+    # T.81 places RSTn only BETWEEN restart intervals: when the MCU count
+    # is a multiple of the interval, a marker after the last MCU would sit
+    # between the entropy data and EOI, which strict decoders reject
+    if sub420:
+        total_mcu = (-(-h // 16)) * (-(-w // 16))
+    else:
+        total_mcu = (-(-h // 8)) * (-(-w // 8))
 
     def maybe_restart() -> None:
         nonlocal preds, n_mcu
         n_mcu += 1
-        if restart_interval and n_mcu % restart_interval == 0:
+        if (
+            restart_interval
+            and n_mcu % restart_interval == 0
+            and n_mcu < total_mcu
+        ):
             writer.byte_align()
             writer.raw(
                 bytes([0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8])

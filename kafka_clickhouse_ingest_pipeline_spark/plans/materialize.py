@@ -44,9 +44,22 @@ from pyspark.sql import DataFrame
 
 MODES = ("local", "storage")
 
-_cache: dict[tuple[int, str], str] = {}
-_local_cache: dict[tuple[int, str], DataFrame] = {}
+_cache: dict[tuple[str, str], str] = {}
+_local_cache: dict[tuple[str, str], DataFrame] = {}
 _lock = threading.Lock()
+
+
+def session_key(spark) -> str:
+    """Stable identifier for reuse-cache keys. ``id(jvm_session)`` is NOT
+    safe here: CPython reuses id() values after garbage collection, so a
+    later SparkSession in the same process could false-hit a cache entry
+    bound to a stopped session (stale DataFrame, or a skipped required
+    write). The JVM session UUID is minted once per session and never
+    recycled."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # pragma: no cover - very old JVM session API
+        return f"{spark.sparkContext.applicationId}:{spark._jsparkSession.toString()}"
 
 
 def _resolve_mode(spark, mode: str | None) -> str:
@@ -92,7 +105,7 @@ def materialize(
         raise ValueError("materialize(reuse=True) requires a stable name")
     if resolved == "local":
         if reuse:
-            key = (id(spark._jsparkSession), name)
+            key = (session_key(spark), name)
             with _lock:
                 cached = _local_cache.get(key)
             if cached is not None:
@@ -105,7 +118,7 @@ def materialize(
 
     base = _resolve_base(spark, path)
     if reuse:
-        key = (id(spark._jsparkSession), name)
+        key = (session_key(spark), name)
         with _lock:
             target = _cache.get(key)
         if target is None:

@@ -1155,15 +1155,23 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ch
     ),
     kept AS (SELECT * FROM ranked WHERE n_occ = 1 OR rn = 1),
-    totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
-    SELECT k.doc_id,
-           CAST(t.n_chunks AS BIGINT) AS n_chunks,
-           CAST(COUNT(*) AS BIGINT) AS n_kept,
-           array_to_string(list(k.chunk ORDER BY k.pos), ' ')
-             AS text_deduped
-    FROM kept k JOIN totals t USING (doc_id)
-    GROUP BY k.doc_id, t.n_chunks
-    ORDER BY k.doc_id
+    totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id),
+    kept_agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             array_to_string(list(chunk ORDER BY pos), ' ') AS text_deduped
+      FROM kept GROUP BY doc_id
+    )
+    -- left-join from the full doc set: short docs (no chunks) and
+    -- fully-duplicated docs (no kept rows) must surface as 0 / '', not
+    -- vanish (mirrors the operator's left-join shape)
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(ka.text_deduped, '') AS text_deduped
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN kept_agg ka USING (doc_id)
+    ORDER BY d.doc_id
     """,
     description="C9: exact-substring dedup REWRITE (Lee et al. 2021 §3) — "
     "the action to dedup_substring_spans' detector: every duplicated "

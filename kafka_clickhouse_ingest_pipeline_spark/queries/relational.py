@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as HS
 from ..plans import layout as ZL
+from ..plans import materialize as MAT
 from ..functions.rounding import round4, round4_sql
 from ..functions.temporal import epoch_ms
 from ..registry import query
@@ -2353,7 +2354,7 @@ def histogram_equidepth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- B7 bucketed layout: the persisted-shuffle story ---------------------
 
-_BUCKETED_READY: set[tuple[int, str]] = set()
+_BUCKETED_READY: set[tuple[str, str]] = set()
 _BUCKET_N = 8
 
 
@@ -2370,7 +2371,9 @@ def bucketed_orders_customer(
     test_plans.test_bucketed_join_reads_colocated_data). This is the
     pay-the-shuffle-once layout for recurring fact⨝fact joins at 100 TB.
     """
-    key = (id(spark._jsparkSession), sf_dir)
+    # session UUID, not id(): id() values recycle after GC, which could
+    # false-hit a stopped session's entry and skip a required write
+    key = (MAT.session_key(spark), sf_dir)
     if key not in _BUCKETED_READY:
         ZL.write_bucketed(
             load_table(spark, sf_dir, "orders").select(

@@ -451,7 +451,10 @@ def filter_reweighting_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_post",
             round4(share_pre).alias("share_pre"),
             round4(share_post).alias("share_post"),
-            round4(share_pre / share_post).alias("reweight"),
+            # a lang whose docs ALL score below threshold has share_post=0:
+            # ANSI mode would kill the job on the plain division, and the
+            # DuckDB oracle yields NULL there — try_divide matches it
+            round4(F.try_divide(share_pre, share_post)).alias("reweight"),
         )
         .orderBy("lang")
     )

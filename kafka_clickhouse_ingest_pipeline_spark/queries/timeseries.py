@@ -613,6 +613,10 @@ def events_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     marked AS (
+      -- >= is load-bearing: Spark's session_window MERGES an event at
+      -- exactly prev_ts + gap (boundary pinned for all three gap
+      -- branches in tests/test_streaming.py::
+      -- test_session_window_exact_gap_boundary_merges); > would split
       SELECT *, CASE WHEN MAX(ev_end) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING

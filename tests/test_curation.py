@@ -124,6 +124,32 @@ def test_doc_chunks_and_duplicated_spans(spark):
     assert spans[0].n_occurrences == 2 and spans[0].n_docs == 2
 
 
+def test_remove_duplicate_spans_keeps_every_doc(spark):
+    """ADVICE r4 (medium): the rewrite must return one row per INPUT doc —
+    short docs (< k words → zero chunks) and docs whose every chunk is a
+    later duplicate occurrence come back emptied (0 / ''), never dropped.
+    A corpus rebuilt from this output would otherwise silently delete
+    them."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    rows = [
+        (1, "a b c d e f g h i j"),  # first owner of both its chunks
+        (2, "a b c d e f g h i j"),  # every chunk duplicates doc 1 → emptied
+        (3, "tiny"),  # < 5 words → zero chunks → emptied
+        (4, "u v w x y z q r s t"),  # untouched survivor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.text_deduped)
+        for r in D.remove_duplicate_spans(df, "text", "doc_id", 5).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}, "every input doc must appear"
+    assert out[1] == (2, 2, "a b c d e f g h i j")
+    assert out[2] == (2, 0, "")  # all chunks are later occurrences
+    assert out[3] == (0, 0, "")  # no chunks at all
+    assert out[4] == (2, 2, "u v w x y z q r s t")
+
+
 def test_duplicated_spans_requires_distinct_docs(spark):
     from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
 

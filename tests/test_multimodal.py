@@ -517,6 +517,33 @@ class TestJpegSamplingAndRestarts:
         out = J.jpeg_gray(payload)
         assert np.abs(out - g).max() <= 1.0
 
+    def test_no_trailing_rst_when_mcu_count_divides_interval(self):
+        """ADVICE r4: when the MCU count is an exact multiple of the
+        restart interval, T.81 still places RSTn only BETWEEN intervals —
+        a marker after the final MCU would sit between entropy data and
+        EOI and strict third-party decoders reject it. 24x24 gray = 9
+        MCUs, interval 3 -> exactly 2 markers (after MCU 3 and 6), none
+        after MCU 9; the stream still decodes."""
+        import numpy as np
+        from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J
+
+        rng = np.random.default_rng(11)
+        g = rng.integers(0, 256, size=(24, 24)).astype(np.uint8)
+        payload = J.make_jpeg(g, restart_interval=3)
+        # RST0..7 = FF D0..D7; entropy stuffing only ever writes FF 00,
+        # so counting marker pairs over the whole stream is exact
+        n_rst = sum(payload.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+        assert n_rst == 2  # 9 MCUs / 3 per interval -> 2 interior markers
+        # no RSTn directly before EOI
+        assert payload[-4:-2] not in {bytes([0xFF, 0xD0 + i]) for i in range(8)}
+        out = J.jpeg_gray(payload)
+        assert np.abs(out - g).max() <= 1.0
+        # 4:2:0 path shares maybe_restart: 32x32 color = 4 MCUs, interval 2
+        c = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+        p420 = J.make_jpeg(c, subsampling="420", restart_interval=2)
+        n420 = sum(p420.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+        assert n420 == 1  # after MCU 2 only, not after the final MCU 4
+
     def test_420_with_restarts_combined(self):
         import numpy as np
         from kafka_clickhouse_ingest_pipeline_spark.operators import jpeg as J

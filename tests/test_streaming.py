@@ -666,6 +666,88 @@ def sessionize_batch(df, gap):
     )
 
 
+def test_session_window_exact_gap_boundary_merges(spark):
+    """ADVICE r4 pinned the wrong way: it claimed Spark's session_window
+    treats an event at exactly prev_ts + gap as a NEW session (half-open
+    windows), which would make the dynamic-gap oracle's `MAX(ev_end) >= ts`
+    comparison a divergence waiting for boundary-aligned data. Measured
+    behavior is the opposite — Spark MERGES the touching event — so `>=`
+    is correct and `>` would be the bug. This fixture lands an event at
+    exactly prev_ts + gap for every gap branch (45/30/15 min) plus one a
+    second past, so the boundary can never drift unobserved again."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 101, t0, "purchase"),
+        (1, 102, t0 + dt.timedelta(minutes=45), "view"),  # == purchase gap
+        (2, 201, t0, "click"),
+        (2, 202, t0 + dt.timedelta(minutes=30), "view"),  # == click gap
+        (3, 301, t0, "view"),
+        (3, 302, t0 + dt.timedelta(minutes=15), "view"),  # == view gap
+        (4, 401, t0, "view"),
+        (4, 402, t0 + dt.timedelta(minutes=15, seconds=1), "view"),  # past
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    gap = (
+        F.when(F.col("event_type") == "purchase", "45 minutes")
+        .when(F.col("event_type") == "click", "30 minutes")
+        .otherwise("15 minutes")
+    )
+    got = {
+        (r.user_id, str(r.w.start)): r.n
+        for r in df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    base = "2024-01-01 00:00:00"
+    assert got == {
+        (1, base): 2,  # touching events MERGE for every gap branch
+        (2, base): 2,
+        (3, base): 2,
+        (4, base): 1,  # one second past the gap splits
+        (4, "2024-01-01 00:15:01"): 1,
+    }
+    # and the oracle's running-max-island rebuild with >= agrees exactly
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({u},{e},TIMESTAMP '{ts}','{et}')" for u, e, ts, et in rows
+        )
+        + ") t(user_id, event_id, ts, event_type)"
+    )
+    oracle = con.sql("""
+        WITH gapped AS (
+          SELECT user_id, ts, event_id,
+                 ts + CASE event_type
+                        WHEN 'purchase' THEN INTERVAL '45 minutes'
+                        WHEN 'click'    THEN INTERVAL '30 minutes'
+                        ELSE                 INTERVAL '15 minutes'
+                      END AS ev_end
+          FROM events),
+        marked AS (
+          SELECT *, CASE WHEN MAX(ev_end) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ) >= ts THEN 0 ELSE 1 END AS new_session
+          FROM gapped),
+        sessions AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked)
+        SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS ws, COUNT(*) AS n
+        FROM sessions GROUP BY user_id, session_id
+    """).fetchall()
+    assert {(u, ws): n for u, ws, n in oracle} == got
+
+
 def test_watermark_drops_late_rows_and_accounts_for_them(spark, tmp_path):
     """Late-data handling is observable, not just configured: in update
     mode a row arriving after the watermark passed its window is DROPPED
