@@ -3669,3 +3669,196 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# --- Mergeable histogram quantile sketch --------------------------------
+#
+# Completes the sketch family (Bloom membership, HLL distinct, Count-Min
+# frequency): approximate quantiles from a fixed-width bin-count state.
+# Spark's approx_percentile and DuckDB's approx sketches are different
+# implementations, so (as with HLL) this is a hand-rolled sketch whose
+# every step is arithmetic both engines execute identically — the
+# ESTIMATE itself value-hashes across engines. The state is 64 counts
+# per group; it merges across partitions, days, or streaming
+# micro-batches by elementwise SUM (pinned in test_sketches).
+
+_QHS_BINS = 64
+
+
+def hist_bin_counts(
+    df: DataFrame, value_col: str, group_col: str, bins: int = _QHS_BINS
+) -> tuple[DataFrame, DataFrame]:
+    """(per-group stats, mergeable bin-count state) for the quantile
+    sketch. Stats = (flag, mn, mx, n); state = (flag, bin, c). The bin
+    index is pure IEEE double math (floor((x-mn)/width) clamped into
+    [0, bins)), so any two engines bin a row identically; counts merge
+    by SUM."""
+    stats = df.groupBy(F.col(group_col).alias("flag")).agg(
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / float(bins)
+    raw = F.floor((F.col(value_col) - F.col("mn")) / width).cast("long")
+    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    )
+    counts = (
+        df.select(F.col(group_col).alias("flag"), value_col)
+        .join(F.broadcast(stats), "flag")
+        .groupBy("flag", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return stats, counts
+
+
+def hist_quantile_estimates(
+    stats: DataFrame, counts: DataFrame, qs: DataFrame, bins: int = _QHS_BINS
+) -> DataFrame:
+    """Linear-interpolated quantile estimates (flag, q, est_value) from a
+    bin-count state: walk the cumulative histogram to the first bin whose
+    running count reaches q*n, then interpolate inside it. The state is
+    64 rows per group, so every window here is bounded by the bin count,
+    never the data."""
+    wcum = Window.partitionBy("flag").orderBy("bin")
+    cum = counts.select(
+        "flag",
+        "bin",
+        "c",
+        F.sum("c").over(wcum.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+        F.coalesce(
+            F.sum("c").over(wcum.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    hits = (
+        cum.join(F.broadcast(stats), "flag")
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum_c") >= F.col("q") * F.col("n"))
+    )
+    first_hit = Window.partitionBy("flag", "q").orderBy("bin")
+    width = (F.col("mx") - F.col("mn")) / float(bins)
+    est = F.col("mn") + (
+        F.col("bin")
+        + (F.col("q") * F.col("n") - F.col("cum_before")) / F.col("c")
+    ) * width
+    return (
+        hits.withColumn("rn", F.row_number().over(first_hit))
+        .where(F.col("rn") == 1)
+        .select("flag", "q", est.alias("est_v"), "n")
+    )
+
+
+@query(
+    "quantile_hist_sketch_eval",
+    oracle=f"""
+    WITH stats AS (
+      SELECT l_returnflag AS flag, MIN(l_extendedprice) AS mn,
+             MAX(l_extendedprice) AS mx, COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    binned AS (
+      SELECT l.l_returnflag AS flag,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE LEAST({_QHS_BINS - 1}, GREATEST(0,
+                       CAST(FLOOR((l.l_extendedprice - s.mn)
+                                  / ((s.mx - s.mn) / {_QHS_BINS}.0))
+                            AS BIGINT)))
+             END AS bin
+      FROM lineitem l JOIN stats s ON s.flag = l.l_returnflag
+    ),
+    counts AS (SELECT flag, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    cum AS (
+      SELECT flag, bin, c,
+             SUM(c) OVER (PARTITION BY flag ORDER BY bin) AS cum_c,
+             COALESCE(SUM(c) OVER (PARTITION BY flag ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM counts
+    ),
+    qs AS (SELECT UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+    hits AS (
+      SELECT c.flag, q.q, c.bin, c.c, c.cum_before, s.mn, s.mx, s.n,
+             ROW_NUMBER() OVER (PARTITION BY c.flag, q.q ORDER BY c.bin)
+               AS rn
+      FROM cum c JOIN stats s ON s.flag = c.flag CROSS JOIN qs q
+      WHERE c.cum_c >= q.q * s.n
+    ),
+    est AS (
+      SELECT flag, q,
+             mn + (bin + (q * n - cum_before) / c)
+                * ((mx - mn) / {_QHS_BINS}.0) AS est_v,
+             n
+      FROM hits WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn
+      FROM lineitem
+    ),
+    exv AS (
+      SELECT s.flag, q.q, r.v AS exact_v
+      FROM stats s CROSS JOIN qs q
+      JOIN ranked r ON r.flag = s.flag
+                   AND r.rn = CAST(FLOOR(q.q * (s.n - 1)) AS BIGINT) + 1
+    )
+    SELECT e.flag AS l_returnflag, e.q AS q,
+           {round4_sql("e.est_v")} AS est_value,
+           {round4_sql("x.exact_v")} AS exact_value,
+           {round4_sql("ABS(e.est_v - x.exact_v)")} AS abs_err,
+           CAST(e.n AS BIGINT) AS n
+    FROM est e JOIN exv x ON x.flag = e.flag AND x.q = e.q
+    ORDER BY l_returnflag, q
+    """,
+    description="C2/sketches: mergeable histogram quantile sketch — "
+    "P50/P90/P99 of l_extendedprice per return flag from a 64-bin "
+    "equi-width count state (the ClickHouse quantile-state / mergeable-"
+    "aggregate shape). The state is 64 counts per group at ANY data "
+    "size and merges by elementwise SUM across partitions, days, or "
+    "streaming micro-batches (merge law executed in test_sketches); "
+    "every window in the estimate walks the 64-row state, never the "
+    "data. The type-1 exact percentile (value at floor(q*(n-1))) rides "
+    "along as the eval reference — at 100 TB only the sketch path runs; "
+    "the exact rank is the eval's cost, not the operator's.",
+)
+def quantile_hist_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stats, counts = hist_bin_counts(li, "l_extendedprice", "l_returnflag")
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    est = hist_quantile_estimates(stats, counts, qs)
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("flag").orderBy("v")),
+    )
+    idx = (
+        F.floor(F.col("q") * (F.col("n") - 1)).cast("long") + 1
+    ).alias("idx")
+    exv = (
+        stats.crossJoin(F.broadcast(qs))
+        .select("flag", "q", idx)
+        .join(
+            ranked,
+            (F.col("idx") == ranked.rn)
+            & (stats.flag == ranked.flag),
+        )
+        .select(stats.flag.alias("xflag"), F.col("q").alias("xq"), F.col("v").alias("exact_v"))
+    )
+    return (
+        est.join(
+            exv,
+            (est.flag == F.col("xflag")) & (est.q == F.col("xq")),
+        )
+        .select(
+            est.flag.alias("l_returnflag"),
+            est.q.alias("q"),
+            round4(F.col("est_v")).alias("est_value"),
+            round4(F.col("exact_v")).alias("exact_value"),
+            round4(F.abs(F.col("est_v") - F.col("exact_v"))).alias("abs_err"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag", "q")
+    )

@@ -168,3 +168,62 @@ def test_cms_counters_merge_by_sum_across_partitions(spark, sf_dir):
         .collect()
     }
     assert merged == whole
+
+
+def test_quantile_hist_state_merges_by_sum_and_estimates_match(spark, sf_dir):
+    """The quantile sketch's merge law, executed: bin-count states built
+    on two disjoint halves of lineitem merge by elementwise SUM into
+    exactly the single-pass state, and the quantile estimates from the
+    merged state equal the single-pass estimates bit-for-bit. This is
+    what makes the sketch a per-day/per-micro-batch aggregate at 100 TB:
+    no pass ever revisits old data."""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.relational import (
+        hist_bin_counts,
+        hist_quantile_estimates,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats, full_counts = hist_bin_counts(li, "l_extendedprice", "l_returnflag")
+    # NOTE: the halves must bin against the SAME global (mn, mx) bounds —
+    # that is the sketch's one global input, exactly like HLL's hash seed
+    half_a = li.where(F.col("l_orderkey") % 2 == 0)
+    half_b = li.where(F.col("l_orderkey") % 2 == 1)
+
+    def counts_with_fixed_bounds(part):
+        joined = part.select(
+            F.col("l_returnflag").alias("flag"), "l_extendedprice"
+        ).join(F.broadcast(stats), "flag")
+        width = (F.col("mx") - F.col("mn")) / 64.0
+        raw = F.floor(
+            (F.col("l_extendedprice") - F.col("mn")) / width
+        ).cast("long")
+        bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.least(F.lit(63), F.greatest(F.lit(0), raw))
+        )
+        return joined.groupBy("flag", bin_.alias("bin")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    merged = (
+        counts_with_fixed_bounds(half_a)
+        .unionByName(counts_with_fixed_bounds(half_b))
+        .groupBy("flag", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = {
+        (r.flag, r.bin): r.c for r in full_counts.collect()
+    }
+    got = {(r.flag, r.bin): r.c for r in merged.collect()}
+    assert got == full
+
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    est_full = {
+        (r.flag, r.q): r.est_v
+        for r in hist_quantile_estimates(stats, full_counts, qs).collect()
+    }
+    est_merged = {
+        (r.flag, r.q): r.est_v
+        for r in hist_quantile_estimates(stats, merged, qs).collect()
+    }
+    assert est_merged == est_full  # bit-identical, not just close
