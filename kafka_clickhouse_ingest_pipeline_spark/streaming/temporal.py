@@ -80,6 +80,46 @@ def streaming_interval_join(
     return p.join(b, cond, "inner").drop(b[key])
 
 
+def streaming_interval_join_left(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT-OUTER watermarked interval join: matched rows stream out with
+    inner-join timing; an UNMATCHED probe row is emitted with NULL build
+    columns once the watermark proves no match can still arrive (its
+    whole ``[probe_ts - lookback, probe_ts]`` window has passed both
+    watermarks). This is the contract a batch LEFT JOIN gives and naive
+    streaming enrichment silently loses: every probe event survives,
+    enriched or explicitly un-enriched — the shape for "deliver the
+    event even if the calibration/auth/dimension row never showed up".
+    State bounds are identical to the inner join (the range condition
+    derives the eviction); the only cost is null-row emission latency =
+    watermark delay."""
+    p = probe.withWatermark(probe_ts, watermark)
+    b = build.withWatermark(build_ts, watermark)
+    cond = interval_join_condition(p, b, key, probe_ts, build_ts, lookback)
+    return p.join(b, cond, "left_outer").drop(b[key])
+
+
+def batch_interval_join_left(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Batch twin of `streaming_interval_join_left` for the equivalence
+    test — identical condition and join type, no watermarks."""
+    cond = interval_join_condition(probe, build, key, probe_ts, build_ts, lookback)
+    return probe.join(build, cond, "left_outer").drop(build[key])
+
+
 def batch_interval_join(
     probe: DataFrame,
     build: DataFrame,

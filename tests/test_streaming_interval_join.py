@@ -169,3 +169,75 @@ def test_streaming_asof_picks_latest_build_within_lookback(spark, tmp_path):
     assert "a" in finalized
     m = finalized["a"].matched
     assert m.calibration == 0.2 and str(m.b_ts) == "2024-01-01 09:45:00"
+
+
+def test_left_outer_stream_emits_null_rows_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream interval join equals the batch LEFT JOIN:
+    matched probes enrich, unmatched probes surface with NULL build
+    columns once the watermark proves no match can arrive. A late
+    'advancer' event on both streams pushes the watermark past every
+    fixture probe so the null rows actually finalize within the run."""
+    from kafka_clickhouse_ingest_pipeline_spark.streaming.temporal import (
+        batch_interval_join_left,
+        streaming_interval_join_left,
+    )
+
+    psrc, bsrc = str(tmp_path / "p"), str(tmp_path / "b")
+    os.makedirs(psrc), os.makedirs(bsrc)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    advancer_p = {"sensor_id": "z", "p_ts": "2024-01-01 23:00:00", "reading": 9.0}
+    advancer_b = {"sensor_id": "z", "b_ts": "2024-01-01 23:00:00", "calibration": 0.9}
+    probes = PROBES + [advancer_p]
+    builds = BUILDS + [advancer_b]
+    _write(psrc, "p0.txt", PROBES)
+    _write(psrc, "p1.txt", [advancer_p])
+    _write(bsrc, "b0.txt", BUILDS)
+    _write(bsrc, "b1.txt", [advancer_b])
+
+    probe_s = _parse(P.file_source(spark, psrc), PROBE_SCHEMA)
+    build_s = _parse(P.file_source(spark, bsrc), BUILD_SCHEMA)
+    joined = streaming_interval_join_left(
+        probe_s, build_s, "sensor_id", "p_ts", "b_ts",
+        lookback="1 hour", watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [r.asDict() for r in spark.read.parquet(out).collect()]
+
+    probe_b = _parse(
+        spark.createDataFrame([(json.dumps(r),) for r in probes], ["value"]),
+        PROBE_SCHEMA,
+    )
+    build_b = _parse(
+        spark.createDataFrame([(json.dumps(r),) for r in builds], ["value"]),
+        BUILD_SCHEMA,
+    )
+    want = [
+        r.asDict()
+        for r in batch_interval_join_left(
+            probe_b, build_b, "sensor_id", "p_ts", "b_ts", lookback="1 hour"
+        ).collect()
+    ]
+
+    def keyed(rows):
+        return sorted(
+            (
+                r["sensor_id"], str(r["p_ts"]), r["reading"],
+                str(r["b_ts"]), r["calibration"],
+            )
+            for r in rows
+        )
+
+    assert keyed(got) == keyed(want)
+    # the unmatched probe (sensor c: only build is outside the lookback)
+    # is PRESENT with null build columns — the row inner join loses
+    null_rows = [r for r in got if r["calibration"] is None]
+    assert {r["sensor_id"] for r in null_rows} == {"c"}
+    assert len(want) == 5  # 3 inner matches + advancer match + c's null row
