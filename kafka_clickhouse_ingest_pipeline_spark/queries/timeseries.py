@@ -826,3 +826,92 @@ def counter_rate_with_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "seasonal_hod_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hb,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT event_type, hb, n,
+             CAST(EXTRACT(hour FROM hb) AS BIGINT) AS hod
+      FROM hourly
+    ),
+    stats AS (
+      SELECT event_type, hod,
+             SUM(n) AS s, SUM(n * n) AS ss, COUNT(*) AS cnt
+      FROM keyed GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT k.event_type, k.hb, k.n, k.hod,
+             (st.s - k.n) / (st.cnt - 1) AS mu,
+             ((st.ss - k.n * k.n)
+              - (st.cnt - 1) * ((st.s - k.n) / (st.cnt - 1))
+                             * ((st.s - k.n) / (st.cnt - 1)))
+               / (st.cnt - 2) AS var_loo,
+             st.cnt AS n_baseline
+      FROM keyed k
+      JOIN stats st ON st.event_type = k.event_type AND st.hod = k.hod
+      WHERE st.cnt >= 8
+    )
+    SELECT event_type,
+           CAST(epoch_us(hb) // 1000 AS BIGINT) AS hour_ms,
+           hod,
+           CAST(n AS BIGINT) AS n,
+           (FLOOR(((n - mu) / sqrt(var_loo)) * 10000.0 + 0.5 + 0.000001)
+            / 10000.0) AS zscore
+    FROM scored
+    WHERE (FLOOR(sqrt(var_loo) * 10000.0 + 0.5 + 0.000001) / 10000.0) > 0.5
+      AND abs(FLOOR(((n - mu) / sqrt(var_loo)) * 10000.0 + 0.5 + 0.000001)
+              / 10000.0) > 2.0
+    ORDER BY event_type, hour_ms
+    """,
+    description="C12: SEASONAL anomaly detection — each hour's event "
+    "count scored against its type's baseline for the SAME hour of day "
+    "across all days (diurnal seasonality, which the trailing-24h "
+    "window in hourly_anomaly_zscore cannot separate from trend). "
+    "Leave-one-out mean/variance from per-(type, hour-of-day) "
+    "sum/sumsq/count aggregates, so the scored hour never contaminates "
+    "its own baseline and no window function touches row-level data: "
+    "two linear aggregates and a broadcast-sized (type x 24) stats "
+    "join, the same shape at 100 TB. Sums of integer counts are exact "
+    "doubles, so the LOO algebra is portable across engines.",
+)
+def seasonal_hod_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    keyed = hourly.select(
+        "event_type", "hb", "n", F.hour("hb").cast("long").alias("hod")
+    )
+    stats = keyed.groupBy("event_type", "hod").agg(
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    mu = (F.col("s") - F.col("n")) / (F.col("cnt") - 1)
+    var_loo = (
+        (F.col("ss") - F.col("n") * F.col("n"))
+        - (F.col("cnt") - 1) * mu * mu
+    ) / (F.col("cnt") - 2)
+    sigma = F.sqrt(var_loo)
+    z = (F.col("n") - mu) / sigma
+    return (
+        keyed.join(F.broadcast(stats), ["event_type", "hod"])
+        .where(F.col("cnt") >= 8)
+        .where(round4(sigma) > 0.5)
+        .where(F.abs(round4(z)) > 2.0)
+        .select(
+            "event_type",
+            epoch_ms(F.col("hb")).alias("hour_ms"),
+            "hod",
+            F.col("n").cast("long").alias("n"),
+            round4(z).alias("zscore"),
+        )
+        .orderBy("event_type", "hour_ms")
+    )
