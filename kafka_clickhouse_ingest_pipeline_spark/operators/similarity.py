@@ -968,3 +968,85 @@ def random_project_sql(vec_expr: str) -> str:
         )
         comps.append(f"(({signed}) / 4.0)")
     return "list_value(" + ", ".join(comps) + ")"
+
+
+def mmr_select(
+    emb: DataFrame,
+    query: DataFrame,
+    pool: int = 20,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    greedily pick ``k`` items that balance relevance to the query against
+    redundancy with what's already picked —
+    ``argmax 0.7*rel(d) - 0.3*max_sim(d, selected)`` per round. The
+    diversity-aware retrieval/sampling step plain top-k can't express
+    (top-k returns near-duplicates of the best hit; MMR spends the same
+    budget covering the space).
+
+    Scale shape: candidate generation is the distributed part — one
+    corpus scan into a TakeOrdered ``pool`` heap (swap in any ANN ladder
+    rung to shrink the scan). The greedy loop then runs k rounds over
+    the pool-sized frame: per round one argmax (TakeOrdered-1) and one
+    broadcast-1-row rescore, each materialized to cut lineage — data
+    never visits the driver. Scores and pairwise cosines round4-snap
+    before every comparison so the greedy argmax can't be split by
+    engine-specific ulps (the Q15 equality trick, applied per round).
+
+    Returns (sel_rank, id, rel, mmr_score), one row per selection.
+    """
+    q = query.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(
+            id_col,
+            "v",
+            round4(cosine(F.col("v"), F.col("qv"))).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(pool)
+        .withColumn("max_sim", F.lit(0.0))
+    )
+    cand = materialize(cand, "mmr_pool")
+    picks: list[DataFrame] = []
+    for r in range(k):
+        # literal 0.3, not (1 - 0.7): the Python float 1-0.7 is
+        # 0.30000000000000004 and would diverge from the SQL twin's 0.3
+        score = round4(
+            F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("max_sim")
+        )
+        pick = materialize(
+            cand.select(id_col, "v", "rel", score.alias("mmr_score"))
+            .orderBy(F.col("mmr_score").desc(), F.col(id_col))
+            .limit(1)
+            .withColumn("sel_rank", F.lit(r)),
+            f"mmr_pick_{r}",
+        )
+        picks.append(pick.select("sel_rank", id_col, "rel", "mmr_score"))
+        sel = pick.select(
+            F.col(id_col).alias("sel_id"), F.col("v").alias("sel_v")
+        )
+        cand = materialize(
+            cand.crossJoin(F.broadcast(sel))
+            .where(F.col(id_col) != F.col("sel_id"))
+            .select(
+                id_col,
+                "v",
+                "rel",
+                F.greatest(
+                    F.col("max_sim"),
+                    round4(cosine(F.col("v"), F.col("sel_v"))),
+                ).alias("max_sim"),
+            ),
+            f"mmr_cand_{r}",
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

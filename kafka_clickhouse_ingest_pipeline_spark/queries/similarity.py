@@ -1452,3 +1452,90 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _cos2_sql(a: str, b: str) -> str:
+    """Cosine between two named list columns — the two-argument form of
+    _COS, same fold order as operators.similarity.cosine."""
+    return f"""
+    list_reduce(
+      list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),
+      (acc, x) -> acc + x
+    ) / (
+      sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x)) *
+      sqrt(list_reduce(list_transform({b}, x -> x * x), (acc, x) -> acc + x))
+    )"""
+
+
+def _mmr_oracle(pool: int = 20, k: int = 8) -> str:
+    """Chained-CTE replay of the greedy MMR rounds (the kmeans/BPE/
+    PageRank oracle technique): pick_r = snapped-score argmax of cand_r,
+    cand_{r+1} = cand_r minus the pick with max_sim raised by the
+    snapped cosine to the pick."""
+    r4 = lambda e: f"(FLOOR(({e}) * 10000.0 + 0.5 + 0.000001) / 10000.0)"
+    parts = [
+        f"""
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM corpus WHERE vec_id = {QUERY_VEC_ID}),
+    cand_0 AS (
+      SELECT vec_id, v, {r4(_COS)} AS rel, 0.0 AS max_sim
+      FROM corpus CROSS JOIN q
+      WHERE vec_id != {QUERY_VEC_ID}
+      ORDER BY rel DESC, vec_id LIMIT {pool}
+    )"""
+    ]
+    for r in range(k):
+        score = r4("0.7 * rel - 0.3 * max_sim")
+        parts.append(f"""
+    pick_{r} AS (
+      SELECT {r} AS sel_rank, vec_id, v, rel, {score} AS mmr_score
+      FROM cand_{r} ORDER BY {score} DESC, vec_id LIMIT 1
+    )""")
+        if r < k - 1:
+            cos_cp = r4(_cos2_sql("c.v", "p.v"))
+            parts.append(f"""
+    cand_{r + 1} AS (
+      SELECT c.vec_id, c.v, c.rel,
+             GREATEST(c.max_sim, {cos_cp}) AS max_sim
+      FROM cand_{r} c, pick_{r} p
+      WHERE c.vec_id != p.vec_id
+    )""")
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT sel_rank, vec_id, rel, mmr_score FROM pick_{r}"
+        for r in range(k)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, rel, mmr_score
+    FROM ({union})
+    ORDER BY sel_rank
+    """
+    )
+
+
+@query(
+    "mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    description="C10: Maximal Marginal Relevance diverse top-8 for the "
+    "query vector — greedy argmax of 0.7*relevance - 0.3*max-similarity-"
+    "to-selected over an exact top-20 candidate pool. The diversity-"
+    "aware retrieval plain top-k can't express; candidate generation is "
+    "the distributed scan (any ANN rung slots in), the k greedy rounds "
+    "run TakeOrdered-1 + broadcast-1-row rescores over the pool-sized "
+    "frame with round4-snapped scores so the argmax is engine-portable. "
+    "Oracle replays every round as chained CTEs.",
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == QUERY_VEC_ID)
+    return S.mmr_select(emb, q, pool=20, k=8).select(
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+        "vec_id",
+        "rel",
+        "mmr_score",
+    )

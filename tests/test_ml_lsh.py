@@ -280,3 +280,44 @@ def test_sq_rescore_survives_zero_vectors_in_corpus(spark):
     assert 2 in ids          # the parallel vector ranks first
     assert 1 not in ids or out[-1].vec_id == 1  # zero vector never wins
     assert out[0].vec_id == 2 and out[0].cosine == 1.0
+
+
+def test_mmr_spends_budget_on_diversity_not_duplicates(spark):
+    """The property MMR exists for: with a clique of near-identical
+    high-relevance vectors, plain top-k returns the whole clique while
+    MMR takes ONE clique member then pivots to the diverse
+    medium-relevance items."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    # query along e0; ids 1-3 an EXACT-duplicate clique at rel 0.95
+    # (mutual sim 1.0 -> mmr score 0.7*0.95 - 0.3*1 = 0.365 after one is
+    # taken); ids 4-5 at rel 0.9 but spread away from the clique in the
+    # orthogonal complement (sim ~0.72/0.86 -> scores ~0.414/0.374),
+    # so both out-score the remaining duplicates
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.95, 0.31225, 0.0, 0.0]),
+        (2, [0.95, 0.31225, 0.0, 0.0]),
+        (3, [0.95, 0.31225, 0.0, 0.0]),
+        (4, [0.9, -0.436, 0.0, 0.0]),
+        (5, [0.9, 0.0, 0.436, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = emb.where("vec_id = 0")
+    top3 = [
+        r.vec_id
+        for r in S.brute_force_topk(emb, q, k=3).collect()
+    ]
+    assert set(top3) == {1, 2, 3}  # plain top-k: all clique
+    mmr = {
+        r.sel_rank: r.vec_id
+        for r in S.mmr_select(emb, q, pool=5, k=3).collect()
+    }
+    assert mmr[0] == 1  # best clique member first (lowest-id tiebreak)
+    # then the two diverse items BEFORE the remaining exact duplicates
+    assert set(mmr.values()) - {mmr[0]} == {4, 5}
+    assert mmr[1] == 4  # the farther-from-clique item wins round 1
