@@ -1258,3 +1258,106 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thresh")
     )
+
+
+@query(
+    "vocab_growth_heaps",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    first_owner AS (
+      SELECT term, MIN(doc_id) AS first_doc FROM tk GROUP BY term
+    ),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_toks FROM tk GROUP BY doc_id),
+    grid AS (
+      SELECT d.decile,
+             CAST(FLOOR(m.mx * d.decile / 10.0) AS BIGINT) AS cut
+      FROM (SELECT UNNEST(range(1, 11)) AS decile) d
+      CROSS JOIN (SELECT MAX(doc_id) AS mx FROM documents) m
+    ),
+    docs_at AS (
+      SELECT g.decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents dd JOIN grid g ON dd.doc_id <= g.cut
+      GROUP BY g.decile
+    ),
+    toks_at AS (
+      SELECT g.decile, CAST(SUM(p.n_toks) AS BIGINT) AS cum_tokens
+      FROM per_doc p JOIN grid g ON p.doc_id <= g.cut
+      GROUP BY g.decile
+    ),
+    vocab_at AS (
+      SELECT g.decile, CAST(COUNT(*) AS BIGINT) AS cum_vocab
+      FROM first_owner f JOIN grid g ON f.first_doc <= g.cut
+      GROUP BY g.decile
+    )
+    SELECT CAST(d.decile AS BIGINT) AS decile, d.n_docs,
+           t.cum_tokens, v.cum_vocab,
+           (FLOOR((ln(v.cum_vocab) / ln(t.cum_tokens)) * 10000.0
+                  + 0.5 + 0.000001) / 10000.0) AS heaps_beta
+    FROM docs_at d
+    JOIN toks_at t USING (decile)
+    JOIN vocab_at v USING (decile)
+    ORDER BY decile
+    """,
+    description="C11: vocabulary growth curve (Heaps' law) — cumulative "
+    "token count, distinct-vocabulary size, and the implied Heaps "
+    "exponent log(V)/log(T) at ten doc-id checkpoints. The "
+    "diminishing-vocabulary-returns signal data-scaling decisions read "
+    "off a corpus. Scale shape: distinct vocabulary comes from the "
+    "FIRST-OWNER table (min doc_id per term, one skew-tolerant "
+    "shuffle), never a per-checkpoint COUNT(DISTINCT); checkpoints are "
+    "a broadcast 10-row grid, so the whole curve costs two linear "
+    "aggregates + 10x-linear conditional sums.",
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    first_owner = tk.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    grid = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("decile"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "decile",
+            F.floor(F.col("mx") * F.col("decile") / 10.0)
+            .cast("long")
+            .alias("cut"),
+        )
+    )
+    gb = F.broadcast(grid)
+    docs_at = (
+        docs.join(gb, docs.doc_id <= gb.cut)
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    toks_at = (
+        per_doc.join(gb, per_doc.doc_id <= gb.cut)
+        .groupBy("decile")
+        .agg(F.sum("n_toks").cast("long").alias("cum_tokens"))
+    )
+    vocab_at = (
+        first_owner.join(gb, first_owner.first_doc <= gb.cut)
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("cum_vocab"))
+    )
+    beta = F.log(F.col("cum_vocab")) / F.log(F.col("cum_tokens"))
+    return (
+        docs_at.join(toks_at, "decile")
+        .join(vocab_at, "decile")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs",
+            "cum_tokens",
+            "cum_vocab",
+            round4(beta).alias("heaps_beta"),
+        )
+        .orderBy("decile")
+    )
