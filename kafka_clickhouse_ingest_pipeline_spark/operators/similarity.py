@@ -74,11 +74,29 @@ def cosine(a: Column, b: Column) -> Column:
 def lsh_bucket(vec: Column) -> Column:
     """N_PLANES-bit random-hyperplane bucket id: bit p = sign(<v, plane_p>).
 
+    Delegates to the Arrow kernel (`operators/udfs.lsh_bucket_udf`),
+    which replays the identical IEEE add sequence vectorized across the
+    batch axis. The pure-JVM expression (`lsh_bucket_expr`) survives for
+    contexts that need a codegen expression; it is bit-identical but
+    measured ~1.2 ms/row — its ~4k-node flat sum is too large to JIT —
+    and dominated every bucket-side ANN query (2.3 s of a 2.6 s
+    `ann_batch_topk`). Parity between the three forms (expr, Arrow,
+    SQL oracle) is pinned in tests/test_ml_lsh.py.
+    """
+    from .udfs import lsh_bucket_udf
+
+    return lsh_bucket_udf(vec)
+
+
+def lsh_bucket_expr(vec: Column) -> Column:
+    """Pure-JVM form of :func:`lsh_bucket` — same buckets, bit for bit.
+
     ±1 planes mean each dot is a plain signed sum of elements — built as
     left-assoc adds over `element_at` so it matches the fold order of the
-    generic dot() (and the oracle), while staying a flat codegen-friendly
-    expression instead of 8 nested higher-order folds (which took ~100ms
-    *per row* to evaluate).
+    generic dot() (and the oracle), while staying a flat expression
+    instead of 8 nested higher-order folds (which took ~100ms *per row*
+    to evaluate). Kept for reference/parity testing and as the fallback
+    where Python workers are unavailable.
     """
     bucket = F.lit(0)
     for p, plane in enumerate(PLANES):

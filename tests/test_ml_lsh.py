@@ -321,3 +321,44 @@ def test_mmr_spends_budget_on_diversity_not_duplicates(spark):
     # then the two diverse items BEFORE the remaining exact duplicates
     assert set(mmr.values()) - {mmr[0]} == {4, 5}
     assert mmr[1] == 4  # the farther-from-clique item wins round 1
+
+
+def test_lsh_bucket_arrow_kernel_is_bit_identical_to_jvm_expr(spark, sf_dir):
+    """Three-way parity for the LSH bucket: the Arrow kernel (what
+    lsh_bucket now emits), the pure-JVM expression, and — transitively,
+    via the existing oracle-gated queries — the SQL twin. Covers the
+    real corpus plus the edge shapes the kernel special-cases: NULL
+    vector (bucket 0), short vector (missing dims contribute 0), and
+    over-width vector (extra dims ignored)."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import (
+        similarity as S,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S.as_double(F.col("embedding"))
+    cmp = emb.select(
+        S.lsh_bucket_expr(v).alias("jvm"), S.lsh_bucket(v).alias("arrow")
+    )
+    assert cmp.where("jvm != arrow").count() == 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, [0.5] * 3),  # short: dims 3..63 coalesce to 0
+            (3, [-0.25] * 70),  # long: dims past EMB_DIM ignored
+            (4, [0.0] * 64),  # all-zero: every plane sum 0 -> bucket 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = edge.select(
+        "vec_id",
+        S.lsh_bucket_expr(F.col("embedding")).alias("jvm"),
+        S.lsh_bucket(F.col("embedding")).alias("arrow"),
+    ).collect()
+    for r in rows:
+        assert r.jvm == r.arrow, r
+    byid = {r.vec_id: r for r in rows}
+    assert byid[1].arrow == 0 and byid[4].arrow == 0
