@@ -208,12 +208,26 @@ def hilbert_key(a, b, bits: int = 16):
     premium-locality alternative to :func:`zorder_key` (Delta/Iceberg
     expose both; Hilbert has no Z-curve "seams", so consecutive key
     ranges stay in tighter bounding boxes and range scans touch fewer
-    files). Classic xy2d: walk levels s = 2^(bits-1) .. 1, accumulate
-    quadrant offsets, reflect+swap the frame below each level — done as
-    a JVM higher-order fold over the level list (struct state (x, y, d),
-    no Python, no UDF). Pure integer arithmetic, identical in any
-    engine; the SQL twin (:func:`hilbert_key_sql`) replays the fold as
-    one chained CTE per level."""
+    files). Delegates to the Arrow kernel
+    (`operators/udfs.make_hilbert_udf`) — pure int64 arithmetic, so the
+    vectorized replay is value-identical by construction; the per-row
+    JVM struct fold it replaces (kept as :func:`hilbert_key_expr`)
+    dominated the layout queries. The SQL twin
+    (:func:`hilbert_key_sql`) replays the fold as one chained CTE per
+    level."""
+    from ..operators.udfs import make_hilbert_udf
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return make_hilbert_udf(bits)(a.cast("long"), b.cast("long"))
+
+
+def hilbert_key_expr(a, b, bits: int = 16):
+    """Pure-JVM form of :func:`hilbert_key` — same keys, bit for bit.
+    Classic xy2d: walk levels s = 2^(bits-1) .. 1, accumulate quadrant
+    offsets, reflect+swap the frame below each level — a JVM
+    higher-order fold over the level list (struct state (x, y, d)).
+    Kept for parity testing and codegen-only contexts."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     levels = F.array(

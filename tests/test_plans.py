@@ -478,3 +478,20 @@ def test_q10_top20_is_a_heap(spark, sf_dir):
     plan = _executed_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "EqualTo(l_returnflag,R)" in plan  # pushed to the scan
+
+
+def test_hilbert_arrow_kernel_matches_jvm_fold_exactly(spark):
+    """hilbert_key now emits the Arrow kernel; the JVM struct fold it
+    replaced survives as hilbert_key_expr. Pure integer math — the two
+    must agree on EVERY point of a full grid, not statistically."""
+    from kafka_clickhouse_ingest_pipeline_spark.plans import layout as L
+
+    n = 1 << 5
+    pts = spark.range(n * n).selectExpr(
+        "id % 32 AS x", "id DIV 32 AS y"
+    )
+    cmp = pts.select(
+        L.hilbert_key("x", "y", 5).alias("arrow"),
+        L.hilbert_key_expr("x", "y", 5).alias("jvm"),
+    )
+    assert cmp.where("arrow != jvm").count() == 0
