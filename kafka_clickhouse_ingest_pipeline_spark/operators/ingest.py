@@ -67,14 +67,16 @@ def json_validity_gate(df: DataFrame, payload_col: str = "value") -> DataFrame:
     json.Valid) — with that, the gate is whole-string strict for every
     JSON value shape.
     """
+    from .udfs import json_strict_span_udf
+
     raw = F.col(payload_col).cast("string")
-    lt = F.ltrim(raw)
-    bracketed = F.startswith(lt, F.lit("{")) | F.startswith(lt, F.lit("["))
-    str_scalar = F.startswith(lt, F.lit('"'))
+    # the Arrow kernel replays both span state machines (bracketed docs
+    # and string scalars) vectorized across the batch; the JVM HOF folds
+    # below remain the semantic reference (parity pinned in
+    # test_ingest.test_strict_span_kernel_matches_jvm_folds) but cost
+    # ~10 struct ops per CHARACTER per row and doubled the flagship
     return df.filter(
-        F.try_parse_json(raw).isNotNull()
-        & (~bracketed | json_value_spans_string(raw))
-        & (~str_scalar | string_scalar_spans_string(raw))
+        F.try_parse_json(raw).isNotNull() & json_strict_span_udf(raw)
     )
 
 
@@ -209,10 +211,14 @@ def parse_typed(
         # span check closes the former trailing-garbage deviation:
         # '{"sensorId":"G7"}invalid' (MessageProcessorTest.kt) now drops
         # here exactly as kotlinx drops it.
+        from .udfs import json_strict_span_udf
+
+        # for '{'-docs the combined Arrow kernel equals the bracket span
+        # fold (string-scalar branch can't fire); same filter, batch speed
         out = out.filter(
             F.try_parse_json(raw).isNotNull()
             & F.startswith(F.ltrim(raw), F.lit("{"))
-            & json_value_spans_string(raw)
+            & json_strict_span_udf(raw)
             & F.col("_parsed").isNotNull()
         )
     return out.select("_parsed.*", *(["_raw_data"] if keep_raw else []))

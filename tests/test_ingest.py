@@ -233,3 +233,54 @@ class TestStringScalarStrictness:
         df = _payload_df(spark, list(cases))
         kept = {r["value"] for r in ingest.json_validity_gate(df).collect()}
         assert kept == {p for p, ok in cases.items() if ok}
+
+
+def test_strict_span_kernel_matches_jvm_folds(spark, sf_dir):
+    """The Arrow strict-span kernel must reproduce the JVM HOF folds'
+    combined decision on every real payload AND the adversarial shapes:
+    braces inside strings, escaped quotes, nested docs, trailing
+    whitespace vs trailing junk, string scalars, bare scalars."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators.ingest import (
+        json_value_spans_string,
+        string_scalar_spans_string,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.operators.udfs import (
+        json_strict_span_udf,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    def jvm_combined(raw):
+        lt = F.ltrim(raw)
+        bracketed = F.startswith(lt, F.lit("{")) | F.startswith(lt, F.lit("["))
+        strsc = F.startswith(lt, F.lit('"'))
+        return (~bracketed | json_value_spans_string(raw)) & (
+            ~strsc | string_scalar_spans_string(raw)
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("props").cast("string").alias("raw")
+    )
+    cmp = ev.select(
+        jvm_combined(F.col("raw")).alias("jvm"),
+        json_strict_span_udf(F.col("raw")).alias("arrow"),
+    )
+    assert cmp.where("jvm != arrow").count() == 0
+
+    cases = [
+        '{"a":1}', '{"a":1}junk', '{"a":1}   ', '  {"a":1}',
+        '{"a":"}"}', '{"a":"}"}x', '{"a":"\\""}', '{"a":"\\""}junk',
+        '{"a":{"b":[1,2]}}', '{"a":1}}', '[1,2,3]', '[1,2]x', '[]',
+        '"x"', '"x"junk', '"x"  ', '  "x"', '"a\\"b"', '"a\\"b"z',
+        '""', 'null', '12', '12junk', 'truex', '', '   ',
+        '{"sensorId":"G7"}invalid',
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    rows = df.select(
+        "raw",
+        jvm_combined(F.col("raw")).alias("jvm"),
+        json_strict_span_udf(F.col("raw")).alias("arrow"),
+    ).collect()
+    for r in rows:
+        assert r.jvm == r.arrow, (r.raw, r.jvm, r.arrow)
