@@ -42,8 +42,13 @@ SPOOL_SCHEMA = "value string, spool_file string, line_no int"
 
 
 def _list_spool(path: str) -> list[str]:
-    """Visible spool files, lexicographically ordered (the publisher's
-    timestamp-prefixed names make this arrival order). Hidden/tmp files
+    """Visible spool files, lexicographically ordered. The publisher's
+    zero-padded sequence names (`batch-000000042.jsonl`) make that
+    arrival order within one publisher process — the offset scheme
+    assumes new files always sort AFTER committed ones (the same
+    append-only contract Kafka offsets assume; compacting or renaming
+    old spool files invalidates checkpoints exactly like shrinking Kafka
+    retention past committed offsets does). Hidden/tmp files
     (dot-prefixed) are in-flight writes and never listed."""
     try:
         names = sorted(
