@@ -43,6 +43,8 @@ PROBED = [
     # round 4 cont.: gram min-ownership novelty, batched multi-probe ANN
     "doc_novelty_scores",
     "ann_batch_topk",
+    # round 5: first-owner vocabulary + broadcast checkpoint grid
+    "vocab_growth_heaps",
 ]
 
 

@@ -56,6 +56,8 @@ PROBES = [
     # batched ANN (per-query window rank over bucket-joined candidates)
     ("doc_novelty_scores", "gram min-ownership novelty (no pairs)", None),
     ("ann_batch_topk", "batched multi-probe ANN + window rank", None),
+    # round 5: Heaps-law curve — first-owner vocab + 10-row checkpoint grid
+    ("vocab_growth_heaps", "vocabulary growth curve (first-owner)", None),
 ]
 
 
