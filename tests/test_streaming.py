@@ -892,3 +892,75 @@ def test_streaming_ohlc_bars_match_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert streamed["2024-01-01 09:00:00"] == (10.0, 30.0, 5.0, 20.0)
+
+
+def test_streaming_quantile_hist_state_merges_to_batch_estimate(spark, tmp_path):
+    """The quantile sketch's streaming story, executed: bin counts built
+    as streaming state across micro-batches (SUM-merge is exactly what a
+    streaming groupBy-sum does) yield BIT-IDENTICAL quantile estimates
+    to the single-pass batch query — the same contract the HLL register
+    test pins for distinct counting. Global (mn, mx, n) bounds come from
+    the batch stats table: the sketch's one global input, like HLL's
+    hash seed."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.queries.relational import (
+        hist_bin_counts,
+        hist_quantile_estimates,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    stats, batch_counts = hist_bin_counts(li, "l_extendedprice", "l_returnflag")
+    stats = stats.cache()
+
+    src = str(tmp_path / "lisrc")
+    li.where(F.col("l_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    li.where(F.col("l_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = stream.select(
+        F.col("l_returnflag").alias("flag"), "l_extendedprice"
+    ).join(F.broadcast(stats), "flag")
+    width = (F.col("mx") - F.col("mn")) / 64.0
+    raw = F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast(
+        "long"
+    )
+    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.lit(63), F.greatest(F.lit(0), raw))
+    )
+    counts = joined.groupBy("flag", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("qhs_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    streamed = {
+        (r.flag, r.q): r.est_v
+        for r in hist_quantile_estimates(
+            stats, spark.table("qhs_counts"), qs
+        ).collect()
+    }
+    batch = {
+        (r.flag, r.q): r.est_v
+        for r in hist_quantile_estimates(stats, batch_counts, qs).collect()
+    }
+    assert streamed == batch  # bit-identical estimates
