@@ -675,3 +675,79 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def wav_spectral_features(
+    media: "DataFrame",
+    id_col: str = "media_id",
+    freq_col: str = "freq",
+    n_samples: int = 800,
+    rate: int = 8000,
+    bins: tuple[int, ...] = (1, 2, 3, 4),
+) -> "DataFrame":
+    """Real-audio spectral features: synthesize a WAV per row (tone at
+    ``freq_col``), decode it through the stdlib ``wave`` module, and
+    compute closed-form DFT magnitudes at the given bin indices — the
+    engine-portable spectral kernel (an FFT would reassociate the sums;
+    bin count is fixed, so O(n_samples * bins) explicit sums cost the
+    same asymptotics per row and replay exactly in SQL).
+
+    Portability contract (verified bit-level in the oracle): samples are
+    ``trunc(20000 * sin(2*pi*f*t/rate))`` with libm sin (Python
+    ``math.sin`` == DuckDB ``sin`` on this platform — pinned by the
+    gate); DFT factors come from ``math.cos``/``math.sin`` per (k, t),
+    NOT np.cos (SIMD libm may differ by ulps); accumulation is a
+    sequential fold over t, vectorized across the row axis only.
+
+    Returns (id, n_samples, m1..m{len(bins)}) with raw double
+    magnitudes; callers snap/log them for export.
+    """
+    import math
+
+    import pandas as pd_  # local alias: keep the closure self-contained
+
+    out_schema = f"{id_col} string, n_samples long, " + ", ".join(
+        f"m{k} double" for k in bins
+    )
+
+    cosf = {
+        k: np.array(
+            [math.cos(2 * math.pi * k * t / n_samples) for t in range(n_samples)]
+        )
+        for k in bins
+    }
+    sinf = {
+        k: np.array(
+            [math.sin(2 * math.pi * k * t / n_samples) for t in range(n_samples)]
+        )
+        for k in bins
+    }
+
+    def batches(it):
+        import io
+        import wave
+
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            freqs = pdf[freq_col].tolist()
+            X = np.empty((len(ids), n_samples), dtype=np.float64)
+            for j, f in enumerate(freqs):
+                payload = make_wav(float(f), n_samples, rate)
+                with wave.open(io.BytesIO(payload)) as w:
+                    raw = w.readframes(w.getnframes())
+                X[j] = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+            cols: dict[str, object] = {
+                id_col: ids,
+                "n_samples": [n_samples] * len(ids),
+            }
+            for k in bins:
+                re = np.zeros(len(ids))
+                im = np.zeros(len(ids))
+                ck, sk = cosf[k], sinf[k]
+                for t in range(n_samples):  # sequential fold, rows vectorized
+                    re += X[:, t] * ck[t]
+                    im += X[:, t] * sk[t]
+                cols[f"m{k}"] = np.sqrt(re * re + im * im)
+            yield pd_.DataFrame(cols)
+
+    return media.select(id_col, freq_col).mapInPandas(batches, out_schema)

@@ -534,3 +534,101 @@ def multimodal_crossformat_dhash_pairs(
     return simhash_hamming_pairs(
         fp, "doc_id", fp_col="dhash", max_hamming=2, bits=12
     ).orderBy("id_a", "id_b")
+
+
+def _wav_dft_sql() -> str:
+    """Closed-form SQL replay of the WAV spectral kernel: resynthesize
+    the int16 samples (trunc + libm sin — bit-identical to Python's, as
+    the kernel docstring pins), then the same sequential DFT folds."""
+    def mag(k: int) -> str:
+        re = (
+            f"list_reduce(list_transform(range(800), t -> "
+            f"xs[t + 1] * cos(2 * pi() * {k} * t / 800)), (a, b) -> a + b)"
+        )
+        im = (
+            f"list_reduce(list_transform(range(800), t -> "
+            f"xs[t + 1] * sin(2 * pi() * {k} * t / 800)), (a, b) -> a + b)"
+        )
+        return f"sqrt(({re}) * ({re}) + ({im}) * ({im}))"
+
+    r4 = lambda e: f"(FLOOR(({e}) * 10000.0 + 0.5 + 0.000001) / 10000.0)"
+    lms = ", ".join(f"{r4(f'ln(1 + m{k})')} AS lm{k}" for k in (1, 2, 3, 4))
+    return f"""
+    WITH au AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             10.0 * (1 + doc_id % 4) AS f
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    x AS (
+      SELECT media_id,
+             list_transform(range(800),
+               t -> TRUNC(20000 * sin(2 * pi() * f * t / 8000))) AS xs
+      FROM au
+    ),
+    dft AS (
+      SELECT media_id,
+             {mag(1)} AS m1, {mag(2)} AS m2,
+             {mag(3)} AS m3, {mag(4)} AS m4
+      FROM x
+    ),
+    lm AS (SELECT media_id, {lms} FROM dft)
+    SELECT media_id, CAST(800 AS BIGINT) AS n_samples,
+           lm1, lm2, lm3, lm4,
+           CAST(CASE WHEN lm1 >= lm2 AND lm1 >= lm3 AND lm1 >= lm4 THEN 1
+                     WHEN lm2 >= lm3 AND lm2 >= lm4 THEN 2
+                     WHEN lm3 >= lm4 THEN 3 ELSE 4 END AS BIGINT)
+             AS peak_bin
+    FROM lm
+    ORDER BY media_id
+    """
+
+
+@query(
+    "multimodal_wav_spectral_features",
+    oracle=_wav_dft_sql(),
+    description="C-multimodal: REAL audio decode + spectral analysis, "
+    "value-hashed per dimension — each audio doc synthesizes a tone WAV "
+    "(10/20/30/40 Hz by doc_id), decodes it through the stdlib wave "
+    "module inside the Arrow kernel, and computes closed-form DFT "
+    "magnitudes at bins 1-4 (explicit sequential sums, not an FFT, so "
+    "the oracle replays them exactly; trig factors use libm on both "
+    "engines — bit-parity pinned by this very gate). log-magnitudes "
+    "export round4-snapped; peak_bin recovers the synthesized tone "
+    "(bin k == k*10 Hz), so decode+DFT correctness is semantically "
+    "visible, not just hash-stable.",
+)
+def multimodal_wav_spectral_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    au = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        (10.0 * (1 + F.col("doc_id") % 4)).alias("freq"),
+    )
+    feats = M.wav_spectral_features(au)
+    lm = feats.select(
+        "media_id",
+        "n_samples",
+        *[
+            round4(F.log(F.lit(1.0) + F.col(f"m{k}"))).alias(f"lm{k}")
+            for k in (1, 2, 3, 4)
+        ],
+    )
+    l1, l2, l3, l4 = (F.col(f"lm{k}") for k in (1, 2, 3, 4))
+    peak = (
+        F.when((l1 >= l2) & (l1 >= l3) & (l1 >= l4), 1)
+        .when((l2 >= l3) & (l2 >= l4), 2)
+        .when(l3 >= l4, 3)
+        .otherwise(4)
+    )
+    return lm.select(
+        "media_id",
+        "n_samples",
+        "lm1",
+        "lm2",
+        "lm3",
+        "lm4",
+        peak.cast("long").alias("peak_bin"),
+    ).orderBy("media_id")

@@ -8,7 +8,7 @@ corpus's `lang` column (it's a label here, not an input to the operator).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -1361,3 +1361,83 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    tf AS (SELECT term, COUNT(*) AS freq FROM toks2 GROUP BY term),
+    tot AS (SELECT SUM(freq) * 1.0 AS n FROM tf),
+    scored AS (
+      SELECT t.doc_id,
+             {round4_sql("AVG(ln(freq / n))")} AS avg_logprob
+      FROM toks2 t JOIN tf USING (term), tot
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, s.avg_logprob,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY s.avg_logprob DESC, d.doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY d.lang) AS n_lang
+      FROM documents d JOIN scored s USING (doc_id)
+    )
+    SELECT doc_id, lang, avg_logprob,
+           CASE WHEN rn * 3 <= n_lang THEN 'head'
+                WHEN rn * 3 <= 2 * n_lang THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    ORDER BY doc_id
+    """,
+    description="C11: CCNet-style perplexity bucketing — per language, "
+    "docs split into head/middle/tail terciles of the unigram-LM score "
+    "(the Wenzek et al. 2020 recipe: keep head+middle, drop or "
+    "down-weight tail). Scores round4-snap before ranking so the "
+    "tercile boundary is engine-portable (doc_id tiebreak); the rank "
+    "window is one sort-shuffle per language — at 100 TB swap the exact "
+    "rank for cutoffs read off the mergeable quantile-sketch state "
+    "(quantile_hist_sketch_eval) and assign by comparison instead.",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    tot = tf.agg((F.sum("freq") * 1.0).alias("n"))
+    scored = (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(round4(F.avg(F.log(F.col("freq") / F.col("n")))).alias("avg_logprob"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("lang")
+    ranked = (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_lang"),
+        )
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n_lang"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n_lang"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("ppl_bucket")
+    ).orderBy("doc_id")

@@ -575,3 +575,23 @@ def test_jpeg_encoder_survives_every_dct_extreme():
             out = J.jpeg_gray(J.make_jpeg(block))
             assert out is not None
             assert float(np.abs(out - block).max()) <= 1.0
+
+
+def test_wav_spectral_peak_recovers_the_synthesized_tone(spark, sf_dir):
+    """Semantic check on the real decode+DFT chain: each doc synthesizes
+    a tone at 10*(1 + doc_id%4) Hz and DFT bin k sits at k*10 Hz, so the
+    peak bin must equal 1 + doc_id%4 for EVERY audio doc — a wrong
+    decode, factor table, or magnitude fold breaks this immediately."""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.multimodal import (
+        multimodal_wav_spectral_features,
+    )
+
+    rows = multimodal_wav_spectral_features(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.peak_bin == 1 + int(r.media_id) % 4, r
+        # and the peak is decisive, not a tie artifact
+        others = sorted(
+            [r.lm1, r.lm2, r.lm3, r.lm4], reverse=True
+        )
+        assert others[0] > others[1] + 1.0  # ~e gap in log-magnitude
