@@ -89,3 +89,63 @@ def pagerank(
             f"pagerank_iter_{i}",
         )
     return ranks
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al. 2007),
+    made deterministic: every node starts labeled with its own id; each
+    round it adopts the label most frequent among its (undirected,
+    deduplicated) neighbors, ties broken by the SMALLEST label; isolated
+    nodes keep their current label. Synchronous updates + integer-only
+    state mean the oracle replays every round exactly as chained CTEs —
+    no float, no randomness (the classic async/random-tie LPA is
+    unreplayable by design; this variant trades a little convergence
+    speed for portability).
+
+    Scale shape per round: one |E| join of edges to the label table
+    (co-partitioned on the node key), one (node, label) partial-agg
+    count, one bounded per-node argmax window (rows per node = distinct
+    neighbor labels <= degree), and a left join back to carry isolated
+    nodes — all linear in |E|; labels materialize per round to cut the
+    iterative lineage exactly like `pagerank`.
+
+    Returns (node, label) after ``iterations`` rounds.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = materialize(und, "lpa_edges")
+    lbl = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iterations):
+        neigh = und.join(
+            lbl.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("v"), "label")
+        cnts = neigh.groupBy("v", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy("v").orderBy(
+            F.col("cnt").desc(), F.col("label")
+        )
+        new = (
+            cnts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), F.col("label").alias("nl"))
+        )
+        lbl = materialize(
+            lbl.join(new, "node", "left").select(
+                "node", F.coalesce(F.col("nl"), F.col("label")).alias("label")
+            ),
+            f"lpa_iter_{i}",
+        )
+    return lbl

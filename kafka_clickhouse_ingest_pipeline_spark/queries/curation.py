@@ -784,3 +784,106 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+_LPA_ITERS = 4
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    """Chained-CTE replay of the deterministic synchronous label
+    propagation (integer-only state, so the replay is exact)."""
+    # no UNNEST here: DuckDB's binder hits an internal error when an
+    # unnest-produced column is referenced twice through a UNION (the
+    # symmetrization below) — expand the edge generators as UNION ALL
+    edge_sel = "\n      UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % nn.n AS dst "
+        f"FROM documents, nn WHERE doc_id % {_PR_DANGLING_MOD} != 0"
+        for a, b in _PR_EDGE_MULTS
+    )
+    parts = [
+        f"""
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    nd AS (SELECT doc_id AS node FROM documents),
+    e0 AS (
+      {edge_sel}
+    ),
+    und AS (
+      SELECT DISTINCT a AS src, b AS dst FROM (
+        SELECT src AS a, dst AS b FROM e0
+        UNION ALL SELECT dst AS a, src AS b FROM e0
+      ) WHERE a != b
+    ),
+    l0 AS (SELECT node, node AS label FROM nd)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    c{i} AS (
+      SELECT u.src AS v, l.label, COUNT(*) AS cnt
+      FROM und u JOIN l{i - 1} l ON l.node = u.dst
+      GROUP BY 1, 2
+    ),
+    p{i} AS (
+      SELECT v, label FROM (
+        SELECT v, label,
+               ROW_NUMBER() OVER (PARTITION BY v
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    ),
+    l{i} AS (
+      SELECT l.node, COALESCE(p.label, l.label) AS label
+      FROM l{i - 1} l LEFT JOIN p{i} p ON p.v = l.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{iters} GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT 50
+    """
+    )
+
+
+@query(
+    "label_propagation_communities",
+    oracle=_lpa_sql(),
+    description="Curation/link-graph: community detection via "
+    "DETERMINISTIC synchronous label propagation (4 rounds, most-"
+    "frequent neighbor label, ties to the smallest label, isolated "
+    "nodes keep theirs) over the same citation graph PageRank scores — "
+    "the cluster-then-sample signal for crawl curation. Integer-only "
+    "state replays exactly as chained CTEs; per round one |E| join + "
+    "one (node, label) partial-agg + a degree-bounded argmax window, "
+    "labels materialized per round. Output: top-50 communities by "
+    "size.",
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    src = docs.where(F.col("doc_id") % _PR_DANGLING_MOD != 0)
+    edges = src.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (F.col("doc_id") * F.lit(a) + F.lit(b)) % F.lit(n)
+                    for a, b in _PR_EDGE_MULTS
+                ]
+            )
+        ).alias("dst"),
+    )
+    final = label_propagation(nodes, edges, iterations=_LPA_ITERS)
+    return (
+        final.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(50)
+    )

@@ -67,3 +67,35 @@ def test_all_dangling_graph_stays_uniform(spark):
     pr = pagerank(nodes, edges, iterations=3)
     for r in pr.collect():
         assert r.pr == _pt.approx(0.25, abs=1e-9)
+
+
+def test_label_propagation_separates_disjoint_cliques(spark):
+    """Two disjoint triangles must converge to exactly two communities,
+    each labeled by its smallest member (the deterministic tie-break);
+    an isolated node keeps its own label."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    tri = lambda a, b, c: [(a, b), (b, c), (a, c)]  # noqa: E731
+    edges = spark.createDataFrame(
+        tri(0, 1, 2) + tri(3, 4, 5), "src long, dst long"
+    )
+    out = {r.node: r.label for r in label_propagation(nodes, edges, 4).collect()}
+    assert {out[0], out[1], out[2]} == {0}
+    assert {out[3], out[4], out[5]} == {3}
+    assert out[6] == 6  # isolated: keeps its own label
+
+
+def test_label_propagation_is_deterministic_across_runs(spark, sf_dir):
+    from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
+        label_propagation_communities,
+    )
+
+    a = [tuple(r) for r in label_propagation_communities(spark, sf_dir).collect()]
+    b = [tuple(r) for r in label_propagation_communities(spark, sf_dir).collect()]
+    assert a == b
+    assert len(a) > 0
