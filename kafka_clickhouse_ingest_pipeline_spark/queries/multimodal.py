@@ -24,7 +24,7 @@ columns per the tier-C mandate (SURVEY.md §2 C-tier, multimodal).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round4
@@ -632,3 +632,132 @@ def multimodal_wav_spectral_features(
         "lm4",
         peak.cast("long").alias("peak_bin"),
     ).orderBy("media_id")
+
+
+_VID_FRAMES = 8
+_VID_SCENE_LEN = 3  # scene id = frame_idx // 3 -> changes at frames 3 and 6
+
+
+@query(
+    "multimodal_video_scene_changes",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT v.doc_id, f.f
+      FROM vids v, (SELECT UNNEST(range({_VID_FRAMES})) AS f) f
+    ),
+    cells AS (
+      SELECT doc_id, f,
+        list_transform(range(20), k ->
+          (list_sum(list_transform(range(48), i ->
+             CASE WHEN ((i // 6) * 4 // 8) = (k // 5)
+                   AND ((i % 6) * 5 // 6) = (k % 5)
+                  THEN CAST(((doc_id * 37 + (f // {_VID_SCENE_LEN}) * 97
+                              + (i // 6) * 11 + (i % 6) * 5)
+                             * (doc_id * 37 + (f // {_VID_SCENE_LEN}) * 97
+                                + (i // 6) * 11 + (i % 6) * 5))
+                            % 256 AS DOUBLE)
+                  ELSE 0.0 END))
+           / list_sum(list_transform(range(48), i ->
+             CASE WHEN ((i // 6) * 4 // 8) = (k // 5)
+                   AND ((i % 6) * 5 // 6) = (k % 5)
+                  THEN 1.0 ELSE 0.0 END)))
+        ) AS cm
+      FROM frames
+    ),
+    dh AS (
+      SELECT doc_id, f,
+        list_sum(list_transform(range(16), k ->
+          CASE WHEN cm[(k // 4) * 5 + (k % 4) + 1]
+                    > cm[(k // 4) * 5 + (k % 4) + 2]
+               THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS dhash
+      FROM cells
+    ),
+    lagged AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CAST(f AS BIGINT) AS frame_idx, dhash,
+             LAG(dhash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+      FROM dh
+    )
+    SELECT media_id, frame_idx, dhash,
+           CAST(COALESCE(bit_count(xor(dhash, prev)), -1) AS INT)
+             AS hamming_prev,
+           CAST(CASE WHEN prev IS NOT NULL
+                      AND bit_count(xor(dhash, prev)) > 4
+                     THEN 1 ELSE 0 END AS INT) AS is_scene_change
+    FROM lagged
+    ORDER BY media_id, frame_idx
+    """,
+    description="Multimodal video: scene-change detection over a REAL "
+    "container — each video doc synthesizes an 8-frame container "
+    "(magic + length-prefixed BMP frames), the kernel PARSES the bytes "
+    "back, decodes every frame through the stdlib BMP parser, and "
+    "dHashes it; consecutive-frame Hamming distance (JVM bit_count over "
+    "a per-video LAG window, <= 8 rows per video) flags cuts where the "
+    "hash jumps > 4 bits. Frames share pixels within a 3-frame scene "
+    "and jump at scene boundaries, so the detector's output is "
+    "semantically checkable; the oracle recomputes each frame's hash "
+    "closed-form from (doc_id, frame//3). The shot-boundary pass every "
+    "video-curation pipeline runs before frame sampling.",
+)
+def multimodal_video_scene_changes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    ).select("doc_id")
+    yy, xx = np.mgrid[0:8, 0:6]
+    lin = (yy * 11 + xx * 5).astype(np.int64)
+
+    def build_parse_hash(batches):
+        for pdf in batches:
+            mids, fids, hashes = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                # build the container: real bytes, length-prefixed frames
+                blobs = []
+                for f in range(_VID_FRAMES):
+                    v = d * 37 + (f // _VID_SCENE_LEN) * 97 + lin
+                    g = ((v * v) % 256).astype(np.uint8)
+                    blobs.append(
+                        M.make_bmp(np.repeat(g[:, :, None], 3, axis=2))
+                    )
+                payload = b"VID0" + struct.pack("<I", len(blobs))
+                for b in blobs:
+                    payload += struct.pack("<I", len(b)) + b
+                # parse it back (the decode path a real pipeline runs)
+                assert payload[:4] == b"VID0"
+                (nf,) = struct.unpack_from("<I", payload, 4)
+                off = 8
+                for f in range(nf):
+                    (ln,) = struct.unpack_from("<I", payload, off)
+                    off += 4
+                    frame = payload[off : off + ln]
+                    off += ln
+                    mids.append(str(d))
+                    fids.append(f)
+                    hashes.append(M.image_dhash(frame))
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": fids, "dhash": hashes}
+            )
+
+    fp = docs.mapInPandas(
+        build_parse_hash, "media_id string, frame_idx long, dhash long"
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("dhash").over(w)
+    ham = F.bit_count(F.col("dhash").bitwiseXOR(prev))
+    return fp.select(
+        "media_id",
+        "frame_idx",
+        "dhash",
+        F.coalesce(ham, F.lit(-1)).cast("int").alias("hamming_prev"),
+        (prev.isNotNull() & (ham > 4)).cast("int").alias("is_scene_change"),
+    ).orderBy("media_id", "frame_idx")

@@ -595,3 +595,36 @@ def test_wav_spectral_peak_recovers_the_synthesized_tone(spark, sf_dir):
             [r.lm1, r.lm2, r.lm3, r.lm4], reverse=True
         )
         assert others[0] > others[1] + 1.0  # ~e gap in log-magnitude
+
+
+def test_video_scene_changes_fire_at_scene_boundaries_only(spark, sf_dir):
+    """Semantic check on the container-parse + per-frame-decode chain:
+    frames within a 3-frame scene are pixel-identical (hamming 0, no
+    change) and cuts can only fire at frames 3 and 6. At least half the
+    videos must actually detect both cuts — the synthetic scene jump is
+    designed to move the hash."""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.multimodal import (
+        multimodal_video_scene_changes,
+    )
+
+    rows = multimodal_video_scene_changes(spark, sf_dir).collect()
+    per_vid: dict[str, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        per_vid.setdefault(r.media_id, {})[r.frame_idx] = (
+            r.hamming_prev,
+            r.is_scene_change,
+        )
+    assert per_vid
+    detected_both = 0
+    for frames in per_vid.values():
+        assert sorted(frames) == list(range(8))
+        for f, (ham, chg) in frames.items():
+            if f == 0:
+                assert ham == -1 and chg == 0
+            elif f not in (3, 6):
+                assert ham == 0 and chg == 0, (f, ham)  # same scene
+            else:
+                assert chg == (1 if ham > 4 else 0)
+        if frames[3][1] == 1 and frames[6][1] == 1:
+            detected_both += 1
+    assert detected_both >= len(per_vid) // 2
