@@ -788,3 +788,77 @@ def remove_duplicate_spans(
             F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/storage-dedup technique,
+    position-independent variant): a chunk boundary falls AFTER position
+    i wherever the portable hash of the trailing ``window`` characters
+    is 0 mod ``divisor`` — so an insertion early in a document shifts
+    only the chunks it touches, unlike fixed-size blocks where one byte
+    shifts every subsequent block (the property that makes CDC the
+    storage-layer complement of the token-level span dedup in
+    :func:`remove_duplicate_spans`). Boundaries depend only on local
+    content, so this variant is embarrassingly parallel: every position
+    is tested independently (one explode, ~n_chars rows), no sequential
+    rolling state — the FastCDC-style gear loop trades that parallelism
+    for speed constants a vectorized engine doesn't need.
+
+    Expected chunk length ~``divisor`` chars; docs shorter than
+    ``window`` or with no boundary form a single chunk. Returns one row
+    per chunk: (id, chunk_idx, start, length, digest) with 1-based
+    ``start``; digest is the portable md5 of the chunk text.
+    """
+    ln = F.length(F.col(text_col))
+    pos = df.select(
+        id_col,
+        text_col,
+        ln.alias("ln"),
+        F.explode(F.sequence(F.lit(window), F.greatest(ln, F.lit(window)))).alias(
+            "i"
+        ),
+    ).where(F.col("i") <= F.col("ln"))
+    from ..functions.hashing import hash60
+
+    cut = pos.where(
+        hash60(
+            F.substring(F.col(text_col), F.col("i") - window + 1, window)
+        )
+        % divisor
+        == 0
+    ).select(id_col, F.col("i").alias("cut"))
+    cuts = cut.groupBy(id_col).agg(F.sort_array(F.collect_list("cut")).alias("cuts"))
+    base = df.select(id_col, text_col, ln.alias("ln")).join(
+        cuts, id_col, "left"
+    )
+    cuts_arr = F.coalesce(F.col("cuts"), F.array().cast("array<int>"))
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(cuts_arr, lambda c: c + 1)
+    )
+    ends = F.concat(cuts_arr, F.array(F.col("ln")))
+    spans = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda p: p["e"] >= p["s"],  # drops the empty tail when ln is a cut
+    )
+    return (
+        base.select(id_col, text_col, F.posexplode(spans).alias("chunk_idx", "p"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("p.s").cast("long").alias("start"),
+            (F.col("p.e") - F.col("p.s") + 1).cast("long").alias("length"),
+            F.md5(
+                F.substring(
+                    F.col(text_col), F.col("p.s"), F.col("p.e") - F.col("p.s") + 1
+                )
+            ).alias("digest"),
+        )
+    )

@@ -1306,3 +1306,104 @@ def dedup_neardup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_removable"),
         F.max("csize").cast("long").alias("largest_cluster"),
     )
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(range(8, ln + 1)) AS i FROM d
+    ),
+    cutpos AS (
+      SELECT p.doc_id, p.i
+      FROM pos p JOIN d ON d.doc_id = p.doc_id
+      WHERE ({{h}}) % 64 = 0
+    ),
+    cuts AS (
+      SELECT doc_id, list(i ORDER BY i) AS cuts FROM cutpos GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.doc_id, d.text, d.ln,
+             COALESCE(c.cuts, []) AS cuts
+      FROM d LEFT JOIN cuts c ON c.doc_id = d.doc_id
+    ),
+    spans AS (
+      SELECT doc_id, text,
+             CASE WHEN j = 0 THEN 1 ELSE cuts[j] + 1 END AS s,
+             CASE WHEN j = len(cuts) THEN ln ELSE cuts[j + 1] END AS e
+      FROM (SELECT *, unnest(range(len(cuts) + 1)) AS j FROM base)
+    ),
+    chunks AS (
+      SELECT doc_id, s, e - s + 1 AS length,
+             md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT)))
+               AS digest
+      FROM spans WHERE e >= s
+    ),
+    owned AS (
+      SELECT doc_id, length,
+             ROW_NUMBER() OVER (PARTITION BY digest
+                                ORDER BY doc_id, s) AS rn
+      FROM chunks
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_chunks,
+             SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+             SUM(CASE WHEN rn > 1 THEN length ELSE 0 END) AS dup_bytes
+      FROM owned GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+           CAST(COALESCE(p.dup_bytes, 0) AS BIGINT) AS dup_bytes
+    FROM d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """.format(h=__import__("kafka_clickhouse_ingest_pipeline_spark.functions.hashing",
+                            fromlist=["hash60_sql"]).hash60_sql(
+        "substr(d.text, CAST(p.i - 7 AS INT), 8)"
+    )),
+    description="C9/storage dedup: content-defined chunking — a chunk "
+    "boundary falls wherever the portable hash of the trailing 8 chars "
+    "is 0 mod 64 (~64-char chunks), so an early edit shifts only the "
+    "chunks it touches, never every downstream block (the rsync/"
+    "backup-dedup property; the storage-layer complement of the "
+    "token-level span rewrite). The variant is position-independent — "
+    "every boundary test is local, one explode, no sequential rolling "
+    "state — so it parallelizes like shingling. Per doc: chunk count, "
+    "chunks whose digest already occurred earlier in the corpus "
+    "((doc_id, start) first-owner order), and the bytes a chunk store "
+    "would save. Every input doc surfaces (left join; zero-chunk docs "
+    "report 0s).",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = D.cdc_chunks(docs, "text", "doc_id", window=8, divisor=64)
+    w = Window.partitionBy("digest").orderBy("doc_id", "start")
+    owned = ch.select(
+        "doc_id", "length", F.row_number().over(w).alias("rn")
+    )
+    per_doc = owned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_chunks"),
+        F.sum(F.when(F.col("rn") > 1, F.col("length")).otherwise(0)).alias(
+            "dup_bytes"
+        ),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chunks"), F.lit(0))
+            .cast("long")
+            .alias("n_chunks"),
+            F.coalesce(F.col("n_dup_chunks"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.coalesce(F.col("dup_bytes"), F.lit(0))
+            .cast("long")
+            .alias("dup_bytes"),
+        )
+        .orderBy("doc_id")
+    )

@@ -399,3 +399,46 @@ def test_phrase_match_counts_overlaps_and_chains_terms(spark):
 
     with _pt.raises(ValueError):
         phrase_match(docs, ["solo"])
+
+
+def test_cdc_chunks_localize_edits_unlike_fixed_blocks(spark):
+    """CDC's defining property: prepending bytes to a document leaves
+    every chunk after the edit region byte-identical (same digests),
+    while fixed-size blocking would shift and re-digest every block.
+    Also pins the boundary rule end-to-end: chunks tile the text exactly
+    and re-chunking is deterministic."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    base = " ".join(f"w{i % 97}x{(i * 7) % 89}" for i in range(400))
+    edited = "PREPENDED HEADER " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    ch = D.cdc_chunks(df, "text", "doc_id", window=8, divisor=64).collect()
+    by_doc: dict[int, list] = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.start)
+        # chunks tile the text: starts/lengths are contiguous from 1
+        pos = 1
+        for r in rows:
+            assert r.start == pos
+            pos += r.length
+        text = base if doc_id == 1 else edited
+        assert pos == len(text) + 1
+    d1 = [r.digest for r in by_doc[1]]
+    d2 = [r.digest for r in by_doc[2]]
+    shared = set(d1) & set(d2)
+    # everything after the first post-edit boundary re-synchronizes:
+    # the two docs share almost all of doc 1's chunks
+    assert len(shared) >= len(d1) - 2, (len(shared), len(d1))
+    # and a fixed-block baseline would NOT: 64-char blocks of the two
+    # texts share no digests at all (the shift breaks every block)
+    import hashlib
+
+    fb1 = {hashlib.md5(base[i : i + 64].encode()).hexdigest()
+           for i in range(0, len(base), 64)}
+    fb2 = {hashlib.md5(edited[i : i + 64].encode()).hexdigest()
+           for i in range(0, len(edited), 64)}
+    assert len(fb1 & fb2) == 0
