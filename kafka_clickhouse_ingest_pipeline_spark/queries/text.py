@@ -1441,3 +1441,65 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "lang", "avg_logprob", bucket.alias("ppl_bucket")
     ).orderBy("doc_id")
+
+
+_HT_DIM = 32
+
+
+@query(
+    "text_hashing_trick_vectors",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+    hashed AS (
+      SELECT doc_id,
+             ({H.hash60_sql("term")}) % {_HT_DIM} AS dim,
+             CASE WHEN ({H.hash60_sql("'s' || term")}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tk
+    ),
+    vec AS (
+      SELECT doc_id, dim, SUM(sgn) AS val
+      FROM hashed GROUP BY doc_id, dim
+    )
+    SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(val AS BIGINT) AS val
+    FROM vec
+    WHERE val != 0
+    ORDER BY doc_id, dim
+    """,
+    description="C11: feature-hashing text vectors (the 'hashing trick', "
+    "Weinberger et al. 2009) — each token lands in dimension "
+    "hash(term) mod 32 with a second-hash sign, so collisions cancel in "
+    "expectation and the featurizer needs NO vocabulary, no fit step, "
+    "and no driver state: a pure projection + one (doc, dim) partial "
+    "aggregate, the same plan at any corpus size (the reason linear "
+    "models at web scale use it). Integer-only values export exactly; "
+    "zero dims are dropped (sparse representation). Output feeds the "
+    "cosine/ANN toolchain like any embedding column.",
+)
+def text_hashing_trick_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    dim = H.hash60(F.col("term")) % _HT_DIM
+    sgn = F.when(
+        H.hash60(F.concat(F.lit("s"), F.col("term"))) % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        tk.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("val"))
+        .where(F.col("val") != 0)
+        .select(
+            "doc_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.col("val").cast("long").alias("val"),
+        )
+        .orderBy("doc_id", "dim")
+    )
