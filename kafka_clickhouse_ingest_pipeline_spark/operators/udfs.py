@@ -248,7 +248,9 @@ def json_strict_span_udf(raw: pd.Series) -> pd.Series:
     """
     n = len(raw)
     vals = raw.to_numpy(dtype=object)
-    is_str = np.array([isinstance(x, str) for x in vals])
+    # dtype=bool matters: np.array([]) defaults to float64 and the
+    # bitwise combine below would crash on an empty Arrow batch
+    is_str = np.array([isinstance(x, str) for x in vals], dtype=bool)
     lt_first = np.array(
         [x.lstrip(" \t\n\r")[:1] if isinstance(x, str) else "" for x in vals],
         dtype=object,

@@ -284,3 +284,17 @@ def test_strict_span_kernel_matches_jvm_folds(spark, sf_dir):
     ).collect()
     for r in rows:
         assert r.jvm == r.arrow, (r.raw, r.jvm, r.arrow)
+
+
+def test_strict_span_kernel_handles_empty_arrow_batch():
+    """Empty batches reach kernels when a partition filters to nothing;
+    np.array([]) defaults to float64 and would crash the bitwise
+    combine — regression-pinned at the kernel level."""
+    import pandas as pd
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators.udfs import (
+        json_strict_span_udf,
+    )
+
+    out = json_strict_span_udf.func(pd.Series([], dtype=object))
+    assert list(out) == []
