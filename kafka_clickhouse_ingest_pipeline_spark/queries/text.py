@@ -1503,3 +1503,76 @@ def text_hashing_trick_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "dim")
     )
+
+
+def _bpe_fertility_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Shared train+encode chain, rolled up per language."""
+    body = _bpe_encode_sql(rounds)
+    head, _sep, _tail = body.rpartition("SELECT t.doc_id,")
+    return (
+        head
+        + """SELECT d.lang,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(trim(e.s, ' '), '  '))) AS BIGINT)
+             AS n_bpe_tokens,
+           (FLOOR((SUM(len(string_split(trim(e.s, ' '), '  '))) * 1.0
+                   / COUNT(*)) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS tokens_per_word,
+           (FLOOR((SUM(length(t.term)) * 1.0
+                   / SUM(len(string_split(trim(e.s, ' '), '  '))))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS chars_per_token
+    FROM toks t
+    JOIN e"""
+        + str(rounds)
+        + """ e USING (term)
+    JOIN documents d USING (doc_id)
+    WHERE length(t.term) > 0
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+    )
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=_bpe_fertility_sql(),
+    description="C11/tokenizer eval: BPE fertility per language — "
+    "tokens-per-word and chars-per-token after encoding with the "
+    "corpus-learned merges. THE tokenizer-fit dashboard: a language "
+    "whose fertility runs high pays more sequence length per content "
+    "unit (the multilingual-tokenizer equity metric), and the number "
+    "moves when the merge budget or training mix changes. Same "
+    "O(|vocab| x rounds) encode as bpe_encode_token_counts; the rollup "
+    "adds one |langs|-sized aggregate. Oracle replays train AND encode "
+    "CTE-for-round, then the same rollup.",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = T.term_frequencies(docs, "text")
+    merges = T.bpe_train_merges(tf, rounds=_BPE_ROUNDS)
+    enc = T.bpe_apply_merges(tf.select("term"), merges, _BPE_ROUNDS)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    joined = (
+        toks.join(enc.select("term", "n_bpe_tokens"), "term")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            round4(
+                F.sum("n_bpe_tokens") * 1.0 / F.count(F.lit(1))
+            ).alias("tokens_per_word"),
+            round4(
+                F.sum(F.length("term")) * 1.0 / F.sum("n_bpe_tokens")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
