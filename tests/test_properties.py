@@ -231,3 +231,100 @@ def test_phrase_match_agrees_with_regex_oracle(spark, words, seed):
     )
     want = sum(1 for _ in pat.finditer(" " + text + " "))
     assert got.get(0, 0) == want, (phrase, text, got, want)
+
+
+def test_hashing_trick_is_linear_in_concatenation(spark):
+    """vec(A ++ B) == vec(A) + vec(B) elementwise — the linearity that
+    lets hashed features aggregate distributively (partial sums per
+    partition, exactly like any additive aggregate). Integer-exact, so
+    equality is strict."""
+    from kafka_clickhouse_ingest_pipeline_spark.functions import hashing as H
+    from pyspark.sql import functions as F
+
+    a = "alpha beta gamma delta alpha"
+    b = "beta epsilon zeta beta beta"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a + " " + b)], "doc_id long, text string"
+    )
+    tk = df.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    dim = H.hash60(F.col("term")) % 32
+    sgn = F.when(
+        H.hash60(F.concat(F.lit("s"), F.col("term"))) % 2 == 0, 1
+    ).otherwise(-1)
+    vec = {
+        (r.doc_id, r.dim): r.val
+        for r in tk.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("val"))
+        .collect()
+    }
+    for d in range(32):
+        assert vec.get((3, d), 0) == vec.get((1, d), 0) + vec.get((2, d), 0)
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
+    """The histogram quantile estimate can never be farther from the
+    type-1 exact percentile than two bin widths (the crossing bin plus
+    one neighbor under interpolation/tie effects) — the accuracy
+    contract that makes 64 bins a defensible default."""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.relational import (
+        quantile_hist_sketch_eval,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = quantile_hist_sketch_eval(spark, sf_dir).collect()
+    assert rows
+    bounds = {
+        r.l_returnflag: (r.mx - r.mn) / 64.0
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("l_returnflag"))
+        .agg(
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    for r in rows:
+        width = bounds[r.l_returnflag]
+        assert r.abs_err <= 2.0 * width + 1e-9, (
+            r.l_returnflag, r.q, r.abs_err, width,
+        )
+
+
+def test_cdc_chunks_tile_any_text(spark):
+    """Hypothesis-style sweep over adversarial texts: chunks always tile
+    the input exactly (contiguous from 1, lengths sum to len), digests
+    re-derive from the tiled substrings, and chunking is deterministic."""
+    import hashlib
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    texts = [
+        "a",
+        "x" * 7,          # shorter than the window
+        "x" * 8,          # exactly the window
+        "y" * 500,        # constant run: boundary hash constant
+        " ".join(f"t{i}" for i in range(300)),
+        "".join(chr(97 + (i * 7) % 26) for i in range(1000)),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ch = D.cdc_chunks(df, "text", "doc_id", window=8, divisor=64).collect()
+    by_doc: dict[int, list] = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(texts)))  # every non-empty doc
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.start)
+        text = texts[doc_id]
+        pos = 1
+        for r in rows:
+            assert r.start == pos and r.length >= 1
+            piece = text[r.start - 1 : r.start - 1 + r.length]
+            assert hashlib.md5(piece.encode()).hexdigest() == r.digest
+            pos += r.length
+        assert pos == len(text) + 1
