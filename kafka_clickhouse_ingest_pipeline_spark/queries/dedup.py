@@ -1407,3 +1407,79 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_cdc_savings_summary",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(range(8, ln + 1)) AS i FROM d
+    ),
+    cutpos AS (
+      SELECT p.doc_id, p.i
+      FROM pos p JOIN d ON d.doc_id = p.doc_id
+      WHERE ({{h}}) % 64 = 0
+    ),
+    cuts AS (
+      SELECT doc_id, list(i ORDER BY i) AS cuts FROM cutpos GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.doc_id, d.text, d.ln, COALESCE(c.cuts, []) AS cuts
+      FROM d LEFT JOIN cuts c ON c.doc_id = d.doc_id
+    ),
+    spans AS (
+      SELECT doc_id, text,
+             CASE WHEN j = 0 THEN 1 ELSE cuts[j] + 1 END AS s,
+             CASE WHEN j = len(cuts) THEN ln ELSE cuts[j + 1] END AS e
+      FROM (SELECT *, unnest(range(len(cuts) + 1)) AS j FROM base)
+    ),
+    chunks AS (
+      SELECT doc_id, s, e - s + 1 AS length,
+             md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT)))
+               AS digest
+      FROM spans WHERE e >= s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique_chunks,
+           CAST(SUM(length) AS BIGINT) AS total_bytes,
+           CAST(SUM(length) - SUM(CASE WHEN rn = 1 THEN length ELSE 0 END)
+                AS BIGINT) AS dup_bytes,
+           (FLOOR(((SUM(length)
+                    - SUM(CASE WHEN rn = 1 THEN length ELSE 0 END)) * 1.0
+                   / SUM(length)) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS dedup_ratio
+    FROM (
+      SELECT length, digest,
+             ROW_NUMBER() OVER (PARTITION BY digest
+                                ORDER BY doc_id, s) AS rn
+      FROM chunks
+    )
+    """.format(h=__import__(
+        "kafka_clickhouse_ingest_pipeline_spark.functions.hashing",
+        fromlist=["hash60_sql"],
+    ).hash60_sql("substr(d.text, CAST(p.i - 7 AS INT), 8)")),
+    description="C9/storage dedup dashboard: the 1-row CDC savings "
+    "summary a chunk store's capacity planning reads — total chunks, "
+    "distinct chunks, total bytes, the bytes duplicate occurrences "
+    "would NOT re-store (first-owner accounting), and the resulting "
+    "dedup ratio. Same chunking as dedup_cdc_chunks; the rollup is one "
+    "more partial aggregate.",
+)
+def dedup_cdc_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = D.cdc_chunks(docs, "text", "doc_id", window=8, divisor=64)
+    w = Window.partitionBy("digest").orderBy("doc_id", "start")
+    owned = ch.select(
+        "length", "digest", F.row_number().over(w).alias("rn")
+    )
+    first_bytes = F.sum(F.when(F.col("rn") == 1, F.col("length")).otherwise(0))
+    return owned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count_distinct("digest").cast("long").alias("n_unique_chunks"),
+        F.sum("length").cast("long").alias("total_bytes"),
+        (F.sum("length") - first_bytes).cast("long").alias("dup_bytes"),
+        round4(
+            (F.sum("length") - first_bytes) * 1.0 / F.sum("length")
+        ).alias("dedup_ratio"),
+    )
