@@ -1483,3 +1483,124 @@ def dedup_cdc_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("length") - first_bytes) * 1.0 / F.sum("length")
         ).alias("dedup_ratio"),
     )
+
+
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN sa.sig{i:02d} = sb.sig{i:02d} THEN 1 ELSE 0 END"
+    for i in range(N_MINHASH)
+)
+
+
+@query(
+    "dedup_lsh_s_curve",
+    oracle=f"""
+    WITH base AS ({_PLANTED_SQL}),
+    sig AS MATERIALIZED ({_sig_sql("SELECT * FROM base")}),
+    bands AS (
+      {_band_keys_sql("sig")}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+    ),
+    sh0 AS MATERIALIZED ({_SHINGLES_SQL.format(base="SELECT * FROM base")}),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_MAX_DF}
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    pool AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    agrees AS (
+      SELECT p.id_a, p.id_b, ({_AGREE_SQL}) AS n_agree,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS detected
+      FROM pool p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      LEFT JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
+    )
+    SELECT CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(detected) AS BIGINT) AS n_detected,
+           (FLOOR((SUM(detected) * 1.0 / COUNT(*)) * 10000.0
+                  + 0.5 + 0.000001) / 10000.0) AS detection_rate,
+           (FLOOR((1 - power(1 - power(n_agree / 16.0, 4), 4)) * 10000.0
+                  + 0.5 + 0.000001) / 10000.0) AS analytic_rate
+    FROM agrees GROUP BY n_agree ORDER BY n_agree
+    """,
+    description="C9 evaluation: the LSH banding S-curve, measured — for "
+    "every co-shingled pair (inverted index with the DF cap), bucket by "
+    "MinHash signature agreement (0-16 of 16) and report the fraction "
+    "the 4x4 banding actually surfaces next to the textbook expectation "
+    "1-(1-s^4)^4. This is the band/row tuning chart: where the "
+    "empirical curve departs from the analytic one shows how the FIXED "
+    "band layout treats pairs the random-placement model averages over. "
+    "Pool and candidates reuse the planted corpus and the exact "
+    "operators under evaluation; everything is integer counts plus one "
+    "closed-form per bucket.",
+)
+def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    sig = materialize(
+        D.minhash_signatures(docs, "text", "doc_id"), "scurve_sigs"
+    )
+    cand = materialize(
+        D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b"),
+        "scurve_cand",
+    )
+    pool = materialize(
+        D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.0, max_df=NGRAM_MAX_DF
+        ).select("id_a", "id_b"),
+        "scurve_pool",
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig{i:02d}").alias(f"a{i:02d}") for i in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig{i:02d}").alias(f"b{i:02d}") for i in range(N_MINHASH)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i:02d}") == F.col(f"b{i:02d}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    detected = F.when(F.col("c_a").isNotNull(), 1).otherwise(0)
+    agrees = (
+        pool.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(
+            cand.select(
+                F.col("id_a").alias("c_a"), F.col("id_b").alias("c_b")
+            ),
+            (F.col("id_a") == F.col("c_a")) & (F.col("id_b") == F.col("c_b")),
+            "left",
+        )
+        .select(n_agree.alias("n_agree"), detected.alias("detected"))
+    )
+    analytic = 1 - F.pow(
+        1 - F.pow(F.col("n_agree") / 16.0, F.lit(4.0)), F.lit(4.0)
+    )
+    return (
+        agrees.groupBy(F.col("n_agree").cast("long").alias("n_agree"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("detected").cast("long").alias("n_detected"),
+            round4(F.sum("detected") * 1.0 / F.count(F.lit(1))).alias(
+                "detection_rate"
+            ),
+        )
+        .select(
+            "n_agree",
+            "n_pairs",
+            "n_detected",
+            "detection_rate",
+            round4(analytic).alias("analytic_rate"),
+        )
+        .orderBy("n_agree")
+    )
