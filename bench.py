@@ -55,7 +55,6 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "ivf_kmeans_cells",
     "tumbling_window_agg",
     "session_window_agg",
     "asof_join_latest_order",
@@ -70,8 +69,6 @@ HEADLINE = [
     "pack_token_bins",
     "dedup_substring_spans",
     "dedup_semdedup_keep",
-    "dedup_incremental_new_batch",
-    "tokenize_corpus_to_ids",
     "agg_entropy_user_behavior",
     "events_gap_fill_locf",
     "split_train_valid_test",
@@ -80,25 +77,32 @@ HEADLINE = [
     "window_rolling_median",
     "agg_filtered_family",
     "user_activity_similarity",
-    # one representative per newer family (size budget — see header):
-    # sketches, retrieval, containment dedup, BPE, PQ/IVFADC, pixel
-    # decode, layout, graph, serving ANN, warehouse ops, rolling HLL
+    # one representative per newer family (size budget — see header;
+    # families whose second representative was trimmed to fit keep one:
+    # IVF via ann_ivf_topk, PQ via ivfadc_topk, sketches via hll +
+    # quantile, BPE via bpe_train_merges, incremental/containment dedup
+    # via the dedup block above, warehouse ops via ohlc, graph via
+    # label propagation, TPC-H via q3/q5/q14/q22):
+    # sketches, retrieval, BPE, PQ/IVFADC, pixel decode, layout,
+    # serving ANN, warehouse ops
     "decontaminate_bloom_eval",
     "hll_distinct_portable",
-    "cms_heavy_hitters_eval",
     "bm25_indexed_topk",
-    "dedup_containment_pairs",
     "bpe_train_merges",
-    "pq_adc_topk",
     "ivfadc_topk",
     "multimodal_jpeg_pixel_features",
     "zorder_locality_stats",
     "ann_batch_topk",
-    "pagerank_doc_quality",
-    "rolling_7d_uniques_hll",
-    "data_quality_report",
     "ohlc_hourly_bars",
-    "q10_returned_item_reporting",
+    # round-5 families: quantile sketch, MMR, CDC dedup, LTTB, WAV
+    # spectral, label propagation, hashing trick
+    "quantile_hist_sketch_eval",
+    "mmr_diverse_topk",
+    "dedup_cdc_savings_summary",
+    "lttb_downsample_hourly",
+    "multimodal_wav_spectral_features",
+    "label_propagation_communities",
+    "text_hashing_trick_vectors",
 ]
 
 
@@ -137,16 +141,22 @@ def main() -> None:
     Path(__file__).with_name("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=2) + "\n"
     )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in timings.items()},
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    # Runtime backstop for the 2000-char driver tail: if 2-decimal
+    # timings ever overflow the budget (a fleet of >100 s outliers),
+    # fall back to 1 decimal rather than emit an unparseable line.
+    for ndigits in (2, 1):
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, ndigits) for k, v in timings.items()},
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) < 1900:
+            break
     print(line)
     spark.stop()
 

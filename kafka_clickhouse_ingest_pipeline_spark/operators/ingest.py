@@ -75,6 +75,7 @@ def json_validity_gate(df: DataFrame, payload_col: str = "value") -> DataFrame:
     # below remain the semantic reference (parity pinned in
     # test_ingest.test_strict_span_kernel_matches_jvm_folds) but cost
     # ~10 struct ops per CHARACTER per row and doubled the flagship
+    # ingest query's runtime when they sat in the hot filter path
     return df.filter(
         F.try_parse_json(raw).isNotNull() & json_strict_span_udf(raw)
     )

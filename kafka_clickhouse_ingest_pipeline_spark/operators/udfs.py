@@ -162,6 +162,14 @@ def lsh_bucket_udf(vecs: pd.Series) -> pd.Series:
 
     NULL vectors and missing dims contribute 0.0 per term, mirroring the
     JVM's coalesce(get(vec, i), 0.0) — a NULL vector lands in bucket 0.
+    A NULL *element inside* a vector arrives through Arrow as NaN; it is
+    masked to 0.0 (both paths) so it contributes 0.0 per term exactly
+    like the JVM's per-element coalesce and the SQL oracle's per-element
+    COALESCE. (Arrow's pandas conversion collapses null-element and
+    literal-NaN-element to the same NaN, so a data NaN also maps to 0.0
+    here — the testdata embeddings carry no literal NaNs, and the
+    oracle's COALESCE(vec[i], 0.0) keeps a literal NaN as NaN only in a
+    column that never has one.)
     """
     from .similarity import EMB_DIM, PLANES
 
@@ -172,6 +180,7 @@ def lsh_bucket_udf(vecs: pd.Series) -> pd.Series:
     uniform = n > 0 and ls.min() == ls.max() and ls.min() >= 0
     if uniform:
         V = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)
+        V = np.nan_to_num(V, nan=0.0, posinf=np.inf, neginf=-np.inf)
         width = min(V.shape[1], EMB_DIM)
         for p, plane in enumerate(PLANES):
             acc = np.zeros(n, dtype=np.float64)
@@ -190,7 +199,10 @@ def lsh_bucket_udf(vecs: pd.Series) -> pd.Series:
             for p, plane in enumerate(PLANES):
                 acc = 0.0
                 for i in range(w):
-                    t = float(v[i])
+                    e = v[i]
+                    t = 0.0 if e is None else float(e)
+                    if t != t:  # NaN (null element via Arrow) -> 0.0
+                        t = 0.0
                     acc = acc + t if plane[i] > 0 else acc - t
                 if acc > 0:
                     b += 1 << p

@@ -3287,7 +3287,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(part_value) AS t FROM supplied)
     SELECT sp.l_partkey AS p_partkey, sp.part_value
     FROM supplied sp CROSS JOIN tot
-    WHERE sp.part_value > tot.t * 0.001
+    WHERE sp.part_value >
+          (FLOOR(tot.t * 0.001 * 10000.0 + 0.5 + 0.000001) / 10000.0)
     ORDER BY sp.part_value DESC, p_partkey
     """,
     description="C3/TPC-H Q11 shape (important stock): the parts whose "
@@ -3296,8 +3297,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table, so value is the nation's lineitem revenue per part instead "
     "of ps_supplycost*ps_availqty; the topology is Q11's: per-key "
     "aggregate, 1-row total broadcast back, threshold filter, value-"
-    "ordered output. Per-part values round4-snap before the threshold "
-    "compare on both engines.",
+    "ordered output. BOTH compare operands round4-snap — the per-part "
+    "values AND the t*0.001 threshold (t is a sum of doubles whose "
+    "engine-dependent add order can differ by ulps; snapping both sides "
+    "makes the strict > bit-identical, the Q15 equality trick).",
 )
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -3318,7 +3321,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = supplied.agg(F.sum("part_value").alias("t"))
     return (
         supplied.crossJoin(F.broadcast(tot))
-        .where(F.col("part_value") > F.col("t") * 0.001)
+        .where(F.col("part_value") > round4(F.col("t") * F.lit(0.001)))
         .select(F.col("l_partkey").alias("p_partkey"), "part_value")
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )

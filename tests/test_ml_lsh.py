@@ -344,6 +344,46 @@ def test_lsh_bucket_arrow_kernel_is_bit_identical_to_jvm_expr(spark, sf_dir):
     )
     assert cmp.where("jvm != arrow").count() == 0
 
+
+def test_lsh_bucket_arrow_kernel_null_element_parity(spark):
+    """A NULL element *inside* a vector must contribute 0.0 per term in
+    the Arrow kernel, exactly like the JVM expr's per-element
+    coalesce(get(vec, i), 0.0) — Arrow delivers it as NaN, which without
+    masking would NaN every plane sum and silently force bucket 0.
+    Covers both kernel paths: a uniform-width batch (all vectors same
+    length, some with null elements) and a ragged batch."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    base = [0.37 * ((i * 7) % 13 - 6) for i in range(S.EMB_DIM)]
+    uniform_rows = []
+    for j in range(6):
+        v = list(base)
+        v[(5 * j) % S.EMB_DIM] = None  # null element, full width
+        v[(11 * j + 3) % S.EMB_DIM] = -v[(11 * j + 3) % S.EMB_DIM] or 0.1
+        uniform_rows.append((j, v))
+    ragged_rows = [
+        (100, [1.0, None, -2.0]),  # short + null element
+        (101, [None] * S.EMB_DIM + [9.9]),  # all-null elements, over-width
+        (102, None),  # NULL vector
+        (103, [0.0] * 3),
+    ]
+    for rows in (uniform_rows, ragged_rows):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        v = S.as_double(F.col("embedding"))
+        cmp = df.select(
+            F.col("vec_id"),
+            S.lsh_bucket_expr(v).alias("jvm"),
+            S.lsh_bucket(v).alias("arrow"),
+        )
+        bad = cmp.where("jvm IS DISTINCT FROM arrow").collect()
+        assert bad == [], f"bucket mismatch rows: {bad}"
+
     edge = spark.createDataFrame(
         [
             (1, None),

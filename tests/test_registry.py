@@ -42,8 +42,12 @@ def test_bench_headline_fits_driver_tail():
     """The driver captures only the LAST 2000 chars of bench stdout and
     parses the JSON line from that tail. Round 4's 79-query line exceeded
     it and the round recorded parsed=null. Pin the pessimistic serialized
-    size (every timing rendered at 5 chars, e.g. '10.12') under budget,
-    and that every headline name resolves in the registry."""
+    size under budget — every timing budgeted at 6 chars ('100.12', a
+    >100 s outlier; sf0.1 timings are actually 0.5-2.6 s) so the guard
+    holds even with slow outlier queries, and bench.py itself re-encodes
+    at 1 decimal as a runtime backstop if the line ever exceeds the
+    budget anyway. Also pins that every headline name resolves in the
+    registry."""
     import json as _json
 
     import bench
@@ -55,9 +59,9 @@ def test_bench_headline_fits_driver_tail():
     pessimistic = _json.dumps(
         {
             "metric": "headline_queries_total",
-            "value": 123.46,
+            "value": 12345.67,
             "unit": "sec",
-            "queries": {k: 10.12 for k in bench.HEADLINE},
+            "queries": {k: 100.12 for k in bench.HEADLINE},
             "sf": 0.1,
         },
         separators=(",", ":"),
