@@ -674,6 +674,99 @@ def duplicated_spans(
     )
 
 
+def suffix_kgrams(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Sliding k-word windows with positions: (id, pos, dig) — one row
+    per word position 1..n_words-k+1, dig = md5 of the k words starting
+    there.
+
+    This is the distributed analog of a suffix array's sort keys: sorting
+    suffixes and taking adjacent-LCP≥k runs groups exactly the suffixes
+    that share their first k words, which is what grouping on the k-word
+    prefix digest does with one hash shuffle instead of a global sort.
+    The digest (fixed 32 bytes) keeps the shuffle narrow; md5's 128 bits
+    make collisions a non-event at any corpus size (vs 64-bit hashes,
+    which collide in the thousands at 10^12 kgrams).
+
+    Explodes ~n_words rows per doc (k× more than the :func:`doc_chunks`
+    grid — the price of catching UNALIGNED duplicates), same row count
+    as the shingle explode the Jaccard index already pays.
+    """
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k) + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kg = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(w, i, k))).alias("dig"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(kg).alias("s")).select(
+        F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.dig").alias("dig")
+    )
+
+
+def suffix_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    distinct_docs: bool = False,
+) -> DataFrame:
+    """TRUE exact-substring dedup detector (Lee et al. 2022, suffix-array
+    formulation): maximal duplicated word spans of length ≥ k at ANY
+    offset — (id, start_pos, end_pos, span_words), 1-based inclusive.
+
+    A duplicated span of length L ≥ k appears as L-k+1 consecutive
+    duplicated k-gram positions, so: sliding k-grams
+    (:func:`suffix_kgrams`, the suffix-prefix index) → mark positions
+    whose k-gram repeats corpus-wide (``distinct_docs=True`` demands ≥2
+    distinct documents; default counts within-doc repeats too, as Lee et
+    al. do) → merge consecutive duplicated positions per doc into
+    maximal islands (pos - row_number gaps-and-islands). Catches the
+    unaligned duplicates the :func:`doc_chunks` grid misses — a span
+    starting mid-chunk shifts every grid cell and matches nothing.
+
+    Scale shape: groupBy(dig) with map-side partial aggregation collapses
+    a boilerplate k-gram to one row per input partition BEFORE the
+    shuffle (a window-over-dig formulation would instead ship every
+    occurrence of the hot key to one task); the join back is
+    AQE-skew-splittable; the island window shuffles on doc_id and is
+    bounded by document length. No UDF anywhere.
+    """
+    kg = suffix_kgrams(df, text_col, id_col, k)
+    stats = kg.groupBy("dig").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(id_col).alias("mn_id"),
+        F.max(id_col).alias("mx_id"),
+    )
+    cond = (
+        (F.col("mn_id") != F.col("mx_id"))
+        if distinct_docs
+        else (F.col("n_occ") >= 2)
+    )
+    dup = kg.join(stats.where(cond).select("dig"), "dig").select(id_col, "pos")
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.select(
+        id_col, "pos", (F.col("pos") - F.row_number().over(wdoc)).alias("g")
+    )
+    return (
+        isl.groupBy(id_col, "g")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_pos"),
+            (F.max("pos") - F.min("pos") + F.lit(k))
+            .cast("long")
+            .alias("span_words"),
+        )
+        .drop("g")
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -657,6 +657,142 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUFFIX_KG_SQL = """
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           md5(array_to_string(w[pos:pos+4], ' ')) AS dig
+    FROM (
+      SELECT doc_id, w, unnest(range(1, len(w) - 5 + 2)) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 5
+    )
+"""
+
+
+@query(
+    "dedup_suffix_spans",
+    oracle=f"""
+    WITH k2 AS ({_SUFFIX_KG_SQL}),
+    dupd AS (SELECT dig FROM k2 GROUP BY dig HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM k2 JOIN dupd USING (dig)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM dup
+    )
+    SELECT doc_id,
+           MIN(pos) AS start_pos,
+           CAST(MAX(pos) + 4 AS BIGINT) AS end_pos,
+           CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_words
+    FROM isl GROUP BY doc_id, g
+    ORDER BY doc_id, start_pos
+    """,
+    description="C9: TRUE exact-substring dedup (Lee et al. 2022 suffix-"
+    "array formulation): maximal duplicated word spans of length ≥5 at "
+    "ANY offset — sliding 5-gram suffix prefixes, corpus-wide repeat "
+    "mark (count ≥2, within-doc repeats included), gaps-and-islands "
+    "merge of consecutive duplicated positions. Catches the unaligned "
+    "duplicates dedup_substring_spans' fixed chunk grid misses; "
+    "dedup_suffix_grid_recall_eval quantifies the gap. groupBy(digest) "
+    "partial-aggregates hot boilerplate kgrams map-side; island window "
+    "is doc-bounded.",
+)
+def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.suffix_duplicated_spans(docs, "text", "doc_id", 5).orderBy(
+        "doc_id", "start_pos"
+    )
+
+
+@query(
+    "dedup_suffix_grid_recall_eval",
+    oracle=f"""
+    WITH k2 AS ({_SUFFIX_KG_SQL}),
+    tdup AS (
+      SELECT dig FROM k2 GROUP BY dig
+      HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    truth AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM (SELECT doc_id, pos FROM k2 JOIN tdup USING (dig))
+      CROSS JOIN (SELECT unnest(range(0, 5)) AS j)
+    ),
+    g2 AS (SELECT * FROM k2 WHERE (pos - 1) % 5 = 0),
+    gdup AS (
+      SELECT dig FROM g2 GROUP BY dig
+      HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    grid AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM (SELECT doc_id, pos FROM g2 JOIN gdup USING (dig))
+      CROSS JOIN (SELECT unnest(range(0, 5)) AS j)
+    ),
+    hit AS (SELECT doc_id, p FROM grid JOIN truth USING (doc_id, p))
+    SELECT
+      CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth_pos,
+      CAST((SELECT COUNT(*) FROM grid) AS BIGINT) AS n_grid_pos,
+      CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+      (FLOOR(((SELECT COUNT(*) FROM hit) * 1.0
+              / (SELECT COUNT(*) FROM truth))
+             * 10000.0 + 0.5 + 0.000001) / 10000.0) AS grid_recall,
+      (FLOOR(((SELECT COUNT(*) FROM hit) * 1.0
+              / (SELECT COUNT(*) FROM grid))
+             * 10000.0 + 0.5 + 0.000001) / 10000.0) AS grid_precision
+    """,
+    description="C9 eval: how much duplicated text the fixed 5-word "
+    "chunk grid (dedup_substring_spans) misses vs the suffix-array "
+    "truth (dedup_suffix_spans) at the same k and the same ≥2-distinct-"
+    "docs criterion — word positions covered by each detector, their "
+    "intersection, and grid recall/precision. A grid chunk is exactly "
+    "the k-gram at an aligned offset ((pos-1)%5=0) marked duplicated "
+    "among aligned occurrences only, so grid positions ⊆ truth "
+    "positions (precision pins at 1.0) and recall is the number that "
+    "justifies paying the suffix index's k× larger explode. Linear in "
+    "corpus size (no quadratic join) but eval-grade — not a headline "
+    "query.",
+)
+def dedup_suffix_grid_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kg = D.suffix_kgrams(docs, "text", "doc_id", 5)
+    covered = F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + F.lit(4))
+    ).alias("p")
+
+    def dup_positions(frame: DataFrame) -> DataFrame:
+        dupd = (
+            frame.groupBy("dig")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .where(F.col("mn") != F.col("mx"))
+            .select("dig")
+        )
+        return (
+            frame.join(dupd, "dig")
+            .select("doc_id", covered)
+            .distinct()
+        )
+
+    truth = dup_positions(kg)
+    grid = dup_positions(kg.where((F.col("pos") - 1) % 5 == 0))
+    hit = grid.join(truth, ["doc_id", "p"])
+    n_t = truth.agg(F.count(F.lit(1)).alias("n_truth_pos"))
+    n_g = grid.agg(F.count(F.lit(1)).alias("n_grid_pos"))
+    n_h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_t.crossJoin(F.broadcast(n_g))
+        .crossJoin(F.broadcast(n_h))
+        .select(
+            "n_truth_pos",
+            "n_grid_pos",
+            "n_hit",
+            round4(F.col("n_hit") * 1.0 / F.col("n_truth_pos")).alias(
+                "grid_recall"
+            ),
+            round4(F.col("n_hit") * 1.0 / F.col("n_grid_pos")).alias(
+                "grid_precision"
+            ),
+        )
+    )
+
+
 @query(
     "dedup_substring_doc_stats",
     oracle=f"""
