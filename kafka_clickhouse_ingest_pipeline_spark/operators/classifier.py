@@ -1,0 +1,157 @@
+"""In-engine model-based quality filtering: hashed-feature logistic
+regression trained with DataFrame aggregates — no MLlib, no driver-side
+math, no UDF.
+
+Real curation pipelines score documents with a trained classifier
+(fastText-style linear models over hashed n-gram features), not rules;
+this module trains one INSIDE the engine so the whole loop — featurize,
+fit, score, filter — is Spark-native and oracle-replayable. The design
+follows the `kmeans_cells` discipline (operators/similarity.py): fixed
+iteration count, deterministic zero init, and a round4 snap on every
+cross-engine-order-sensitive float so a DuckDB CTE chain replays the
+training bit-for-bit.
+
+Scale shape: features are the hashing-trick sparse vectors (a pure
+projection + one (doc, dim) partial aggregate — no vocabulary, no fit
+step, the same plan at any corpus size); one gradient step is
+  margins  = feats ⨝ broadcast(weights)  → groupBy(doc) sum     (O(nnz))
+  gradient = feats ⨝ errors              → groupBy(dim) sum     (O(nnz))
+so an iteration is two linear passes with bounded-key shuffles; the
+weight table (n_dims+1 rows) is always broadcast and re-materialized per
+step so the lineage never replays earlier passes. Batch (full) gradient
+descent, not SGD: at 100 TB a full pass IS the efficient unit of work —
+partial aggregation does the map-side combining, and there is no
+sequential state to thread.
+
+The reference pipeline has no model scoring (it is an ingest ETL); this
+extends the curation tier mandated by SURVEY.md §2 C11. Cited pattern:
+ClickHouseRepositoryIntegrationTest.kt:110 has the reference's closest
+analog (a filtered SELECT), which rules can express but model scores
+cannot — hence this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+from ..functions.rounding import round4
+from ..plans.materialize import materialize
+
+HT_DIM = 32  # hashed feature dims; bias lives at dim == HT_DIM
+
+
+def hashed_features(
+    df: DataFrame, text_col: str, id_col: str, n_dims: int = HT_DIM
+) -> DataFrame:
+    """Hashing-trick sparse features + a bias term: (id, dim, val).
+
+    Each whitespace token lands in dimension hash(term) mod n_dims with
+    a second-hash sign (Weinberger et al. 2009), zero sums dropped;
+    every doc additionally carries (dim = n_dims, val = 1) as the bias
+    feature so the model's intercept trains through the same join path
+    as every other weight.
+    """
+    tk = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    dim = hash60(F.col("term")) % n_dims
+    sgn = F.when(
+        hash60(F.concat(F.lit("s"), F.col("term"))) % 2 == 0, 1
+    ).otherwise(-1)
+    feats = (
+        tk.select(id_col, dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy(id_col, "dim")
+        .agg(F.sum("sgn").cast("double").alias("val"))
+        .where(F.col("val") != 0)
+    )
+    bias = df.select(
+        F.col(id_col),
+        F.lit(n_dims).cast("long").alias("dim"),
+        F.lit(1.0).alias("val"),
+    )
+    return feats.select(
+        id_col, F.col("dim").cast("long").alias("dim"), "val"
+    ).unionByName(bias)
+
+
+def _sigmoid(m: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+
+
+def logreg_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    iters: int = 10,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Batch-gradient logistic regression; returns weights (dim, wt).
+
+    ``labels`` is (id, y) with y ∈ {0,1}. Deterministic and
+    engine-portable: weights init to 0.0 for every dim present in
+    ``feats``; per step the margin snaps round4 BEFORE the sigmoid (the
+    dim-sum's partial-agg order differs between engines), the
+    probability snaps round4 AFTER it (libm exp differs by ulps), and
+    the updated weight snaps round4 AFTER the lr·grad/N step (the
+    doc-sum's order differs) — so Spark and a sequential SQL replay
+    produce identical weight tables at every iteration. Errors
+    (p - y) and gradient contributions (err · val) are exact arithmetic
+    on snapped values in between.
+
+    ``feats`` and ``labels`` are materialized once up front (scanned
+    2× per iteration); the (n_dims+1)-row weight table re-materializes
+    per step so iteration i+1's plan starts from a table, not from
+    iteration i's full lineage.
+    """
+    feats = materialize(feats, "logreg_feats")
+    labels = materialize(labels, "logreg_labels")
+    n = labels.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = materialize(
+        feats.select("dim").distinct().select(
+            "dim", F.lit(0.0).alias("wt")
+        ),
+        "logreg_w0",
+    )
+    for _ in range(iters):
+        m = (
+            feats.join(F.broadcast(w), "dim")
+            .groupBy(id_col)
+            .agg(round4(F.sum(F.col("wt") * F.col("val"))).alias("m"))
+        )
+        p = m.select(id_col, round4(_sigmoid(F.col("m"))).alias("p"))
+        err = p.join(labels, id_col).select(
+            id_col, (F.col("p") - F.col("y")).alias("err")
+        )
+        g = (
+            feats.join(err, id_col)
+            .groupBy("dim")
+            .agg(F.sum(F.col("err") * F.col("val")).alias("gsum"))
+        )
+        w = materialize(
+            w.join(g, "dim")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "dim",
+                round4(
+                    F.col("wt") - F.lit(lr) * F.col("gsum") / F.col("n_docs")
+                ).alias("wt"),
+            ),
+            "logreg_w",
+        )
+    return w
+
+
+def logreg_score(
+    feats: DataFrame, weights: DataFrame, id_col: str
+) -> DataFrame:
+    """Score docs under trained weights: (id, score), score = round4
+    sigmoid of the round4 margin — same snap points as training."""
+    return (
+        feats.join(F.broadcast(weights), "dim")
+        .groupBy(id_col)
+        .agg(round4(F.sum(F.col("wt") * F.col("val"))).alias("m"))
+        .select(id_col, round4(_sigmoid(F.col("m"))).alias("score"))
+    )

@@ -887,3 +887,187 @@ def label_propagation_communities(
         .orderBy(F.col("n_members").desc(), "community")
         .limit(50)
     )
+
+
+# --- model-based quality filtering (VERDICT r5 #2) -----------------------
+
+_LOGREG_ITERS = 10
+_LOGREG_LR = 0.5
+_SPAM_OFFSET = 2_000_000
+_SPAM_EVERY = 5
+_SPAM_PHRASE = "buy cheap pills now click here "
+_SPAM_REPEATS = 4
+
+
+def _logreg_sql(iters: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) -> str:
+    """DuckDB replay of classifier.logreg_train: one CTE pair per
+    gradient step, MATERIALIZED so the chain stays linear (an inlined
+    w{i} is referenced twice per step and would expand 2^iters). Snap
+    points mirror the operator exactly: round4(margin) before the
+    sigmoid, round4(p) after it, round4(weight) after the update."""
+    from ..functions.hashing import hash60_sql
+
+    r4 = lambda x: f"(FLOOR(({x}) * 10000.0 + 0.5 + 0.000001) / 10000.0)"  # noqa: E731
+    head = f"""
+    base AS MATERIALIZED (
+      SELECT doc_id, text, 0 AS y FROM documents
+      UNION ALL
+      SELECT doc_id + {_SPAM_OFFSET} AS doc_id,
+             array_to_string(w[1:3], ' ') || ' ' ||
+             trim(repeat('{_SPAM_PHRASE}', {_SPAM_REPEATS})) AS text,
+             1 AS y
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE doc_id % {_SPAM_EVERY} = 0
+    ),
+    tk AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM base
+      ) WHERE length(term) > 0
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, ({hash60_sql('term')}) % 32 AS dim,
+             CAST(SUM(CASE WHEN ({hash60_sql("'s' || term")}) % 2 = 0
+                           THEN 1 ELSE -1 END) AS DOUBLE) AS val
+      FROM tk GROUP BY doc_id, dim
+      HAVING SUM(CASE WHEN ({hash60_sql("'s' || term")}) % 2 = 0
+                      THEN 1 ELSE -1 END) != 0
+      UNION ALL
+      SELECT doc_id, 32 AS dim, 1.0 AS val FROM base
+    ),
+    labels AS MATERIALIZED (SELECT doc_id, y FROM base),
+    cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM labels),
+    w0 AS MATERIALIZED (SELECT DISTINCT dim, 0.0 AS wt FROM feats)
+    """
+    steps = ""
+    for i in range(iters):
+        steps += f""",
+    m{i} AS (
+      SELECT f.doc_id, {r4('SUM(w.wt * f.val)')} AS m
+      FROM feats f JOIN w{i} w USING (dim) GROUP BY f.doc_id
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT doc_id, {r4('1.0 / (1.0 + exp(-m))')} AS p FROM m{i}
+    ),
+    g{i} AS (
+      SELECT f.dim, SUM((p.p - l.y) * f.val) AS gsum
+      FROM feats f JOIN p{i} p USING (doc_id) JOIN labels l USING (doc_id)
+      GROUP BY f.dim
+    ),
+    w{i + 1} AS MATERIALIZED (
+      SELECT w.dim, {r4(f'w.wt - {lr} * g.gsum / cnt.c')} AS wt
+      FROM w{i} w JOIN g{i} g USING (dim) CROSS JOIN cnt
+    )
+    """
+    return (
+        head
+        + steps
+        + f""",
+    mF AS (
+      SELECT f.doc_id, {r4('SUM(w.wt * f.val)')} AS m
+      FROM feats f JOIN w{iters} w USING (dim) GROUP BY f.doc_id
+    ),
+    sc AS (
+      SELECT doc_id, {r4('1.0 / (1.0 + exp(-m))')} AS score FROM mF
+    )
+    """
+    )
+
+
+def _quality_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (label 0) ∪ planted spam twins (label 1): every
+    {_SPAM_EVERY}th doc's first 3 words + a repeated spam phrase —
+    deterministic and expression-identical on both engines, giving the
+    hashed feature space a consistent spam direction to learn."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    bad = docs.where(F.col("doc_id") % _SPAM_EVERY == 0).select(
+        (F.col("doc_id") + _SPAM_OFFSET).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(w, 1, 3)),
+            F.lit(" "),
+            F.rtrim(F.repeat(F.lit(_SPAM_PHRASE), _SPAM_REPEATS)),
+        ).alias("text"),
+        F.lit(1).alias("y"),
+    )
+    return docs.select("doc_id", "text", F.lit(0).alias("y")).unionByName(bad)
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH {_logreg_sql()}
+    SELECT l.doc_id, CAST(l.y AS BIGINT) AS label, sc.score,
+           CAST(sc.score >= 0.5 AS INT) AS predicted
+    FROM sc JOIN labels l USING (doc_id)
+    ORDER BY doc_id
+    """,
+    description="C11/curation: MODEL-based quality filtering (VERDICT r5 "
+    f"#2) — a hashed-feature logistic classifier trained in-engine with "
+    f"{_LOGREG_ITERS} full-batch gradient steps (lr {_LOGREG_LR}, zero "
+    "init) on documents vs planted spam twins, then every doc scored "
+    "under the trained weights. Each step is two linear passes over the "
+    "sparse (doc,dim,val) features — margins via broadcast-join of the "
+    "33-row weight table, gradient via groupBy(dim) — with round4 snaps "
+    "at margin/probability/weight so the DuckDB CTE-per-step replay is "
+    "bit-identical (the kmeans_cells discipline). No MLlib, no UDF, no "
+    "driver math.",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import classifier as C
+
+    corpus = _quality_training_corpus(spark, sf_dir)
+    feats = C.hashed_features(corpus, "text", "doc_id")
+    labels = corpus.select("doc_id", "y")
+    wts = C.logreg_train(
+        feats, labels, "doc_id", iters=_LOGREG_ITERS, lr=_LOGREG_LR
+    )
+    scores = C.logreg_score(feats, wts, "doc_id")
+    return (
+        scores.join(labels, "doc_id")
+        .select(
+            "doc_id",
+            F.col("y").cast("long").alias("label"),
+            "score",
+            (F.col("score") >= 0.5).cast("int").alias("predicted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "quality_classifier_eval",
+    oracle=f"""
+    WITH {_logreg_sql()}
+    SELECT CAST(l.y AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (sc.score >= 0.5) = (l.y = 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           MIN(sc.score) AS min_score,
+           MAX(sc.score) AS max_score
+    FROM sc JOIN labels l USING (doc_id)
+    GROUP BY l.y ORDER BY label
+    """,
+    description="C11/curation eval: the separability dashboard for "
+    "quality_classifier_scores — per true label, how many docs the "
+    "trained model classifies correctly and the score range (the margin "
+    "between max clean score and min spam score is the measured class "
+    "separation). The number an operator checks before trusting the "
+    "classifier's threshold on a new corpus.",
+)
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = quality_classifier_scores(spark, sf_dir)
+    correct = F.when(
+        (F.col("score") >= 0.5) == (F.col("label") == 1), 1
+    ).otherwise(0)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("label")
+    )
