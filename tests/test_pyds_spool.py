@@ -88,13 +88,14 @@ def test_replay_between_offsets_is_deterministic(tmp_path):
     for i in range(4):
         _spool_write(spool, f"{i:04d}.spool", [f"x{i}"])
     r = pyds.SpoolStreamReader({"path": spool})
+    # legacy {"index": N} checkpoints mean partition 0 at N
     a = list(r.readBetweenOffsets({"index": 1}, {"index": 3}))
     b = list(r.readBetweenOffsets({"index": 1}, {"index": 3}))
-    assert a == b == [("x1", "0001.spool", 0), ("x2", "0002.spool", 0)]
+    assert a == b == [("x1", 0, "0001.spool", 0), ("x2", 0, "0002.spool", 0)]
     # and read(start) reports the full high-water offset
     rows, nxt = r.read({"index": 2})
-    assert nxt == {"index": 4}
-    assert [v for v, _f, _l in rows] == ["x2", "x3"]
+    assert nxt == {"parts": {"0": 4}}
+    assert [v for v, _p, _f, _l in rows] == ["x2", "x3"]
 
 
 def test_publisher_to_connector_end_to_end(spark, tmp_path):
@@ -121,3 +122,145 @@ def test_publisher_to_connector_end_to_end(spark, tmp_path):
         .collect()
     ]
     assert sorted(got) == sorted(payloads)
+
+
+# --- N-partition topic layout (VERDICT r5 #3) ----------------------------
+
+
+def test_partitioned_batch_scan_one_input_partition_per_file(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    _spool_write(os.path.join(spool, "p=0"), "0001.spool", ["a0", "b0"])
+    _spool_write(os.path.join(spool, "p=0"), "0002.spool", ["c0"])
+    _spool_write(os.path.join(spool, "p=1"), "0001.spool", ["a1"])
+    _spool_write(os.path.join(spool, "p=3"), "0001.spool", ["a3"])  # sparse
+
+    pyds.register(spark)
+    df = spark.read.format("spool").option("path", spool).load()
+    rows = {(r.value, r.part, r.spool_file, r.line_no) for r in df.collect()}
+    assert rows == {
+        ("a0", 0, "0001.spool", 0),
+        ("b0", 0, "0001.spool", 1),
+        ("c0", 0, "0002.spool", 0),
+        ("a1", 1, "0001.spool", 0),
+        ("a3", 3, "0001.spool", 0),
+    }
+    assert df.rdd.getNumPartitions() == 4  # one per file, across partitions
+
+
+def test_partitioned_offsets_order_and_replay_determinism(tmp_path):
+    """The Kafka ordering contract under a 4-partition layout: total
+    order within each partition (file sequence then line number), and
+    byte-identical global replay for a pinned (start, end) range."""
+    spool = str(tmp_path / "spool")
+    for p in range(4):
+        d = os.path.join(spool, f"p={p}")
+        _spool_write(d, "0001.spool", [f"p{p}-f1-l0", f"p{p}-f1-l1"])
+        _spool_write(d, "0002.spool", [f"p{p}-f2-l0"])
+
+    r = pyds.SpoolStreamReader({"path": spool})
+    rows, end = r.read(r.initialOffset())
+    rows = list(rows)
+    assert end == {"parts": {"0": 2, "1": 2, "2": 2, "3": 2}}
+    by_part: dict[int, list[str]] = {}
+    for v, p, _f, _l in rows:
+        by_part.setdefault(p, []).append(v)
+    for p in range(4):
+        assert by_part[p] == [f"p{p}-f1-l0", f"p{p}-f1-l1", f"p{p}-f2-l0"]
+
+    # pinned-range replay: partition 1 from file 1, partition 2 from 0
+    start = {"parts": {"0": 2, "1": 1, "2": 0, "3": 2}}
+    a = list(r.readBetweenOffsets(start, end))
+    b = list(r.readBetweenOffsets(start, end))
+    assert a == b
+    assert [v for v, *_ in a] == [
+        "p1-f2-l0",
+        "p2-f1-l0",
+        "p2-f1-l1",
+        "p2-f2-l0",
+    ]
+
+
+def test_partition_expansion_and_rebalanced_restart(spark, tmp_path):
+    """A checkpoint taken before a topic expansion must replay correctly
+    after it: the restarted stream reads only the new file in the old
+    partition AND the whole new partition (absent from the committed
+    offset map -> starts at 0), never reprocessing committed files."""
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    _spool_write(os.path.join(spool, "p=0"), "0001.spool", ["a"])
+    _spool_write(os.path.join(spool, "p=1"), "0001.spool", ["b"])
+
+    pyds.register(spark)
+
+    def run_once():
+        seen = []
+
+        def sink(df, bid):
+            seen.extend((r.value, r.part) for r in df.collect())
+
+        q = (
+            spark.readStream.format("spool")
+            .option("path", spool)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen
+
+    assert sorted(run_once()) == [("a", 0), ("b", 1)]
+    _spool_write(os.path.join(spool, "p=0"), "0002.spool", ["c"])
+    _spool_write(os.path.join(spool, "p=2"), "0001.spool", ["d"])  # expansion
+    assert sorted(run_once()) == [("c", 0), ("d", 2)]
+
+
+def test_npartition_streaming_dedup_equals_batch(spark, tmp_path):
+    """Stream-vs-batch equivalence for exact dedup over a 4-partition
+    spool: duplicates of the same payload land in DIFFERENT partitions
+    (the worst case for any per-partition shortcut — dedup state must be
+    global), and the streaming dropDuplicates over the connector agrees
+    with batch DISTINCT over the same files."""
+    from pyspark.sql import functions as F
+
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    payloads = [f"doc-{i}" for i in range(6)]
+    # copy i of doc d goes to partition (d + i) % 4
+    for d, doc in enumerate(payloads):
+        for i in range(d % 3 + 1):  # 1-3 copies per doc
+            part = (d + i) % 4
+            _spool_write(
+                os.path.join(spool, f"p={part}"),
+                f"{d:02d}{i}.spool",
+                [doc],
+            )
+
+    pyds.register(spark)
+    batch = (
+        spark.read.format("spool")
+        .option("path", spool)
+        .load()
+        .select("value")
+        .distinct()
+    )
+    seen: set[str] = set()
+
+    def sink(df, bid):
+        seen.update(r.value for r in df.collect())
+
+    q = (
+        spark.readStream.format("spool")
+        .option("path", spool)
+        .load()
+        .select("value")
+        .dropDuplicates(["value"])
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen == {r.value for r in batch.collect()} == set(payloads)
