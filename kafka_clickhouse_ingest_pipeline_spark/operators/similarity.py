@@ -544,6 +544,89 @@ def kmeans_cells(
     return assign_nearest(cvec).select(id_col, "cell", "dist_sq")
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign vectors to FROZEN centroids: (id, cell, dist_sq).
+
+    The incremental-maintenance path for the IVF index (VERDICT r5 #4):
+    a new crawl batch joins the index by assignment only — O(increment ·
+    k · dim) compute, one broadcast of k centroid vectors, no retrain —
+    the same discipline `dedup_incremental_new_batch` gives exact dedup.
+    Uses the identical argmin as kmeans_cells' assign step
+    (min(struct(round4(dist), cell)): partial-aggregable, map-side
+    combine collapses the k candidate rows per vector before the
+    shuffle), so an incremental assignment is bit-identical to what a
+    full assign pass under the same centroids would produce — and
+    because each vector's cell depends only on (vector, centroids), a
+    STREAMED increment assigns identically to a batched one (pinned by
+    test_ivf_assign_stream_equals_batch).
+
+    ``centroids`` is (cell, cv) as returned by
+    ``kmeans_cells(..., with_centroids=True)``.
+    """
+    v = as_double(F.col(vec_col))
+    corpus = emb.select(F.col(id_col), v.alias("v"))
+    d = round4(_l2sq(F.col("v"), F.col("cv")))
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(F.min(F.struct(d.alias("d"), F.col("cell"))).alias("m"))
+        .select(
+            id_col,
+            F.col("m.cell").alias("cell"),
+            F.col("m.d").alias("dist_sq"),
+        )
+    )
+
+
+def ivf_drift(
+    train_assign: DataFrame,
+    new_assign: DataFrame,
+    ratio_threshold: float = 1.5,
+) -> DataFrame:
+    """Per-cell drift dashboard: does the frozen index still fit the
+    incoming distribution, or is it time to retrain?
+
+    Compares the new batch's assignment quality against the training
+    assignment per cell: (cell, n_train, n_new, avg_train_dist,
+    avg_new_dist, drift_ratio, retrain_flag). drift_ratio =
+    avg_new/avg_train (NULL when a cell's training distance is 0 or it
+    received no new vectors); retrain_flag fires when the ratio clears
+    ``ratio_threshold`` — new vectors landing systematically farther
+    from their nearest centroid than training data did means the
+    centroids no longer tile the distribution. Aggregates only: two
+    k-row summaries joined, nothing rescanned.
+    """
+    t = train_assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        round4(F.avg("dist_sq")).alias("avg_train_dist"),
+    )
+    n = new_assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        round4(F.avg("dist_sq")).alias("avg_new_dist"),
+    )
+    joined = t.join(n, "cell", "left")
+    ratio = F.when(
+        F.col("avg_train_dist") > 0,
+        round4(F.col("avg_new_dist") / F.col("avg_train_dist")),
+    )
+    return joined.select(
+        "cell",
+        "n_train",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        "avg_train_dist",
+        "avg_new_dist",
+        ratio.alias("drift_ratio"),
+        F.coalesce(ratio > ratio_threshold, F.lit(False))
+        .cast("int")
+        .alias("retrain_flag"),
+    )
+
+
 def quantize_int8(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -578,6 +578,123 @@ def ivf_kmeans_pp_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_TRAIN_SQL = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    " AS v\n      FROM embeddings WHERE vec_id % 10 != 0"
+)
+_IVF_NEW_SQL = (
+    "newv AS (SELECT vec_id,"
+    " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+    "      FROM embeddings WHERE vec_id % 10 = 0)"
+)
+
+
+def _ivf_incremental_ctes() -> tuple[str, str, str]:
+    """Shared chain for the incremental-assign oracles: k-means trained
+    on the 90% split only, plus the held-out new batch."""
+    parts, prev, dist = _kmeans_parts(corpus_sql=_IVF_TRAIN_SQL)
+    parts.append(_IVF_NEW_SQL)
+    return ",\n    ".join(parts), prev, dist
+
+
+def _assign_sql(src: str, prev: str, dist: str) -> str:
+    return f"""(
+      SELECT vec_id, cell, dist_sq FROM (
+        SELECT c.vec_id, k.cell, {dist} AS dist_sq,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id ORDER BY {dist}, k.cell
+               ) AS rn
+        FROM {src} c CROSS JOIN {prev} k
+      ) WHERE rn = 1
+    )"""
+
+
+def _ivf_incremental_assign_sql() -> str:
+    ctes, prev, dist = _ivf_incremental_ctes()
+    return f"""
+    WITH {ctes}
+    SELECT vec_id, cell, dist_sq FROM {_assign_sql('newv', prev, dist)}
+    ORDER BY vec_id
+    """
+
+
+def _ivf_drift_sql(threshold: float = 1.5) -> str:
+    ctes, prev, dist = _ivf_incremental_ctes()
+    r4 = lambda x: f"(FLOOR(({x}) * 10000.0 + 0.5 + 0.000001) / 10000.0)"  # noqa: E731
+    ratio = (
+        "CASE WHEN avg_train_dist > 0 THEN "
+        + r4("avg_new_dist / avg_train_dist")
+        + " END"
+    )
+    return f"""
+    WITH {ctes},
+    trainasg AS {_assign_sql('corpus', prev, dist)},
+    newasg AS {_assign_sql('newv', prev, dist)},
+    t AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_train,
+             {r4('AVG(dist_sq)')} AS avg_train_dist
+      FROM trainasg GROUP BY cell
+    ),
+    n AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new,
+             {r4('AVG(dist_sq)')} AS avg_new_dist
+      FROM newasg GROUP BY cell
+    )
+    SELECT t.cell, n_train,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+           avg_train_dist, avg_new_dist,
+           {ratio} AS drift_ratio,
+           CAST(COALESCE(({ratio}) > {threshold}, FALSE) AS INT)
+             AS retrain_flag
+    FROM t LEFT JOIN n USING (cell)
+    ORDER BY cell
+    """
+
+
+@query(
+    "ivf_incremental_assign",
+    oracle=_ivf_incremental_assign_sql(),
+    description="C10/IVF incremental maintenance (VERDICT r5 #4): the "
+    "index is trained once on the 90% split (vec_id%10!=0, the same "
+    "k=8/2-round k-means as ivf_kmeans_cells) and a new crawl batch "
+    "(the held-out 10%) joins by ASSIGNMENT ONLY — one broadcast of the "
+    "8 frozen centroid vectors, O(increment·k·dim) compute, no retrain. "
+    "Assignment reuses kmeans_cells' partial-aggregable argmin "
+    "(min(struct(round4(dist), cell))), so the incremental result is "
+    "bit-identical to a full assign pass, and streamed increments equal "
+    "batched ones (stateless per vector; pinned by test).",
+)
+def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 10 != 0)
+    new = emb.where(F.col("vec_id") % 10 == 0)
+    _asg, cents = S.kmeans_cells(train, k=8, iters=2, with_centroids=True)
+    return S.ivf_assign(new, cents).orderBy("vec_id")
+
+
+@query(
+    "ivf_drift_metric",
+    oracle=_ivf_drift_sql(),
+    description="C10/IVF incremental maintenance, the retrain signal: "
+    "per cell, the new batch's assignment quality vs the training "
+    "assignment — counts, round4 mean distances, drift_ratio "
+    "(avg_new/avg_train, NULL for zero-distance or new-vector-free "
+    "cells) and retrain_flag (ratio > 1.5: new vectors land "
+    "systematically farther from their nearest centroid than training "
+    "data did, i.e. the frozen centroids no longer tile the incoming "
+    "distribution). Two k-row aggregates joined — nothing rescanned.",
+)
+def ivf_drift_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 10 != 0)
+    new = emb.where(F.col("vec_id") % 10 == 0)
+    asg, cents = S.kmeans_cells(train, k=8, iters=2, with_centroids=True)
+    newasg = S.ivf_assign(new, cents)
+    return S.ivf_drift(
+        asg.select("vec_id", "cell", "dist_sq"), newasg
+    ).orderBy("cell")
+
+
 @query(
     "ann_recall_eval",
     oracle=f"""
