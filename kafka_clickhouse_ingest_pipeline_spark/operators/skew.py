@@ -78,3 +78,40 @@ def bucketed_join(
     """Join two co-bucketed tables; with matching bucketing the plan shows
     no Exchange on either side (asserted in tests/test_skew.py)."""
     return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    force: str | None = "merge",
+) -> DataFrame:
+    """Explicit skew-join mitigation: salt the hot side, replicate the
+    other.
+
+    AQE's skew split (asserted live in tests/test_skew.py) is the
+    no-code-change path, but it only acts AFTER a skewed shuffle
+    partition has been written; explicit salting prevents the hot
+    partition from ever existing — the right choice when the hot keys
+    are known (a planted boilerplate user, a null-key default) or the
+    join sits under an operator AQE can't rewrite. Each left row gets a
+    per-row salt (monotonic id mod n_salts — consecutive rows of a hot
+    key spread even within one input partition); the right side is
+    replicated n_salts× via one explode, so the join key becomes
+    (key, salt) and a key that filled one reducer now fills n_salts.
+    Exact for inner joins: every (l, r) match survives under exactly
+    one salt. Cost: right side shuffles n_salts× its size — use where
+    right is the small-but-not-broadcastable side.
+
+    ``force="merge"`` hints SMJ so the demonstration cannot silently
+    degrade to a broadcast (where salting would be a no-op); pass None
+    to let the planner choose.
+    """
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    l = left.withColumn("_salt", salt.cast("int"))
+    salts = F.array([F.lit(i) for i in range(n_salts)])
+    r = right.withColumn("_salt", F.explode(salts))
+    if force:
+        r = r.hint(force)
+    return l.join(r, [on, "_salt"]).drop("_salt")

@@ -402,3 +402,55 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@query(
+    "skew_join_topk",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN event_id % 5 = 0 THEN 1 ELSE user_id END AS user_id,
+             value
+      FROM events
+    )
+    SELECT c.c_custkey AS user_id, c.c_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (FLOOR(SUM(e.value) * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS sum_value
+    FROM ev e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY n_events DESC, user_id
+    LIMIT 10
+    """,
+    description="C3/skew (VERDICT r5 #6): fact-to-dim join under a "
+    "PLANTED hot key — every 5th event is remapped to user 1 (~20% of "
+    "the fact table on one join key) and the join runs through "
+    "operators/skew.salted_join: per-row salt on the fact side, the dim "
+    "side replicated n_salts x via one explode, SMJ forced by hint so "
+    "the demo can't degrade to broadcast. The hot key's rows spread "
+    "over 8 (key, salt) reducers instead of one; the oracle proves the "
+    "salted plan is EXACT (same top-10 as a plain join). AQE's runtime "
+    "skew split is the no-code alternative, asserted live in "
+    "tests/test_skew.py.",
+)
+def skew_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew as SK
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 5 == 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "value",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    joined = SK.salted_join(ev, cust, "user_id", n_salts=8)
+    return (
+        joined.groupBy("user_id", "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            round4(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(10)
+    )
