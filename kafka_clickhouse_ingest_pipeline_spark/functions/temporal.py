@@ -18,8 +18,17 @@ def epoch_ms(col: Column | str) -> Column:
 
     floor(µs/1000) is exact: when µs/1000 is an integer it is < 2^53 and
     representable, so the double division cannot round across the floor.
+
+    WALL-CLOCK based, i.e. TZ-invariant (round-6 hardening): testdata
+    timestamps are TZ-naive walls that DuckDB's epoch_us reads as-is,
+    but Spark's ntz→timestamp load shifts the instant by the session
+    offset. from_utc_timestamp(ts, current_timezone()) adds that offset
+    back, so the exported epoch equals the oracle's naive epoch under
+    ANY session timezone — and is the identity (bit-for-bit, same
+    value) under the pinned-UTC session the hash contract uses.
     """
     c = F.col(col) if isinstance(col, str) else col
+    c = F.from_utc_timestamp(c, F.current_timezone())
     return F.floor(F.unix_micros(c) / F.lit(1000)).cast("long")
 
 

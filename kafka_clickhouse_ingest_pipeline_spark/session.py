@@ -61,4 +61,13 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Variant-gate hook (ANSI / timezone hardening): semicolon-separated
+    # k=v pairs applied LAST, so they override the defaults above. Lets
+    # tools/check_correctness.py run the whole gate under e.g.
+    # spark.sql.ansi.enabled=false or a non-UTC session timeZone without
+    # touching call sites.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

@@ -14,6 +14,30 @@ executed for real against embedded Derby (the JDBC database Spark ships
 for its metastore) in tests/test_jdbc_derby.py — batched INSERTs, NULL
 round-trip, and the streaming foreachBatch seam all run through an
 actual JDBC driver; only the dialect differs from production.
+
+ClickHouse dialect quirks to expect when swapping the URL for a real
+clickhouse-jdbc driver (none of which change this module's options):
+- **No transactions**: commit/rollback are no-ops; `isolationLevel=NONE`
+  below is therefore mandatory, not a tuning choice — Spark would
+  otherwise call setTransactionIsolation and some driver versions throw.
+  Exactly-once must come from the batch ledger / ReplacingMergeTree
+  dedup, never from rollback (the reference's executeBatch is likewise
+  fire-and-forget, ClickHouseRepository.kt:77-79).
+- **Batch rewriting lives in the driver**: clickhouse-jdbc converts
+  addBatch/executeBatch into its native block insert (the analog of
+  MySQL's `rewriteBatchedStatements=true` — no extra option needed);
+  `batchsize` here only sizes the blocks handed to it. Bigger blocks
+  (10k-100k rows) are idiomatic for ClickHouse; 100 mirrors the
+  reference's application.yml:53.
+- **Async inserts / dedup windows**: server-side
+  `async_insert`/`insert_deduplicate` settings change visibility and
+  retry semantics; pass them via the JDBC URL query string, not Spark
+  options.
+- **Type mapping**: ClickHouse `DateTime` has second granularity
+  (`DateTime64` for sub-second — the reference's schema uses DateTime,
+  init-db.sh:25), `String` is unbounded (no CLOB split), and
+  `Nullable(T)` must be declared in the sink DDL for the NULL
+  round-trip this module's Derby tests pin.
 """
 
 from __future__ import annotations
