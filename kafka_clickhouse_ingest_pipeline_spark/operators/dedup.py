@@ -767,6 +767,85 @@ def suffix_duplicated_spans(
     )
 
 
+def remove_suffix_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Suffix-based exact-substring dedup ACTION (Lee et al. 2022): for
+    every k-gram that repeats corpus-wide, only its FIRST occurrence
+    (min (doc, pos)) keeps the words it covers; every word position
+    covered by a later occurrence is cut, and each document's text is
+    rebuilt from the surviving words. The suffix-index counterpart of
+    :func:`remove_duplicate_spans` — it cuts duplicated text at ANY
+    offset, not just on the chunk grid, because the k-gram index is the
+    sliding one (:func:`suffix_kgrams`).
+
+    Scale shape mirrors the detector's: keeper election is a
+    partial-aggregated groupBy(dig) (count + min(struct(id, pos)) — a
+    boilerplate k-gram collapses map-side, never a window's
+    full-exchange), the cut-position join is AQE-skew-splittable, and
+    the rebuild's collect_list is bounded by document length. Overlapping
+    cut occurrences union through one distinct on (id, position).
+
+    EVERY input doc appears exactly once: fully-duplicated docs come
+    back n_kept = 0 / text_deduped = '' (emptied, never dropped — the
+    r4 lesson), untouched docs come back verbatim.
+
+    Returns (id, n_words, n_kept, text_deduped).
+    """
+    kg = suffix_kgrams(df, text_col, id_col, k)
+    stats = kg.groupBy("dig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(
+            F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))
+        ).alias("keeper"),
+    )
+    cut = (
+        kg.join(stats.where(F.col("n") >= 2), "dig")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("keeper.kid"))
+                & (F.col("pos") == F.col("keeper.kpos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    covered = cut.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("p"),
+    ).distinct()
+    words = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("widx", "word"),
+    ).select(id_col, (F.col("widx") + 1).cast("long").alias("p"), "word")
+    kept = words.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("text_deduped"),
+    )
+    totals = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words")
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str,

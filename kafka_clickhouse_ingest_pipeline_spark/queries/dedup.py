@@ -704,6 +704,69 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_suffix_remove",
+    oracle=f"""
+    WITH k2 AS ({_SUFFIX_KG_SQL}),
+    cut AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY dig ORDER BY doc_id, pos
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY dig) AS n
+        FROM k2
+      ) WHERE n >= 2 AND rn > 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM cut CROSS JOIN (SELECT unnest(range(0, 5)) AS j)
+    ),
+    words AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS word
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+    ),
+    kept AS (
+      SELECT wd.doc_id, wd.p, wd.word FROM words wd
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov
+        WHERE cov.doc_id = wd.doc_id AND cov.p = wd.p
+      )
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(t.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(kk.txt, '') AS text_deduped
+    FROM documents b
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id
+    ) t USING (doc_id)
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY p) AS txt
+      FROM kept GROUP BY doc_id
+    ) kk USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    description="C9: suffix-based exact-substring dedup ACTION (Lee et "
+    "al. 2022) — every corpus-repeated 5-gram keeps only its first "
+    "(doc, pos) occurrence; word positions covered by later occurrences "
+    "are cut at ANY offset (not just the chunk grid) and each document "
+    "is rebuilt from its surviving words. Keeper election is a "
+    "partial-aggregated groupBy(digest) (hot boilerplate collapses "
+    "map-side); every input doc returns exactly once (fully-duplicated "
+    "docs emptied, never dropped).",
+)
+def dedup_suffix_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.remove_suffix_duplicate_spans(docs, "text", "doc_id", 5).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "dedup_suffix_grid_recall_eval",
     oracle=f"""
     WITH k2 AS ({_SUFFIX_KG_SQL}),

@@ -531,3 +531,92 @@ def test_logreg_gradient_step_matches_closed_form(spark):
         .collect()
     }
     assert w == {0: 0.25, 32: 0.0}
+
+
+def test_suffix_remove_cuts_later_occurrence_at_any_offset(spark):
+    """The remove action under an UNALIGNED duplicate: doc 1 owns the
+    shared 10-word run (first (doc,pos) occurrence), doc 2 carries it
+    shifted by two words — the grid-based rewrite can't see it, the
+    suffix-based one cuts exactly those 10 words from doc 2 and leaves
+    its unique words intact. An exact full-duplicate doc comes back
+    emptied, never dropped."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    shared = "q w e r t y u i o p"  # 10 words
+    rows = [
+        (1, shared + " alpha beta"),
+        (2, "xx yy " + shared + " gamma"),
+        (3, shared + " alpha beta"),  # exact duplicate of doc 1
+        (4, "totally unrelated words live here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_words, r.n_kept, r.text_deduped)
+        for r in D.remove_suffix_duplicate_spans(
+            df, "text", "doc_id", 5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == (12, 12, shared + " alpha beta")  # first owner keeps
+    assert out[2] == (13, 3, "xx yy gamma")  # shifted copy cut
+    assert out[3] == (12, 0, "")  # full duplicate emptied, not dropped
+    assert out[4] == (6, 6, "totally unrelated words live here now")
+
+
+def test_quality_scoring_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Model SCORING is stateless under frozen weights, so a document
+    stream scored micro-batch by micro-batch must produce exactly the
+    batch scores — the property that lets the trained quality filter sit
+    in the ingest path (score-at-ingest) instead of re-scanning the
+    corpus."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import (
+        classifier as C,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
+        _LOGREG_ITERS,
+        _LOGREG_LR,
+        _quality_training_corpus,
+    )
+
+    corpus = _quality_training_corpus(spark, sf_dir)
+    feats = C.hashed_features(corpus, "text", "doc_id")
+    labels = corpus.select("doc_id", "y")
+    wts = C.logreg_train(
+        feats, labels, "doc_id", iters=_LOGREG_ITERS, lr=_LOGREG_LR
+    )
+    # freeze the trained weights as literal rows (no lineage replay)
+    wts = spark.createDataFrame(wts.collect(), schema=wts.schema)
+
+    docs = corpus.select("doc_id", "text")
+    batch = {
+        r.doc_id: r.score
+        for r in C.logreg_score(
+            C.hashed_features(docs, "text", "doc_id"), wts, "doc_id"
+        ).collect()
+    }
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    docs.repartition(3).write.parquet(src)
+    streamed: dict[int, float] = {}
+
+    def sink(df, bid):
+        scored = C.logreg_score(
+            C.hashed_features(df, "text", "doc_id"), wts, "doc_id"
+        )
+        for r in scored.collect():
+            streamed[r.doc_id] = r.score
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert streamed == batch and len(batch) > 0
