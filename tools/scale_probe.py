@@ -58,6 +58,16 @@ PROBES = [
     ("ann_batch_topk", "batched multi-probe ANN + window rank", None),
     # round 5: Heaps-law curve — first-owner vocab + 10-row checkpoint grid
     ("vocab_growth_heaps", "vocabulary growth curve (first-owner)", None),
+    # round 6: the suffix index (sliding kgrams, k x the chunk grid's
+    # rows — the perturbation keeps cross-copy kgrams distinct so the
+    # duplicate structure stays constant), its remove action (adds the
+    # word-rebuild), the 10-step in-engine classifier (fixed iteration
+    # count -> cost = iters x 2 linear passes; small scales measure the
+    # per-step job overhead floor), and frozen-centroid IVF assignment
+    ("dedup_suffix_spans", "suffix-array span detector (kgram groupBy)", None),
+    ("dedup_suffix_remove", "suffix dedup rewrite (cut + rebuild)", None),
+    ("quality_classifier_scores", "logreg train+score (10 fixed steps)", None),
+    ("ivf_incremental_assign", "frozen-centroid IVF assign (broadcast)", None),
 ]
 
 
