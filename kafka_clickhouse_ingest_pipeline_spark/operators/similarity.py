@@ -598,7 +598,11 @@ def ivf_drift(
     received no new vectors); retrain_flag fires when the ratio clears
     ``ratio_threshold`` — new vectors landing systematically farther
     from their nearest centroid than training data did means the
-    centroids no longer tile the distribution. Aggregates only: two
+    centroids no longer tile the distribution. FULL outer join: a cell
+    whose training membership emptied (reseed edge) but that received
+    new vectors still surfaces — with n_train = 0 it carries no
+    baseline, so drift_ratio is NULL, and a planner should read the
+    bare n_new count as its own retrain signal. Aggregates only: two
     k-row summaries joined, nothing rescanned.
     """
     t = train_assign.groupBy("cell").agg(
@@ -609,14 +613,14 @@ def ivf_drift(
         F.count(F.lit(1)).cast("long").alias("n_new"),
         round4(F.avg("dist_sq")).alias("avg_new_dist"),
     )
-    joined = t.join(n, "cell", "left")
+    joined = t.join(n, "cell", "full_outer")
     ratio = F.when(
         F.col("avg_train_dist") > 0,
         round4(F.col("avg_new_dist") / F.col("avg_train_dist")),
     )
     return joined.select(
         "cell",
-        "n_train",
+        F.coalesce("n_train", F.lit(0)).cast("long").alias("n_train"),
         F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
         "avg_train_dist",
         "avg_new_dist",

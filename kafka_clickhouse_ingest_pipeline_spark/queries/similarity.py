@@ -640,13 +640,14 @@ def _ivf_drift_sql(threshold: float = 1.5) -> str:
              {r4('AVG(dist_sq)')} AS avg_new_dist
       FROM newasg GROUP BY cell
     )
-    SELECT t.cell, n_train,
+    SELECT cell,
+           CAST(COALESCE(n_train, 0) AS BIGINT) AS n_train,
            CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
            avg_train_dist, avg_new_dist,
            {ratio} AS drift_ratio,
            CAST(COALESCE(({ratio}) > {threshold}, FALSE) AS INT)
              AS retrain_flag
-    FROM t LEFT JOIN n USING (cell)
+    FROM t FULL JOIN n USING (cell)
     ORDER BY cell
     """
 

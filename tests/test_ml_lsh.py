@@ -450,3 +450,30 @@ def test_ivf_assign_stream_equals_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(180)
     assert streamed == batch and len(batch) > 0
+
+
+def test_ivf_drift_surfaces_new_only_cells(spark):
+    """A cell with zero training members but incoming new vectors must
+    still appear in the drift dashboard (full outer join) — with no
+    baseline its drift_ratio is NULL and the flag stays down; the bare
+    n_new count is the planner's signal."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    train = spark.createDataFrame(
+        [(1, 0, 0.25), (2, 0, 0.3501), (3, 1, 0.0)],
+        "vec_id long, cell int, dist_sq double",
+    )
+    new = spark.createDataFrame(
+        [(10, 0, 0.9001), (11, 2, 0.5)],  # cell 2 never trained
+        "vec_id long, cell int, dist_sq double",
+    )
+    rows = {r.cell: r for r in S.ivf_drift(train, new).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[2].n_train == 0 and rows[2].n_new == 1
+    assert rows[2].drift_ratio is None and rows[2].retrain_flag == 0
+    # cell 0: avg_train 0.3001 (round4 of mean), avg_new 0.9001 -> 3.0x
+    assert rows[0].retrain_flag == 1
+    # cell 1: zero training distance -> NULL ratio, flag down
+    assert rows[1].drift_ratio is None and rows[1].retrain_flag == 0
