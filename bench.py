@@ -95,14 +95,20 @@ HEADLINE = [
     "ann_batch_topk",
     "ohlc_hourly_bars",
     # round-5 families: quantile sketch, MMR, CDC dedup, LTTB, WAV
-    # spectral, label propagation, hashing trick
+    # spectral, label propagation
     "quantile_hist_sketch_eval",
     "mmr_diverse_topk",
     "dedup_cdc_savings_summary",
     "lttb_downsample_hourly",
     "multimodal_wav_spectral_features",
     "label_propagation_communities",
-    "text_hashing_trick_vectors",
+    # round-6 families: in-engine classifier (train+score subsumes the
+    # hashing-trick featurizer, its former representative) and the
+    # salted skew join; suffix dedup rides under the substring family
+    # (dedup_substring_spans) and incremental IVF under the IVF reps
+    # (ann_ivf_topk / ivfadc_topk) — the driver-tail budget caps keys
+    "quality_classifier_scores",
+    "skew_join_topk",
 ]
 
 

@@ -23,9 +23,16 @@ def epoch_ms(col: Column | str) -> Column:
     timestamps are TZ-naive walls that DuckDB's epoch_us reads as-is,
     but Spark's ntz→timestamp load shifts the instant by the session
     offset. from_utc_timestamp(ts, current_timezone()) adds that offset
-    back, so the exported epoch equals the oracle's naive epoch under
-    ANY session timezone — and is the identity (bit-for-bit, same
-    value) under the pinned-UTC session the hash contract uses.
+    back, so the exported epoch equals the oracle's naive epoch for
+    every wall clock that EXISTS in the session zone — and is the
+    identity (bit-for-bit, same value) under the pinned-UTC session the
+    hash contract uses. Caveat: a wall inside a DST spring-forward gap
+    (e.g. 02:30 on the America/New_York switch day) does not exist in
+    that zone; the ntz load maps it an hour forward and this recovery
+    keeps that shifted wall, diverging from the naive epoch by the gap
+    width. Data carrying such walls needs the UTC session (the pinned
+    contract) or a TIMESTAMP_NTZ pipeline end-to-end; the testdata
+    (January 2024) contains none.
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.from_utc_timestamp(c, F.current_timezone())

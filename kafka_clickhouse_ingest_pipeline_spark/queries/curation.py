@@ -893,7 +893,6 @@ def label_propagation_communities(
 
 _LOGREG_ITERS = 10
 _LOGREG_LR = 0.5
-_SPAM_OFFSET = 2_000_000
 _SPAM_EVERY = 5
 _SPAM_PHRASE = "buy cheap pills now click here "
 _SPAM_REPEATS = 4
@@ -907,12 +906,12 @@ def _logreg_sql(iters: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) -> str:
     sigmoid, round4(p) after it, round4(weight) after the update."""
     from ..functions.hashing import hash60_sql
 
-    r4 = lambda x: f"(FLOOR(({x}) * 10000.0 + 0.5 + 0.000001) / 10000.0)"  # noqa: E731
+    r4 = round4_sql
     head = f"""
     base AS MATERIALIZED (
       SELECT doc_id, text, 0 AS y FROM documents
       UNION ALL
-      SELECT doc_id + {_SPAM_OFFSET} AS doc_id,
+      SELECT -(doc_id + 1) AS doc_id,
              array_to_string(w[1:3], ' ') || ' ' ||
              trim(repeat('{_SPAM_PHRASE}', {_SPAM_REPEATS})) AS text,
              1 AS y
@@ -979,11 +978,14 @@ def _quality_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents (label 0) ∪ planted spam twins (label 1): every
     {_SPAM_EVERY}th doc's first 3 words + a repeated spam phrase —
     deterministic and expression-identical on both engines, giving the
-    hashed feature space a consistent spam direction to learn."""
+    hashed feature space a consistent spam direction to learn. Twin ids
+    are -(doc_id + 1): negative, so they can NEVER collide with a real
+    doc_id at any corpus size (a fixed positive offset collides as soon
+    as ids reach it — the scale probe's id-strided copies do)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w = F.split(F.col("text"), " ")
     bad = docs.where(F.col("doc_id") % _SPAM_EVERY == 0).select(
-        (F.col("doc_id") + _SPAM_OFFSET).alias("doc_id"),
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
         F.concat(
             F.concat_ws(" ", F.slice(w, 1, 3)),
             F.lit(" "),

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60_sql
-from ..functions.rounding import round4
+from ..functions.rounding import round4, round4_sql
 from ..operators import similarity as S
 from ..plans.materialize import materialize
 from ..registry import query
@@ -620,7 +620,7 @@ def _ivf_incremental_assign_sql() -> str:
 
 def _ivf_drift_sql(threshold: float = 1.5) -> str:
     ctes, prev, dist = _ivf_incremental_ctes()
-    r4 = lambda x: f"(FLOOR(({x}) * 10000.0 + 0.5 + 0.000001) / 10000.0)"  # noqa: E731
+    r4 = round4_sql
     ratio = (
         "CASE WHEN avg_train_dist > 0 THEN "
         + r4("avg_new_dist / avg_train_dist")

@@ -170,7 +170,23 @@ class SpoolStreamReader(SimpleDataSourceStreamReader):
         committed = _normalize_offset(start)
         rows = []
         end: dict[str, int] = dict(committed)
-        for p, d in sorted(_list_parts(self.path).items()):
+        parts = _list_parts(self.path)
+        for key, n in committed.items():
+            p = int(key)
+            if n > 0 and (
+                p not in parts or len(_list_spool(parts[p])) < n
+            ):
+                # Retention violation: committed files vanished. Failing
+                # loudly is the Kafka OffsetOutOfRange contract — the
+                # alternative is an end offset that silently regresses
+                # below the committed one, corrupting the monotonic
+                # offset sequence the checkpoint depends on.
+                raise ValueError(
+                    f"spool partition {p}: committed offset {n} exceeds "
+                    "visible files — spool files were removed behind a "
+                    "checkpoint (retention violation)"
+                )
+        for p, d in sorted(parts.items()):
             files = _list_spool(d)
             i0 = committed.get(str(p), 0)
             for f in files[i0:]:
@@ -184,10 +200,20 @@ class SpoolStreamReader(SimpleDataSourceStreamReader):
         parts = _list_parts(self.path)
         for key in sorted(e, key=int):
             p = int(key)
-            if p not in parts:
-                continue
-            files = _list_spool(parts[p])
-            for f in files[s.get(key, 0) : e[key]]:
+            want = e[key]
+            files = _list_spool(parts[p]) if p in parts else []
+            if len(files) < want:
+                # Replaying a committed range against fewer files than
+                # the end offset recorded means data the batch already
+                # processed is gone — dropping it silently would violate
+                # the byte-identical replay contract, so fail like
+                # Kafka's OffsetOutOfRange does.
+                raise ValueError(
+                    f"spool partition {p}: replay needs {want} files, "
+                    f"only {len(files)} visible — spool files were "
+                    "removed behind a checkpoint (retention violation)"
+                )
+            for f in files[s.get(key, 0) : want]:
                 yield from _read_file(f, p)
 
 

@@ -344,6 +344,25 @@ def test_lsh_bucket_arrow_kernel_is_bit_identical_to_jvm_expr(spark, sf_dir):
     )
     assert cmp.where("jvm != arrow").count() == 0
 
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, [0.5] * 3),  # short: dims 3..63 coalesce to 0
+            (3, [-0.25] * 70),  # long: dims past EMB_DIM ignored
+            (4, [0.0] * 64),  # all-zero: every plane sum 0 -> bucket 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = edge.select(
+        "vec_id",
+        S.lsh_bucket_expr(F.col("embedding")).alias("jvm"),
+        S.lsh_bucket(F.col("embedding")).alias("arrow"),
+    ).collect()
+    for r in rows:
+        assert r.jvm == r.arrow, r
+    byid = {r.vec_id: r for r in rows}
+    assert byid[1].arrow == 0 and byid[4].arrow == 0
+
 
 def test_lsh_bucket_arrow_kernel_null_element_parity(spark):
     """A NULL element *inside* a vector must contribute 0.0 per term in
@@ -383,25 +402,6 @@ def test_lsh_bucket_arrow_kernel_null_element_parity(spark):
         )
         bad = cmp.where("jvm IS DISTINCT FROM arrow").collect()
         assert bad == [], f"bucket mismatch rows: {bad}"
-
-    edge = spark.createDataFrame(
-        [
-            (1, None),
-            (2, [0.5] * 3),  # short: dims 3..63 coalesce to 0
-            (3, [-0.25] * 70),  # long: dims past EMB_DIM ignored
-            (4, [0.0] * 64),  # all-zero: every plane sum 0 -> bucket 0
-        ],
-        "vec_id long, embedding array<double>",
-    )
-    rows = edge.select(
-        "vec_id",
-        S.lsh_bucket_expr(F.col("embedding")).alias("jvm"),
-        S.lsh_bucket(F.col("embedding")).alias("arrow"),
-    ).collect()
-    for r in rows:
-        assert r.jvm == r.arrow, r
-    byid = {r.vec_id: r for r in rows}
-    assert byid[1].arrow == 0 and byid[4].arrow == 0
 
 
 def test_ivf_assign_stream_equals_batch(spark, sf_dir, tmp_path):

@@ -264,3 +264,32 @@ def test_npartition_streaming_dedup_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert seen == {r.value for r in batch.collect()} == set(payloads)
+
+
+def test_retention_violation_fails_loudly(tmp_path):
+    """Committed spool files vanishing behind a checkpoint must raise
+    (Kafka's OffsetOutOfRange contract), never silently drop rows from a
+    replay or regress the end offset below the committed one."""
+    import pytest
+
+    spool = str(tmp_path / "spool")
+    for p in range(2):
+        d = os.path.join(spool, f"p={p}")
+        _spool_write(d, "0001.spool", [f"p{p}a"])
+        _spool_write(d, "0002.spool", [f"p{p}b"])
+    r = pyds.SpoolStreamReader({"path": spool})
+    _rows, end = r.read(r.initialOffset())
+    assert end == {"parts": {"0": 2, "1": 2}}
+
+    os.remove(os.path.join(spool, "p=1", "0002.spool"))
+    with pytest.raises(ValueError, match="retention violation"):
+        list(r.readBetweenOffsets({"parts": {"0": 0, "1": 0}}, end))
+    with pytest.raises(ValueError, match="retention violation"):
+        r.read(end)
+
+    # an entire committed partition directory vanishing is the same error
+    import shutil
+
+    shutil.rmtree(os.path.join(spool, "p=1"))
+    with pytest.raises(ValueError, match="retention violation"):
+        list(r.readBetweenOffsets({"parts": {"1": 0}}, {"parts": {"1": 1}}))
