@@ -1073,3 +1073,80 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "graph_triangle_counts",
+    oracle=f"""
+    WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    edges AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id AS src, (doc_id * {a} + {b}) % nn.n AS dst "
+          f"FROM documents, nn WHERE doc_id % {_PR_DANGLING_MOD} != 0"
+          for a, b in _PR_EDGE_MULTS
+      )}
+      UNION ALL
+      SELECT doc_id AS src, doc_id + 1 AS dst FROM documents, nn
+      WHERE doc_id % 5 != 4 AND doc_id + 1 < nn.n
+      UNION ALL
+      SELECT doc_id AS src, doc_id + 2 AS dst FROM documents, nn
+      WHERE doc_id % 5 < 3 AND doc_id + 2 < nn.n
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges WHERE src != dst
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, n_triangles FROM pn
+    ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+    description="C-graph: per-document triangle participation over the "
+    "citation graph (affine edges) plus deterministic 5-doc "
+    "neighborhood edges (ring + chord — the community structure that "
+    "makes triangles exist). Spark side uses the Suri-Vassilvitskii "
+    "degree-ordered orientation so hub nodes generate no wedges "
+    "(O(|E|^1.5) total work); the oracle counts the SAME triangles via "
+    "the simpler id-ordered formulation — orientation is a performance "
+    "device, not semantics. Triangle density is the link-graph "
+    "cohesion signal crawl curation reads next to PageRank.",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    cite = None
+    for a, b in _PR_EDGE_MULTS:
+        e = docs.where(F.col("doc_id") % _PR_DANGLING_MOD != 0).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        cite = e if cite is None else cite.unionAll(e)
+    ring = docs.where(
+        (F.col("doc_id") % 5 != 4) & (F.col("doc_id") + 1 < n)
+    ).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    chord = docs.where(
+        (F.col("doc_id") % 5 < 3) & (F.col("doc_id") + 2 < n)
+    ).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst")
+    )
+    edges = cite.unionAll(ring).unionAll(chord)
+    return (
+        triangle_counts(edges)
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )

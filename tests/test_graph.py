@@ -99,3 +99,33 @@ def test_label_propagation_is_deterministic_across_runs(spark, sf_dir):
     b = [tuple(r) for r in label_propagation_communities(spark, sf_dir).collect()]
     assert a == b
     assert len(a) > 0
+
+
+def test_triangle_counts_hand_checked(spark):
+    """K4 plus a pendant path: K4 has C(4,3)=4 triangles, each K4 node
+    sits in exactly 3; path nodes sit in none (omitted). Duplicate,
+    reversed, and self-loop edges must not change counts."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 10), (10, 11)]  # pendant path
+    edges += [(1, 0), (2, 2), (0, 1)]  # reversed dup + self-loop + dup
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_star_has_none(spark):
+    """A hub star has no triangles — and under degree-ordered
+    orientation the hub generates no wedges either (every edge points
+    INTO it), which is exactly the skew property the operator exists
+    for."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    star = [(0, i) for i in range(1, 30)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    assert triangle_counts(df).count() == 0
