@@ -1150,3 +1150,119 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    edges AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id AS src, (doc_id * {a} + {b}) % nn.n AS dst "
+          f"FROM documents, nn WHERE doc_id % {_PR_DANGLING_MOD} != 0"
+          for a, b in _PR_EDGE_MULTS
+      )}
+      UNION ALL
+      SELECT doc_id AS src, doc_id + 1 AS dst FROM documents, nn
+      WHERE doc_id % 5 != 4 AND doc_id + 1 < nn.n
+      UNION ALL
+      SELECT doc_id AS src, doc_id + 2 AS dst FROM documents, nn
+      WHERE doc_id % 5 < 3 AND doc_id + 2 < nn.n
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges WHERE src != dst
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+           {round4_sql(
+               "COALESCE(p.n_triangles, 0) * 2.0 / (d.deg * (d.deg - 1))"
+           )} AS clustering
+    FROM deg d LEFT JOIN pn p USING (node)
+    WHERE d.deg >= 2
+    ORDER BY clustering DESC, n_triangles DESC, node
+    LIMIT 20
+    """,
+    description="C-graph: local clustering coefficient — 2T(v) / "
+    "(deg(v)(deg(v)-1)) over the same citation+neighborhood graph as "
+    "graph_triangle_counts; the per-node cohesion score (1.0 = the "
+    "neighborhood is a clique) that separates community members from "
+    "pure hubs. Derived entirely from the triangle counts and one "
+    "degree aggregate — no new joins beyond the triangle machinery.",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    cite = None
+    for a, b in _PR_EDGE_MULTS:
+        e = docs.where(F.col("doc_id") % _PR_DANGLING_MOD != 0).select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        cite = e if cite is None else cite.unionAll(e)
+    ring = docs.where(
+        (F.col("doc_id") % 5 != 4) & (F.col("doc_id") + 1 < n)
+    ).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    )
+    chord = docs.where(
+        (F.col("doc_id") % 5 < 3) & (F.col("doc_id") + 2 < n)
+    ).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 2).alias("dst")
+    )
+    edges = cite.unionAll(ring).unionAll(chord)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.join(tri, "node", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            round4(
+                F.coalesce("n_triangles", F.lit(0))
+                * 2.0
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("clustering"),
+        )
+        .orderBy(
+            F.col("clustering").desc(), F.col("n_triangles").desc(), "node"
+        )
+        .limit(20)
+    )
