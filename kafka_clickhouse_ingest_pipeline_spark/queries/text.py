@@ -1576,3 +1576,90 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH w AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    tk AS (
+      SELECT term FROM (SELECT unnest(w) AS term FROM w)
+      WHERE length(term) > 0
+    ),
+    uni AS (SELECT term, COUNT(*) AS n FROM tk GROUP BY term),
+    nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM tk),
+    bg AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM bg),
+    bgc AS (
+      SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY a, b
+      HAVING COUNT(*) >= 5
+    )
+    SELECT a AS term_a, b AS term_b, CAST(n_ab AS BIGINT) AS n_ab,
+           (FLOOR(ln((CAST(n_ab AS DOUBLE) * nu.v * nu.v)
+                     / (nb.v * ua.n * ub.n))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS pmi
+    FROM bgc
+    JOIN uni ua ON ua.term = bgc.a
+    JOIN uni ub ON ub.term = bgc.b
+    CROSS JOIN nu CROSS JOIN nb
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT 30
+    """,
+    description="C11: collocation extraction via pointwise mutual "
+    "information — PMI(a,b) = ln(P(ab) / (P(a)P(b))) over consecutive "
+    "token bigrams with support >= 5, the word2vec-phrases/Mikolov "
+    "phrase-detection signal a tokenizer pipeline reads to decide what "
+    "deserves a merged token. The ratio is computed as one "
+    "left-associated double product on both engines (all factors are "
+    "integer-valued doubles, exact below 2^53) so only ln's libm ulps "
+    "differ, absorbed by the round4 snap. One bigram explode + two "
+    "partial-aggregated counts + a broadcast of two 1-row totals — "
+    "linear, hot bigrams collapse map-side.",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(w)
+    pairs = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    bg = docs.where(n >= 2).select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    tk = docs.select(F.explode(w).alias("term")).where(
+        F.length("term") > 0
+    )
+    uni = tk.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    nu = tk.agg(F.count(F.lit(1)).cast("double").alias("nu"))
+    nb = bg.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    bgc = (
+        bg.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    ua = uni.select(F.col("term").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("term").alias("b"), F.col("n").alias("n_b"))
+    ratio = (
+        F.col("n_ab").cast("double") * F.col("nu") * F.col("nu")
+    ) / (F.col("nb") * F.col("n_a") * F.col("n_b"))
+    return (
+        bgc.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            round4(F.log(ratio)).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(30)
+    )
