@@ -1803,3 +1803,96 @@ def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_agree")
     )
+
+
+@query(
+    "dedup_suffix_savings_summary",
+    oracle=f"""
+    WITH k2 AS ({_SUFFIX_KG_SQL}),
+    cut AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY dig ORDER BY doc_id, pos
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY dig) AS n
+        FROM k2
+      ) WHERE n >= 2 AND rn > 1
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM cut CROSS JOIN (SELECT unnest(range(0, 5)) AS j)
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split(text, ' ')) END)
+                  AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents
+    ),
+    cutn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cut FROM cov),
+    affected AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_touched
+      FROM cov
+    )
+    SELECT tot.n_docs, tot.n_words, cutn.n_cut, affected.n_docs_touched,
+           (FLOOR((cutn.n_cut * 1.0 / tot.n_words)
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS cut_frac
+    FROM tot CROSS JOIN cutn CROSS JOIN affected
+    """,
+    description="C9 dashboard: the 1-row suffix-dedup savings summary — "
+    "total corpus words, word positions the suffix rewrite cuts (later "
+    "occurrences of corpus-repeated 5-grams at any offset), documents "
+    "touched, and the cut fraction. The token-budget number a curation "
+    "run reads before paying for the rewrite, and the suffix-truth "
+    "counterpart of dedup_cdc_savings_summary's byte-level accounting. "
+    "Same partial-aggregated kgram machinery as the detector; rollup "
+    "adds three 1-row aggregates.",
+)
+def dedup_suffix_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kg = D.suffix_kgrams(docs, "text", "doc_id", 5)
+    stats = kg.groupBy("dig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(
+            F.struct(F.col("doc_id").alias("kid"), F.col("pos").alias("kpos"))
+        ).alias("keeper"),
+    )
+    cut = (
+        kg.join(stats.where(F.col("n") >= 2), "dig")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("keeper.kid"))
+                & (F.col("pos") == F.col("keeper.kpos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    cov = cut.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(4))
+        ).alias("p"),
+    ).distinct()
+    wlen = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.col("text"), " ")))
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(wlen).cast("long").alias("n_words"),
+    )
+    cutn = cov.agg(F.count(F.lit(1)).cast("long").alias("n_cut"))
+    touched = cov.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_touched")
+    )
+    return (
+        tot.crossJoin(F.broadcast(cutn))
+        .crossJoin(F.broadcast(touched))
+        .select(
+            "n_docs",
+            "n_words",
+            "n_cut",
+            "n_docs_touched",
+            round4(F.col("n_cut") * 1.0 / F.col("n_words")).alias("cut_frac"),
+        )
+    )
