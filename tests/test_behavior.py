@@ -100,3 +100,41 @@ def test_lttb_keeps_endpoints_and_picks_the_spike(spark, sf_dir):
     last_ms = int(hi.timestamp() * 1000)
     assert out[0].x_ms == first_ms
     assert out[-1].x_ms == last_ms
+
+
+def test_epoch_ms_is_wall_clock_invariant_across_session_tz(spark, sf_dir):
+    """Round-6 hardening pin: epoch_ms must export the oracle's naive
+    epoch (DuckDB epoch_us // 1000 of the parquet wall clock) under a
+    non-UTC session timezone, not drift by the session offset — the
+    regression that made every epoch-exporting query fail the
+    America/New_York variant gate before the from_utc_timestamp fix.
+    session.timeZone is runtime-settable, so this runs in-suite."""
+    import duckdb
+
+    from kafka_clickhouse_ingest_pipeline_spark.functions.temporal import (
+        epoch_ms,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    want = dict(
+        duckdb.sql(
+            f"SELECT event_id, CAST(epoch_us(ts) // 1000 AS BIGINT) "
+            f"FROM read_parquet('{sf_dir}/events.parquet') "
+            f"ORDER BY event_id LIMIT 50"
+        ).fetchall()
+    )
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = {
+                r.event_id: r.ms
+                for r in load_table(spark, sf_dir, "events")
+                .select("event_id", epoch_ms("ts").alias("ms"))
+                .orderBy("event_id")
+                .limit(50)
+                .collect()
+            }
+            assert got == want, f"epoch drift under {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
