@@ -1034,3 +1034,46 @@ def cdc_chunks(
             ).alias("digest"),
         )
     )
+
+
+def suffix_spans_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental suffix dedup: maximal spans in NEW documents that
+    duplicate the EXISTING corpus at any offset — (id, start_pos,
+    end_pos, span_words).
+
+    The O(increment) counterpart of :func:`suffix_duplicated_spans`,
+    completing the incremental family (exact dedup has
+    first-owner-incremental, IVF has frozen-centroid assign): per crawl
+    batch, only the increment's k-grams are built and semi-joined
+    against the corpus digest set — the corpus side is a distinct
+    digest projection that at scale is the materialized-once suffix
+    index (plans/materialize seam), so a new batch costs
+    O(new_kgrams + index probe), never a corpus rescan per batch. The
+    island merge runs on the increment only.
+    """
+    new_kg = suffix_kgrams(new_docs, text_col, id_col, k)
+    corpus_digs = suffix_kgrams(corpus, text_col, id_col, k).select(
+        "dig"
+    ).distinct()
+    dup = new_kg.join(corpus_digs, "dig", "left_semi").select(id_col, "pos")
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.select(
+        id_col, "pos", (F.col("pos") - F.row_number().over(wdoc)).alias("g")
+    )
+    return (
+        isl.groupBy(id_col, "g")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_pos"),
+            (F.max("pos") - F.min("pos") + F.lit(k))
+            .cast("long")
+            .alias("span_words"),
+        )
+        .drop("g")
+    )

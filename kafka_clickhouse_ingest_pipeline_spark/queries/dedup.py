@@ -1896,3 +1896,57 @@ def dedup_suffix_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("n_cut") * 1.0 / F.col("n_words")).alias("cut_frac"),
         )
     )
+
+
+def _suffix_kg_where_sql(pred: str) -> str:
+    """The suffix k-gram CTE body restricted to a doc predicate."""
+    return f"""
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           md5(array_to_string(w[pos:pos+4], ' ')) AS dig
+    FROM (
+      SELECT doc_id, w, unnest(range(1, len(w) - 5 + 2)) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE {pred})
+      WHERE len(w) >= 5
+    )
+"""
+
+
+@query(
+    "dedup_suffix_incremental",
+    oracle=f"""
+    WITH newkg AS ({_suffix_kg_where_sql("doc_id % 10 = 0")}),
+    corpusdig AS (
+      SELECT DISTINCT dig FROM ({_suffix_kg_where_sql("doc_id % 10 != 0")})
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM newkg JOIN corpusdig USING (dig)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM dup
+    )
+    SELECT doc_id,
+           MIN(pos) AS start_pos,
+           CAST(MAX(pos) + 4 AS BIGINT) AS end_pos,
+           CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_words
+    FROM isl GROUP BY doc_id, g
+    ORDER BY doc_id, start_pos
+    """,
+    description="C9: INCREMENTAL suffix dedup — maximal spans in a new "
+    "crawl batch (the 10% doc_id%10=0 split) that duplicate the "
+    "existing corpus (the 90%) at any offset. O(increment) per batch: "
+    "only the increment's k-grams are built and semi-joined against "
+    "the corpus digest set (at scale the materialized-once suffix "
+    "index); the island merge runs on the increment only. Completes "
+    "the incremental family: exact dedup has first-owner-incremental, "
+    "IVF has frozen-centroid assign, suffix dedup has this.",
+)
+def dedup_suffix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    return D.suffix_spans_against_corpus(
+        new, corpus, "text", "doc_id", 5
+    ).orderBy("doc_id", "start_pos")
