@@ -620,3 +620,33 @@ def test_quality_scoring_stream_equals_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(180)
     assert streamed == batch and len(batch) > 0
+
+
+def test_suffix_incremental_flags_corpus_matches_only(spark):
+    """Incremental suffix dedup is against-the-CORPUS only: a phrase two
+    new docs share but the corpus lacks must NOT be flagged (that is the
+    full detector's job on the next compaction); a corpus phrase at a
+    shifted offset in a new doc must be, with the island merged
+    maximally."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    phrase = "the quick brown fox jumps over"  # 6 words in corpus
+    corpus = spark.createDataFrame(
+        [(1, phrase + " one two"), (2, "other corpus words entirely here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "aa bb " + phrase + " tail"),  # shifted corpus match
+            (11, "shared new phrase never in corpus xx"),
+            (12, "shared new phrase never in corpus yy"),  # dup of 11 only
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.start_pos, r.end_pos, r.span_words)
+        for r in D.suffix_spans_against_corpus(
+            new, corpus, "text", "doc_id", 5
+        ).collect()
+    }
+    assert spans == {10: (3, 8, 6)}  # only the corpus phrase, merged
