@@ -149,8 +149,10 @@ def main() -> None:
     )
     # Runtime backstop for the 2000-char driver tail: if 2-decimal
     # timings ever overflow the budget (a fleet of >100 s outliers),
-    # fall back to 1 decimal rather than emit an unparseable line.
-    for ndigits in (2, 1):
+    # fall back to 1 decimal, then 0 decimals, and as the terminal
+    # fallback drop the per-query map entirely (the total + side file
+    # still carry everything) — the one-JSON-line contract never breaks.
+    for ndigits in (2, 1, 0):
         line = json.dumps(
             {
                 "metric": "headline_queries_total",
@@ -163,6 +165,17 @@ def main() -> None:
         )
         if len(line) < 1900:
             break
+    else:
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {},
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
     print(line)
     spark.stop()
 

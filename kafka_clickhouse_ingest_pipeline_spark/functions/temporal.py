@@ -39,5 +39,23 @@ def epoch_ms(col: Column | str) -> Column:
     return F.floor(F.unix_micros(c) / F.lit(1000)).cast("long")
 
 
+def epoch_ms_instant(col: Column | str) -> Column:
+    """Epoch milliseconds of the TRUE INSTANT (no wall-clock recovery).
+
+    :func:`epoch_ms` deliberately re-derives the *wall clock* so the
+    DuckDB oracle (which reads the testdata's TZ-naive walls as-is)
+    hashes identically under any session zone. That is the right export
+    for the oracle contract, but the wrong one for consumers that need
+    the actual point on the timeline — external exports, cross-system
+    joins against another store's UTC epochs, TTL math. This variant
+    keeps instant semantics: identical to epoch_ms under the pinned-UTC
+    session, diverging by exactly the session offset elsewhere. Pick
+    per call site and say which in the docstring — the two only agree
+    when the session zone is UTC.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(F.unix_micros(c) / F.lit(1000)).cast("long")
+
+
 # DuckDB-side equivalent, for oracle SQL strings.
 ORACLE_EPOCH_MS = "CAST(epoch_us({col}) // 1000 AS BIGINT)"

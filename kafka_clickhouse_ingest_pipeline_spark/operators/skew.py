@@ -11,8 +11,25 @@ smaller data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _row_salt(
+    df: DataFrame, n_salts: int, salt_on: list[str] | None
+) -> Column:
+    """Deterministic per-row salt: pmod(xxhash64(cols), n_salts).
+
+    Derived from row CONTENT, never monotonically_increasing_id():
+    content hashes are stable across stage retries / recomputations /
+    separate evaluations of the same DataFrame, so salt assignment is
+    reproducible and the plan stays deterministic. Rows identical on
+    the salt columns share a cell — pass `salt_on` naming a stable
+    row identifier (a key column, or (doc_id, pos) for exploded
+    tokens) when the projection alone doesn't distinguish rows.
+    """
+    cols = salt_on if salt_on else df.columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
 
 
 def salted_sum_count(
@@ -20,17 +37,17 @@ def salted_sum_count(
     keys: list[str],
     value_col: str | None = None,
     n_salts: int = 16,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage salted aggregation: count(*) (+ sum(value_col)) per key.
 
     Stage 1 groups by (keys, salt) — a hot key's rows spread over
     `n_salts` reducers; stage 2 re-combines the ≤ n_salts partials per
     key. Exact: sum and count are associative-commutative monoids.
+    `salt_on` picks the columns the deterministic salt hashes (see
+    :func:`_row_salt`); they need not survive into the output.
     """
-    # per-row salt (monotonic id is unique per row, so consecutive rows of
-    # a hot key land in different salt cells even inside one input
-    # partition; spark_partition_id would collapse to one cell per task)
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("_salt")
+    salt = _row_salt(df, n_salts, salt_on).alias("_salt")
     aggs1 = [F.count(F.lit(1)).alias("_cnt")]
     aggs2 = [F.sum("_cnt").alias("cnt")]
     if value_col is not None:
@@ -86,6 +103,7 @@ def salted_join(
     on: str,
     n_salts: int = 8,
     force: str | None = "merge",
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Explicit skew-join mitigation: salt the hot side, replicate the
     other.
@@ -96,8 +114,10 @@ def salted_join(
     partition from ever existing — the right choice when the hot keys
     are known (a planted boilerplate user, a null-key default) or the
     join sits under an operator AQE can't rewrite. Each left row gets a
-    per-row salt (monotonic id mod n_salts — consecutive rows of a hot
-    key spread even within one input partition); the right side is
+    deterministic content-derived salt (see :func:`_row_salt` —
+    stable across retries, unlike monotonically_increasing_id);
+    `salt_on` names the columns to hash when the row needs a stable
+    identifier beyond the join key. The right side is
     replicated n_salts× via one explode, so the join key becomes
     (key, salt) and a key that filled one reducer now fills n_salts.
     Exact for inner joins: every (l, r) match survives under exactly
@@ -108,7 +128,7 @@ def salted_join(
     degrade to a broadcast (where salting would be a no-op); pass None
     to let the planner choose.
     """
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    salt = _row_salt(left, n_salts, salt_on)
     l = left.withColumn("_salt", salt.cast("int"))
     salts = F.array([F.lit(i) for i in range(n_salts)])
     r = right.withColumn("_salt", F.explode(salts))

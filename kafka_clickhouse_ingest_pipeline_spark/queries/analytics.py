@@ -229,10 +229,18 @@ def salted_skew_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_sum_count
 
     docs = _t(spark, sf_dir, "documents")
+    # posexplode keeps (doc_id, pos) as the stable per-row identity the
+    # deterministic salt hashes — a hot term occurs at many distinct
+    # (doc, pos) slots, so it still spreads across all salt cells.
     toks = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "term"
+        ),
     ).where(F.length("term") > 0)
-    return salted_sum_count(toks, ["term"]).select("term", "cnt")
+    return salted_sum_count(
+        toks, ["term"], salt_on=["doc_id", "pos"]
+    ).select("term", "cnt")
 
 
 @query(

@@ -440,11 +440,16 @@ def skew_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("user_id"))
         .alias("user_id"),
         "value",
+        "event_id",
     )
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_name"
     )
-    joined = SK.salted_join(ev, cust, "user_id", n_salts=8)
+    # event_id is the stable row identity: the planted hot key shares
+    # user_id, so the deterministic salt must hash something per-row.
+    joined = SK.salted_join(
+        ev, cust, "user_id", n_salts=8, salt_on=["event_id"]
+    )
     return (
         joined.groupBy("user_id", "c_name")
         .agg(

@@ -903,8 +903,12 @@ def _logreg_sql(iters: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) -> str:
     gradient step, MATERIALIZED so the chain stays linear (an inlined
     w{i} is referenced twice per step and would expand 2^iters). Snap
     points mirror the operator exactly: round4(margin) before the
-    sigmoid, round4(p) after it, round4(weight) after the update."""
+    sigmoid, round4(p) after it, round4(weight) after the update.
+    The feature width is interpolated from the SAME constant the Spark
+    operator uses (classifier.HT_DIM) — hardcoding 32 here would
+    silently diverge instead of failing if the operator width changed."""
     from ..functions.hashing import hash60_sql
+    from ..operators.classifier import HT_DIM
 
     r4 = round4_sql
     head = f"""
@@ -926,14 +930,14 @@ def _logreg_sql(iters: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) -> str:
       ) WHERE length(term) > 0
     ),
     feats AS MATERIALIZED (
-      SELECT doc_id, ({hash60_sql('term')}) % 32 AS dim,
+      SELECT doc_id, ({hash60_sql('term')}) % {HT_DIM} AS dim,
              CAST(SUM(CASE WHEN ({hash60_sql("'s' || term")}) % 2 = 0
                            THEN 1 ELSE -1 END) AS DOUBLE) AS val
       FROM tk GROUP BY doc_id, dim
       HAVING SUM(CASE WHEN ({hash60_sql("'s' || term")}) % 2 = 0
                       THEN 1 ELSE -1 END) != 0
       UNION ALL
-      SELECT doc_id, 32 AS dim, 1.0 AS val FROM base
+      SELECT doc_id, {HT_DIM} AS dim, 1.0 AS val FROM base
     ),
     labels AS MATERIALIZED (SELECT doc_id, y FROM base),
     cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM labels),

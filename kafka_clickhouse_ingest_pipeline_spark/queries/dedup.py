@@ -657,13 +657,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SUFFIX_KG_SQL = """
+# THE suffix-dedup k: interpolated into every suffix oracle below AND
+# passed to every operators/dedup.py suffix call, so changing it breaks
+# loudly (oracle mismatch is impossible by construction, per ADVICE r6).
+_SUFFIX_K = 5
+
+_SUFFIX_KG_SQL = f"""
     SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           md5(array_to_string(w[pos:pos+4], ' ')) AS dig
+           md5(array_to_string(w[pos:pos+{_SUFFIX_K - 1}], ' ')) AS dig
     FROM (
-      SELECT doc_id, w, unnest(range(1, len(w) - 5 + 2)) AS pos
+      SELECT doc_id, w, unnest(range(1, len(w) - {_SUFFIX_K} + 2)) AS pos
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      WHERE len(w) >= 5
+      WHERE len(w) >= {_SUFFIX_K}
     )
 """
 
@@ -681,8 +686,8 @@ _SUFFIX_KG_SQL = """
     )
     SELECT doc_id,
            MIN(pos) AS start_pos,
-           CAST(MAX(pos) + 4 AS BIGINT) AS end_pos,
-           CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_words
+           CAST(MAX(pos) + {_SUFFIX_K - 1} AS BIGINT) AS end_pos,
+           CAST(MAX(pos) - MIN(pos) + {_SUFFIX_K} AS BIGINT) AS span_words
     FROM isl GROUP BY doc_id, g
     ORDER BY doc_id, start_pos
     """,
@@ -698,7 +703,7 @@ _SUFFIX_KG_SQL = """
 )
 def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.suffix_duplicated_spans(docs, "text", "doc_id", 5).orderBy(
+    return D.suffix_duplicated_spans(docs, "text", "doc_id", _SUFFIX_K).orderBy(
         "doc_id", "start_pos"
     )
 
@@ -719,7 +724,7 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cov AS (
       SELECT DISTINCT doc_id, pos + j AS p
-      FROM cut CROSS JOIN (SELECT unnest(range(0, 5)) AS j)
+      FROM cut CROSS JOIN (SELECT unnest(range(0, {_SUFFIX_K})) AS j)
     ),
     words AS (
       SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS word
@@ -761,7 +766,7 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_suffix_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.remove_suffix_duplicate_spans(docs, "text", "doc_id", 5).orderBy(
+    return D.remove_suffix_duplicate_spans(docs, "text", "doc_id", _SUFFIX_K).orderBy(
         "doc_id"
     )
 
@@ -777,9 +782,9 @@ def dedup_suffix_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth AS (
       SELECT DISTINCT doc_id, pos + j AS p
       FROM (SELECT doc_id, pos FROM k2 JOIN tdup USING (dig))
-      CROSS JOIN (SELECT unnest(range(0, 5)) AS j)
+      CROSS JOIN (SELECT unnest(range(0, {_SUFFIX_K})) AS j)
     ),
-    g2 AS (SELECT * FROM k2 WHERE (pos - 1) % 5 = 0),
+    g2 AS (SELECT * FROM k2 WHERE (pos - 1) % {_SUFFIX_K} = 0),
     gdup AS (
       SELECT dig FROM g2 GROUP BY dig
       HAVING MIN(doc_id) <> MAX(doc_id)
@@ -787,7 +792,7 @@ def dedup_suffix_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid AS (
       SELECT DISTINCT doc_id, pos + j AS p
       FROM (SELECT doc_id, pos FROM g2 JOIN gdup USING (dig))
-      CROSS JOIN (SELECT unnest(range(0, 5)) AS j)
+      CROSS JOIN (SELECT unnest(range(0, {_SUFFIX_K})) AS j)
     ),
     hit AS (SELECT doc_id, p FROM grid JOIN truth USING (doc_id, p))
     SELECT
@@ -815,9 +820,9 @@ def dedup_suffix_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_suffix_grid_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    kg = D.suffix_kgrams(docs, "text", "doc_id", 5)
+    kg = D.suffix_kgrams(docs, "text", "doc_id", _SUFFIX_K)
     covered = F.explode(
-        F.sequence(F.col("pos"), F.col("pos") + F.lit(4))
+        F.sequence(F.col("pos"), F.col("pos") + F.lit(_SUFFIX_K - 1))
     ).alias("p")
 
     def dup_positions(frame: DataFrame) -> DataFrame:
@@ -834,7 +839,7 @@ def dedup_suffix_grid_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     truth = dup_positions(kg)
-    grid = dup_positions(kg.where((F.col("pos") - 1) % 5 == 0))
+    grid = dup_positions(kg.where((F.col("pos") - 1) % _SUFFIX_K == 0))
     hit = grid.join(truth, ["doc_id", "p"])
     n_t = truth.agg(F.count(F.lit(1)).alias("n_truth_pos"))
     n_g = grid.agg(F.count(F.lit(1)).alias("n_grid_pos"))
@@ -1821,7 +1826,7 @@ def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cov AS (
       SELECT DISTINCT doc_id, pos + j AS p
-      FROM cut CROSS JOIN (SELECT unnest(range(0, 5)) AS j)
+      FROM cut CROSS JOIN (SELECT unnest(range(0, {_SUFFIX_K})) AS j)
     ),
     tot AS (
       SELECT CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1851,7 +1856,7 @@ def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_suffix_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    kg = D.suffix_kgrams(docs, "text", "doc_id", 5)
+    kg = D.suffix_kgrams(docs, "text", "doc_id", _SUFFIX_K)
     stats = kg.groupBy("dig").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(
@@ -1871,7 +1876,7 @@ def dedup_suffix_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = cut.select(
         "doc_id",
         F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(4))
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(_SUFFIX_K - 1))
         ).alias("p"),
     ).distinct()
     wlen = F.when(
@@ -1902,12 +1907,12 @@ def _suffix_kg_where_sql(pred: str) -> str:
     """The suffix k-gram CTE body restricted to a doc predicate."""
     return f"""
     SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-           md5(array_to_string(w[pos:pos+4], ' ')) AS dig
+           md5(array_to_string(w[pos:pos+{_SUFFIX_K - 1}], ' ')) AS dig
     FROM (
-      SELECT doc_id, w, unnest(range(1, len(w) - 5 + 2)) AS pos
+      SELECT doc_id, w, unnest(range(1, len(w) - {_SUFFIX_K} + 2)) AS pos
       FROM (SELECT doc_id, string_split(text, ' ') AS w
             FROM documents WHERE {pred})
-      WHERE len(w) >= 5
+      WHERE len(w) >= {_SUFFIX_K}
     )
 """
 
@@ -1929,8 +1934,8 @@ def _suffix_kg_where_sql(pred: str) -> str:
     )
     SELECT doc_id,
            MIN(pos) AS start_pos,
-           CAST(MAX(pos) + 4 AS BIGINT) AS end_pos,
-           CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_words
+           CAST(MAX(pos) + {_SUFFIX_K - 1} AS BIGINT) AS end_pos,
+           CAST(MAX(pos) - MIN(pos) + {_SUFFIX_K} AS BIGINT) AS span_words
     FROM isl GROUP BY doc_id, g
     ORDER BY doc_id, start_pos
     """,
@@ -1948,5 +1953,5 @@ def dedup_suffix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     new = docs.where(F.col("doc_id") % 10 == 0)
     return D.suffix_spans_against_corpus(
-        new, corpus, "text", "doc_id", 5
+        new, corpus, "text", "doc_id", _SUFFIX_K
     ).orderBy("doc_id", "start_pos")

@@ -171,11 +171,14 @@ class SpoolStreamReader(SimpleDataSourceStreamReader):
         rows = []
         end: dict[str, int] = dict(committed)
         parts = _list_parts(self.path)
+        # ONE listing snapshot per partition, shared by the retention
+        # check and the consume loop below — listing twice would let a
+        # committed file vanish between the two listings, bypassing the
+        # guard and silently regressing the end offset.
+        files_by_part = {p: _list_spool(d) for p, d in parts.items()}
         for key, n in committed.items():
             p = int(key)
-            if n > 0 and (
-                p not in parts or len(_list_spool(parts[p])) < n
-            ):
+            if n > 0 and len(files_by_part.get(p, [])) < n:
                 # Retention violation: committed files vanished. Failing
                 # loudly is the Kafka OffsetOutOfRange contract — the
                 # alternative is an end offset that silently regresses
@@ -186,8 +189,8 @@ class SpoolStreamReader(SimpleDataSourceStreamReader):
                     "visible files — spool files were removed behind a "
                     "checkpoint (retention violation)"
                 )
-        for p, d in sorted(parts.items()):
-            files = _list_spool(d)
+        for p in sorted(files_by_part):
+            files = files_by_part[p]
             i0 = committed.get(str(p), 0)
             for f in files[i0:]:
                 rows.extend(_read_file(f, p))

@@ -138,3 +138,55 @@ def test_epoch_ms_is_wall_clock_invariant_across_session_tz(spark, sf_dir):
             assert got == want, f"epoch drift under {tz}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_epoch_ms_instant_keeps_true_instants(spark, sf_dir):
+    """epoch_ms_instant is the export for true-timeline consumers: it
+    agrees with epoch_ms under the pinned-UTC session bit-for-bit, and
+    under a non-UTC session it diverges from the wall-clock export by
+    EXACTLY the session offset (here America/New_York in January =
+    UTC-5), proving the instant is preserved while the wall is not."""
+    from kafka_clickhouse_ingest_pipeline_spark.functions.temporal import (
+        epoch_ms,
+        epoch_ms_instant,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                epoch_ms("ts").alias("wall"),
+                epoch_ms_instant("ts").alias("inst"),
+            )
+            .orderBy("event_id")
+            .limit(50)
+            .collect()
+        )
+        assert all(r.wall == r.inst for r in utc)
+
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                epoch_ms("ts").alias("wall"),
+                epoch_ms_instant("ts").alias("inst"),
+            )
+            .orderBy("event_id")
+            .limit(50)
+            .collect()
+        )
+        # NY in January is UTC-5: wall w read as NY-local is the
+        # instant w+5h, so the instant export exceeds the wall export
+        # by exactly the offset.
+        five_h_ms = 5 * 3600 * 1000
+        assert all(r.inst - r.wall == five_h_ms for r in ny)
+        # the instant itself moved with the session (ntz walls re-read
+        # as NY local), but wall-vs-instant spacing is the offset —
+        # which is the contract each variant's consumers rely on.
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)

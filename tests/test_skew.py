@@ -33,11 +33,24 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
 
 def test_salted_aggregate_spreads_hot_key(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(16)).alias("_salt")
+    salt = skew._row_salt(ev, 16, ["event_id"]).alias("_salt")
     partial = ev.select("event_type", salt).groupBy("event_type", "_salt").count()
     # the hot key occupies multiple salt cells → multiple reducers
     cells = partial.groupBy("event_type").count().agg(F.max("count")).first()[0]
     assert cells > 1
+
+
+def test_row_salt_is_deterministic_across_evaluations(spark, sf_dir):
+    """The content-derived salt assigns the SAME cell to the same row on
+    every evaluation (the property monotonically_increasing_id lacked:
+    stage retries / fresh evaluations re-derive identical salts)."""
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    salted = ev.select("event_id", skew._row_salt(ev, 8, ["event_id"]).alias("s"))
+    a = {(r.event_id, r.s) for r in salted.collect()}
+    b = {(r.event_id, r.s) for r in salted.collect()}
+    assert a == b
+    # and it really spreads: more than one cell in use
+    assert len({s for _, s in a}) == 8
 
 
 @pytest.fixture()
@@ -206,7 +219,7 @@ def test_salted_join_is_exact_and_spreads_hot_key(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_name"
     )
-    salted = skew.salted_join(ev, cust, "user_id", n_salts=8)
+    salted = skew.salted_join(ev, cust, "user_id", n_salts=8, salt_on=["event_id"])
     plain = ev.join(cust, "user_id")
     assert salted.count() == plain.count()
     a = {(r.event_id, r.user_id) for r in salted.select("event_id", "user_id").collect()}
@@ -216,12 +229,12 @@ def test_salted_join_is_exact_and_spreads_hot_key(spark, sf_dir):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "_salt" in plan  # the composite join key is real
-    # the hot key's rows really spread across all 8 salt cells
+    # the hot key's rows really spread across all 8 salt cells (the
+    # deterministic salt makes this probe exact: same expression, same
+    # assignment every evaluation)
     cells = (
         ev.where(F.col("user_id") == 1)
-        .select(
-            F.pmod(F.monotonically_increasing_id(), F.lit(8)).alias("s")
-        )
+        .select(skew._row_salt(ev, 8, ["event_id"]).alias("s"))
         .distinct()
         .count()
     )
