@@ -685,9 +685,12 @@ def suffix_kgrams(
     suffixes and taking adjacent-LCP≥k runs groups exactly the suffixes
     that share their first k words, which is what grouping on the k-word
     prefix digest does with one hash shuffle instead of a global sort.
-    The digest (fixed 32 bytes) keeps the shuffle narrow; md5's 128 bits
-    make collisions a non-event at any corpus size (vs 64-bit hashes,
-    which collide in the thousands at 10^12 kgrams).
+    The digest is the RAW 16-byte md5 (unhex of the hex form) — at one
+    row per word position the digest column IS the shuffle, and binary
+    halves its bytes vs the 32-char hex string with identical collision
+    behavior (md5's 128 bits make collisions a non-event at any corpus
+    size; 64-bit hashes collide in the thousands at 10^12 kgrams). The
+    digest never reaches an output schema, so oracles are unaffected.
 
     Explodes ~n_words rows per doc (k× more than the :func:`doc_chunks`
     grid — the price of catching UNALIGNED duplicates), same row count
@@ -702,7 +705,7 @@ def suffix_kgrams(
         idx,
         lambda i: F.struct(
             i.cast("long").alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice(w, i, k))).alias("dig"),
+            F.unhex(F.md5(F.concat_ws(" ", F.slice(w, i, k)))).alias("dig"),
         ),
     )
     return df.select(F.col(id_col), F.explode(kg).alias("s")).select(
