@@ -1080,3 +1080,76 @@ def suffix_spans_against_corpus(
         )
         .drop("g")
     )
+
+
+def remove_suffix_spans_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental suffix-dedup ACTION (VERDICT r6 #5): rewrite a NEW
+    batch against a FROZEN corpus — every word position of a new doc
+    covered by a k-gram the corpus already contains is cut (the corpus
+    occurrence is by definition the earlier one, so it always keeps),
+    and each new doc is rebuilt from its surviving words. The removal
+    counterpart of :func:`suffix_spans_against_corpus`, same frozen-
+    state pattern as similarity.ivf_assign.
+
+    O(increment): only the increment's k-grams and words are built; the
+    corpus side is the distinct-digest projection that at scale is the
+    materialized-once suffix index. Stateless per new document (cuts
+    come ONLY from the corpus, never from batch-mates) — which is
+    exactly what makes it streamable: micro-batched and single-batch
+    runs produce identical rewrites (pinned in
+    tests/test_streaming.py::test_suffix_remove_incremental_stream_equals_batch).
+    Note the semantic difference from the full-corpus
+    :func:`remove_suffix_duplicate_spans`: duplicates BETWEEN two new
+    docs in the same increment survive until they become corpus members
+    — the price every frozen-index incremental path pays.
+
+    Every new doc appears exactly once: fully-duplicated docs come back
+    n_kept = 0 / text_deduped = '' (emptied, never dropped). Returns
+    (id, n_words, n_kept, text_deduped).
+    """
+    new_kg = suffix_kgrams(new_docs, text_col, id_col, k)
+    corpus_digs = (
+        suffix_kgrams(corpus, text_col, id_col, k).select("dig").distinct()
+    )
+    cut = new_kg.join(corpus_digs, "dig", "left_semi").select(id_col, "pos")
+    covered = cut.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("p"),
+    ).distinct()
+    words = new_docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("widx", "word"),
+    ).select(id_col, (F.col("widx") + 1).cast("long").alias("p"), "word")
+    kept = words.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("text_deduped"),
+    )
+    totals = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words")
+    )
+    return (
+        new_docs.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )

@@ -1955,3 +1955,67 @@ def dedup_suffix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.suffix_spans_against_corpus(
         new, corpus, "text", "doc_id", _SUFFIX_K
     ).orderBy("doc_id", "start_pos")
+
+
+@query(
+    "dedup_suffix_remove_incremental",
+    oracle=f"""
+    WITH newkg AS ({_suffix_kg_where_sql("doc_id % 10 = 0")}),
+    corpusdig AS (
+      SELECT DISTINCT dig FROM ({_suffix_kg_where_sql("doc_id % 10 != 0")})
+    ),
+    cut AS (SELECT doc_id, pos FROM newkg JOIN corpusdig USING (dig)),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM cut CROSS JOIN (SELECT unnest(range(0, {_SUFFIX_K})) AS j)
+    ),
+    words AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS word
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id % 10 = 0)
+      )
+    ),
+    kept AS (
+      SELECT wd.doc_id, wd.p, wd.word FROM words wd
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov
+        WHERE cov.doc_id = wd.doc_id AND cov.p = wd.p
+      )
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(t.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(kk.txt, '') AS text_deduped
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id
+    ) t USING (doc_id)
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY p) AS txt
+      FROM kept GROUP BY doc_id
+    ) kk USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    description="C9: INCREMENTAL suffix-dedup ACTION (completes VERDICT "
+    "r6 #5) — a new crawl batch (the 10% doc_id%10=0 split) is REWRITTEN "
+    f"against the frozen existing corpus: word positions covered by any "
+    f"{_SUFFIX_K}-gram the corpus already contains are cut at any offset "
+    "and each new doc is rebuilt from its surviving words; fully-"
+    "duplicated docs come back emptied, never dropped. O(increment) per "
+    "batch (only the increment's k-grams/words are built; the corpus "
+    "side is the materialized-once digest index) and stateless per doc, "
+    "so micro-batched and single-batch runs are identical — the "
+    "equivalence test pins it.",
+)
+def dedup_suffix_remove_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    return D.remove_suffix_spans_against_corpus(
+        new, corpus, "text", "doc_id", _SUFFIX_K
+    ).orderBy("doc_id")

@@ -964,3 +964,52 @@ def test_streaming_quantile_hist_state_merges_to_batch_estimate(spark, tmp_path)
         for r in hist_quantile_estimates(stats, batch_counts, qs).collect()
     }
     assert streamed == batch  # bit-identical estimates
+
+
+def test_suffix_remove_incremental_stream_equals_batch(spark, tmp_path):
+    """VERDICT r6 #5 'done' criterion: rewriting an increment against a
+    FROZEN corpus through a stream (3 micro-batches) produces exactly
+    the rewrite a single batch pass produces — n_words, n_kept, and the
+    rebuilt text — because cuts come only from the corpus, never from
+    batch-mates. The removal twin of the ivf_assign equivalence."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+
+    batch = {
+        r.doc_id: (r.n_words, r.n_kept, r.text_deduped)
+        for r in D.remove_suffix_spans_against_corpus(
+            new, corpus, "text", "doc_id", 5
+        ).collect()
+    }
+    assert len(batch) > 0
+    assert any(v[1] < v[0] for v in batch.values())  # something was cut
+
+    src = str(tmp_path / "increment")
+    ckpt = str(tmp_path / "ckpt")
+    new.repartition(3).write.parquet(src)
+    streamed: dict[int, tuple] = {}
+
+    def sink(df, bid):
+        for r in D.remove_suffix_spans_against_corpus(
+            df, corpus, "text", "doc_id", 5
+        ).collect():
+            streamed[r.doc_id] = (r.n_words, r.n_kept, r.text_deduped)
+
+    q = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert streamed == batch
