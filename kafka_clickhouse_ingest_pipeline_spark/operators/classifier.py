@@ -87,7 +87,8 @@ def logreg_train(
     id_col: str,
     iters: int = 10,
     lr: float = 0.5,
-) -> DataFrame:
+    with_trace: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Batch-gradient logistic regression; returns weights (dim, wt).
 
     ``labels`` is (id, y) with y ∈ {0,1}. Deterministic and
@@ -105,6 +106,18 @@ def logreg_train(
     2× per iteration); the (n_dims+1)-row weight table re-materializes
     per step so iteration i+1's plan starts from a table, not from
     iteration i's full lineage.
+
+    ``with_trace=True`` additionally returns the per-iteration training
+    log-loss (iteration, log_loss): loss i is computed from the SAME
+    snapped p the gradient of step i uses (so iteration 0 is the
+    zero-weight ln 2), plus one final row under the trained weights —
+    iters+1 rows total, each a 1-row aggregate over the already-planned
+    probability pass (no extra training work). This is the convergence
+    dashboard (VERDICT r6 #6): the fixed iteration count keeps the
+    oracle replayable, and the curve makes a data change that stops
+    converging at that count VISIBLE instead of silently mis-scoring.
+    Probabilities are clamped to [0.0001, 0.9999] before the log so a
+    round4-saturated p of exactly 0/1 cannot produce an infinite loss.
     """
     feats = materialize(feats, "logreg_feats")
     labels = materialize(labels, "logreg_labels")
@@ -115,13 +128,32 @@ def logreg_train(
         ),
         "logreg_w0",
     )
-    for _ in range(iters):
+
+    def _loss_row(p_df: DataFrame, it: int) -> DataFrame:
+        pc = F.least(F.greatest(F.col("p"), F.lit(0.0001)), F.lit(0.9999))
+        return (
+            p_df.join(labels, id_col)
+            .agg(
+                round4(
+                    -F.avg(
+                        F.col("y") * F.log(pc)
+                        + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
+                    )
+                ).alias("log_loss")
+            )
+            .select(F.lit(it).cast("long").alias("iteration"), "log_loss")
+        )
+
+    traces: list[DataFrame] = []
+    for i in range(iters):
         m = (
             feats.join(F.broadcast(w), "dim")
             .groupBy(id_col)
             .agg(round4(F.sum(F.col("wt") * F.col("val"))).alias("m"))
         )
         p = m.select(id_col, round4(_sigmoid(F.col("m"))).alias("p"))
+        if with_trace:
+            traces.append(_loss_row(p, i))
         err = p.join(labels, id_col).select(
             id_col, (F.col("p") - F.col("y")).alias("err")
         )
@@ -141,6 +173,18 @@ def logreg_train(
             ),
             "logreg_w",
         )
+    if with_trace:
+        p_final = (
+            feats.join(F.broadcast(w), "dim")
+            .groupBy(id_col)
+            .agg(round4(F.sum(F.col("wt") * F.col("val"))).alias("m"))
+            .select(id_col, round4(_sigmoid(F.col("m"))).alias("p"))
+        )
+        traces.append(_loss_row(p_final, iters))
+        curve = traces[0]
+        for t in traces[1:]:
+            curve = curve.unionByName(t)
+        return w, curve
     return w
 
 

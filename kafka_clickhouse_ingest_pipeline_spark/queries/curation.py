@@ -1079,6 +1079,66 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_loss_sql(iters: int = _LOGREG_ITERS) -> str:
+    """Per-iteration log-loss selects over the _logreg_sql CTE chain:
+    loss i reads p{i} (the snapped probabilities step i's gradient
+    uses), the final row reads sc (probabilities under the trained
+    weights). Same clamp as the Spark side."""
+
+    def loss_sel(src: str, pcol: str, it: int) -> str:
+        clamp = f"LEAST(GREATEST({pcol}, 0.0001), 0.9999)"
+        expr = (
+            f"-AVG(l.y * ln({clamp}) + (1.0 - l.y) * ln(1.0 - {clamp}))"
+        )
+        return (
+            f"SELECT CAST({it} AS BIGINT) AS iteration, "
+            f"{round4_sql(expr)} AS log_loss "
+            f"FROM {src} JOIN labels l USING (doc_id)"
+        )
+
+    parts = [loss_sel(f"p{i}", "p", i) for i in range(iters)]
+    parts.append(loss_sel("sc", "score", iters))
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@query(
+    "quality_classifier_loss_curve",
+    oracle=f"""
+    WITH {_logreg_sql()}
+    SELECT * FROM (
+    {_logreg_loss_sql()}
+    ) ORDER BY iteration
+    """,
+    description="C11/curation convergence dashboard (VERDICT r6 #6): "
+    f"training log-loss per gradient step — {_LOGREG_ITERS + 1} rows, "
+    "iteration 0 = the zero-weight ln 2 baseline through the loss under "
+    "the trained weights. The fixed iteration count keeps the oracle "
+    "replayable; this curve is what makes a data change that stops "
+    "converging at that count VISIBLE instead of silently mis-scoring "
+    "(monotone decrease on the planted corpus is asserted in "
+    "tests/test_curation.py). Each point is one 1-row aggregate over "
+    "the already-planned probability pass; probabilities clamp to "
+    "[0.0001, 0.9999] so a round4-saturated p cannot emit inf.",
+)
+def quality_classifier_loss_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import classifier as C
+
+    corpus = _quality_training_corpus(spark, sf_dir)
+    feats = C.hashed_features(corpus, "text", "doc_id")
+    labels = corpus.select("doc_id", "y")
+    _w, curve = C.logreg_train(
+        feats,
+        labels,
+        "doc_id",
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+        with_trace=True,
+    )
+    return curve.orderBy("iteration")
+
+
 @query(
     "graph_triangle_counts",
     oracle=f"""

@@ -650,3 +650,26 @@ def test_suffix_incremental_flags_corpus_matches_only(spark):
         ).collect()
     }
     assert spans == {10: (3, 8, 6)}  # only the corpus phrase, merged
+
+
+def test_classifier_loss_curve_decreases_on_planted_corpus(spark):
+    """VERDICT r6 #6 'done' criterion: on the planted spam fixture the
+    per-iteration training log-loss starts at the zero-weight ln 2
+    baseline and decreases monotonically through the trained-weight
+    loss — the convergence signal that makes a data change that stops
+    converging at the fixed iteration count visible."""
+    import math
+
+    from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
+        quality_classifier_loss_curve,
+    )
+
+    rows = quality_classifier_loss_curve(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.iteration for r in rows] == list(range(len(rows)))
+    assert len(rows) == 11
+    losses = [r.log_loss for r in rows]
+    assert abs(losses[0] - round(math.log(2.0), 4)) < 5e-4  # ln 2 baseline
+    assert all(a > b for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < 0.25  # converged well below the baseline
