@@ -293,3 +293,48 @@ def test_retention_violation_fails_loudly(tmp_path):
     shutil.rmtree(os.path.join(spool, "p=1"))
     with pytest.raises(ValueError, match="retention violation"):
         list(r.readBetweenOffsets({"parts": {"1": 0}}, {"parts": {"1": 1}}))
+
+
+def test_partition_dir_vanish_between_microbatches_fails_loudly(tmp_path):
+    """Retention expiry removing an ENTIRE committed partition directory
+    between micro-batches (not just one file): the next read(start)
+    must raise like the file-vanish case — the offset map says files
+    were committed there, so a missing directory is data loss, not an
+    empty partition."""
+    import shutil
+
+    import pytest
+
+    spool = str(tmp_path / "spool")
+    for p in range(2):
+        _spool_write(os.path.join(spool, f"p={p}"), "0001.spool", [f"p{p}a"])
+    r = pyds.SpoolStreamReader({"path": spool})
+    _rows, end = r.read(r.initialOffset())
+    assert end == {"parts": {"0": 1, "1": 1}}
+
+    shutil.rmtree(os.path.join(spool, "p=1"))
+    with pytest.raises(ValueError, match="retention violation"):
+        r.read(end)
+
+
+def test_checkpoint_with_empty_partition_resumes_cleanly(tmp_path):
+    """A checkpoint naming a partition at offset 0 — a topic expansion
+    recorded before its first file landed, or a partition that expired
+    before anything was committed — claims no data, so a missing or
+    empty directory is consistent with it: read() and replay must both
+    succeed, keep the partition in the offset map at 0, and never
+    raise."""
+    spool = str(tmp_path / "spool")
+    _spool_write(os.path.join(spool, "p=0"), "0001.spool", ["a"])
+    os.makedirs(os.path.join(spool, "p=2"))  # present but empty
+
+    r = pyds.SpoolStreamReader({"path": spool})
+    start = {"parts": {"0": 0, "1": 0, "2": 0}}  # p=1 doesn't exist at all
+    rows, end = r.read(start)
+    assert [v for v, *_ in rows] == ["a"]
+    assert end == {"parts": {"0": 1, "1": 0, "2": 0}}
+    # pinned-range replay over the empty partitions yields nothing
+    assert list(r.readBetweenOffsets(start, {"parts": {"1": 0, "2": 0}})) == []
+    # and the next cycle from the new checkpoint is a clean no-op
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == end
