@@ -98,7 +98,11 @@ HEADLINE = [
     # spectral, label propagation
     "quantile_hist_sketch_eval",
     "mmr_diverse_topk",
-    "dedup_cdc_savings_summary",
+    # CDC family representative: the 10% probe, same plan shape as the
+    # full dedup_cdc_savings_summary at a tenth the cost (VERDICT r6 #3
+    # — the full rollup was ~10% of the whole headline total and the
+    # biggest single noise lever on the driver's bench line)
+    "dedup_cdc_savings_probe",
     "lttb_downsample_hourly",
     "multimodal_wav_spectral_features",
     "label_propagation_communities",
@@ -109,7 +113,70 @@ HEADLINE = [
     # (ann_ivf_topk / ivfadc_topk) — the driver-tail budget caps keys
     "quality_classifier_scores",
     "skew_join_topk",
+    # round-7: Arrow-UDF surface representative (queries/udfs.py had no
+    # headline coverage — the exact blind-spot class VERDICT r6 #8 closes)
+    "udf_vector_norms",
 ]
+
+# Family → headline representative. tests/test_registry.py asserts every
+# value is in HEADLINE and every queries/ module that registers queries
+# has at least one headline representative, so a new operator family can
+# never land bench-invisible again (the round-5/6 ADVICE blind spot).
+# When a family lands, add its row here AND its key to HEADLINE.
+FAMILY_REPS = {
+    "ingest-pipeline": "pipeline_flagship",
+    "aggregation": "agg_pricing_summary",
+    "tpch-joins": "q3_shipping_priority",
+    "window": "window_top_order_per_customer",
+    "rollup-cube": "rollup_sales",
+    "topk": "topk_orders",
+    "distinct": "distinct_count",
+    "scalar-functions": "scalar_math_funcs",
+    "dedup-exact": "dedup_exact_docs",
+    "dedup-minhash-lsh": "dedup_minhash_lsh_pairs",
+    "dedup-jaccard": "dedup_ngram_jaccard_pairs",
+    "dedup-simhash": "dedup_simhash",
+    "dedup-substring-suffix": "dedup_substring_spans",
+    "dedup-embedding": "dedup_semdedup_keep",
+    "dedup-clustering": "dedup_minhash_clusters",
+    "dedup-cdc": "dedup_cdc_savings_probe",
+    "text-stats": "text_token_stats",
+    "text-langid": "text_lang_id",
+    "text-repetition": "text_repetition_scores",
+    "text-decontamination": "decontaminate_bloom_eval",
+    "sketches": "hll_distinct_portable",
+    "retrieval-bm25": "bm25_indexed_topk",
+    "tokenizer-bpe": "bpe_train_merges",
+    "ann-bruteforce": "ann_bruteforce_topk",
+    "ann-lsh": "ann_lsh_topk",
+    "ann-ivf": "ann_ivf_topk",
+    "ann-pq": "ivfadc_topk",
+    "ann-serving": "ann_batch_topk",
+    "ann-mmr": "mmr_diverse_topk",
+    "quantile-sketch": "quantile_hist_sketch_eval",
+    "timeseries-windows": "tumbling_window_agg",
+    "timeseries-session": "session_window_agg",
+    "timeseries-asof": "asof_join_latest_order",
+    "timeseries-range-join": "range_join_order_windows",
+    "timeseries-gapfill": "events_gap_fill_locf",
+    "timeseries-lttb": "lttb_downsample_hourly",
+    "timeseries-ohlc": "ohlc_hourly_bars",
+    "sampling-stratified": "sample_docs_stratified",
+    "sampling-splits": "split_train_valid_test",
+    "sampling-mixture": "mix_corpus_by_lang",
+    "packing": "pack_token_bins",
+    "curation-corpus": "curate_training_corpus",
+    "behavior-funnel": "funnel_view_click_purchase",
+    "behavior-argmax": "argmax_last_event",
+    "multimodal-media": "multimodal_media_features",
+    "multimodal-jpeg": "multimodal_jpeg_pixel_features",
+    "multimodal-wav": "multimodal_wav_spectral_features",
+    "storage-layout": "zorder_locality_stats",
+    "graph": "label_propagation_communities",
+    "classifier": "quality_classifier_scores",
+    "skew": "skew_join_topk",
+    "udf-arrow": "udf_vector_norms",
+}
 
 
 def main() -> None:

@@ -41,13 +41,14 @@ def test_every_oracle_key_has_query():
 def test_bench_headline_fits_driver_tail():
     """The driver captures only the LAST 2000 chars of bench stdout and
     parses the JSON line from that tail. Round 4's 79-query line exceeded
-    it and the round recorded parsed=null. Pin the pessimistic serialized
-    size under budget — every timing budgeted at 6 chars ('100.12', a
-    >100 s outlier; sf0.1 timings are actually 0.5-2.6 s) so the guard
-    holds even with slow outlier queries, and bench.py itself re-encodes
-    at 1 decimal as a runtime backstop if the line ever exceeds the
-    budget anyway. Also pins that every headline name resolves in the
-    registry."""
+    it and the round recorded parsed=null. Two pins: (a) the REALISTIC
+    2-decimal encoding must fit with every timing at 5 chars ('10.12' —
+    a >10 s outlier; sf0.1 timings are actually 0.5-3 s), so per-query
+    detail survives in practice; (b) even a fleet of >100 s outliers
+    must fit after bench.py's 1-decimal runtime re-encode ('100.1'),
+    with the 0-decimal and map-drop backstops below that, so the
+    one-JSON-line contract can never break. Also pins that every
+    headline name resolves in the registry."""
     import json as _json
 
     import bench
@@ -56,17 +57,21 @@ def test_bench_headline_fits_driver_tail():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, f"headline names not in registry: {missing}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
-    pessimistic = _json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": 12345.67,
-            "unit": "sec",
-            "queries": {k: 100.12 for k in bench.HEADLINE},
-            "sf": 0.1,
-        },
-        separators=(",", ":"),
-    )
-    assert len(pessimistic) < 1900, len(pessimistic)
+
+    def _line(per_query: float) -> str:
+        return _json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": 12345.67,
+                "unit": "sec",
+                "queries": {k: per_query for k in bench.HEADLINE},
+                "sf": 0.1,
+            },
+            separators=(",", ":"),
+        )
+
+    assert len(_line(10.12)) < 1900, len(_line(10.12))  # realistic
+    assert len(_line(100.1)) < 1900, len(_line(100.1))  # 1-dp backstop
     # the 44 baseline keys from BENCH_r01 must stay in the headline so
     # bench_vs_baseline stays like-for-like comparable
     from pathlib import Path as _Path
@@ -75,6 +80,34 @@ def test_bench_headline_fits_driver_tail():
     r01 = _json.loads(r01_path.read_text())["parsed"]["queries"]
     lost = set(r01) - set(bench.HEADLINE)
     assert not lost, f"baseline keys dropped from headline: {sorted(lost)}"
+
+
+def test_every_family_has_headline_representative():
+    """VERDICT r6 #8: the ADVICE blind-spot class (a family lands with
+    no bench representative) cannot reopen. Two layers: the curated
+    FAMILY_REPS map must resolve into HEADLINE, and — mechanically —
+    every queries/ module that registers anything must surface at least
+    one of its queries in HEADLINE."""
+    import collections
+
+    import bench
+
+    qs = entrymod.queries()
+    hl = set(bench.HEADLINE)
+    bad = {f: r for f, r in bench.FAMILY_REPS.items() if r not in hl}
+    assert not bad, f"family reps missing from HEADLINE: {bad}"
+    bad = {f: r for f, r in bench.FAMILY_REPS.items() if r not in qs}
+    assert not bad, f"family reps not registered: {bad}"
+
+    from kafka_clickhouse_ingest_pipeline_spark.registry import REGISTRY
+
+    by_mod = collections.defaultdict(set)
+    for name, q in REGISTRY.items():
+        by_mod[q.fn.__module__.rsplit(".", 1)[-1]].add(name)
+    uncovered = [m for m, names in by_mod.items() if not names & hl]
+    assert not uncovered, (
+        f"queries modules with zero headline representative: {uncovered}"
+    )
 
 
 def test_oracle_coverage_cannot_rot():
