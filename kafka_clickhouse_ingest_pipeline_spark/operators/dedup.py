@@ -146,6 +146,12 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     signature table once" (materialize mode="storage").
     """
     sig = materialize(sig, "minhash_sigs")
+    # Band key = the LSH_ROWS signature longs THEMSELVES (plus the band
+    # ordinal), not a concat string: the self-join shuffles 4 longs
+    # (32 B) per row instead of a ~60-80-char decimal string, with
+    # exact equality semantics (no hashing, no collisions, no string
+    # build/compare in the hot path). At 100 TB the band index IS the
+    # shuffle, so the key representation is the cost.
     bands = []
     for b in range(LSH_BANDS):
         cols = [f"sig{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS)]
@@ -153,7 +159,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
             sig.select(
                 F.col(id_col),
                 F.lit(b).alias("band"),
-                F.concat_ws("_", *cols).alias("band_key"),
+                *[F.col(c).alias(f"k{j}") for j, c in enumerate(cols)],
             )
         )
     long = bands[0]
@@ -162,12 +168,13 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
 
     left = long.alias("l")
     right = long.alias("r")
+    same_band = (F.col("l.band") == F.col("r.band"))
+    for j in range(LSH_ROWS):
+        same_band = same_band & (F.col(f"l.k{j}") == F.col(f"r.k{j}"))
     pairs = (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            same_band & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")

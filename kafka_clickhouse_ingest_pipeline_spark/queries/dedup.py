@@ -494,17 +494,22 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def band_keys(sig: DataFrame) -> DataFrame:
         # single-pass explode, NOT a 4-way union: each union branch would
         # recompute the signature projection from the scan (4x the work —
-        # measured 4.7s -> sub-second here)
+        # measured 4.7s -> sub-second here). The band key is a struct of
+        # the LSH_ROWS signature longs (32 B), not a concat string
+        # (~60-80 B): the bucket join shuffles the longs themselves,
+        # exact equality, no string build (same rep as
+        # operators/dedup.lsh_candidate_pairs).
         bands = F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.concat_ws(
-                        "_",
+                    F.struct(
                         *[
-                            f"sig{b * LSH_ROWS + r:02d}"
+                            F.col(f"sig{b * LSH_ROWS + r:02d}").alias(
+                                f"k{r}"
+                            )
                             for r in range(LSH_ROWS)
-                        ],
+                        ]
                     ).alias("band_key"),
                 )
                 for b in range(LSH_BANDS)
