@@ -68,6 +68,14 @@ PROBES = [
     ("dedup_suffix_remove", "suffix dedup rewrite (cut + rebuild)", None),
     ("quality_classifier_scores", "logreg train+score (10 fixed steps)", None),
     ("ivf_incremental_assign", "frozen-centroid IVF assign (broadcast)", None),
+    # round 7: the incremental suffix REWRITE (O(increment) cut against
+    # the frozen 90% corpus — both sides scale with the copies, so this
+    # measures the index probe + rebuild, not a rescan win) and the
+    # loss-curve trace (adds iters+1 one-row aggregates to the
+    # classifier's fixed-step training — should track the classifier's
+    # own growth, never exceed it by more than the constant trace cost)
+    ("dedup_suffix_remove_incremental", "incremental suffix rewrite (frozen corpus)", None),
+    ("quality_classifier_loss_curve", "logreg loss trace (fixed steps + 11 aggs)", None),
 ]
 
 
