@@ -1180,3 +1180,59 @@ def remove_suffix_spans_against_corpus(
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
         )
     )
+
+
+def embedding_cross_hits(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors within cosine
+    ``threshold`` of ANY probe vector — (id, n_probe_hits,
+    max_probe_cosine).
+
+    The embedding-space complement of the 8-gram + Bloom text
+    decontamination (queries/curation.decontaminate_*): n-gram overlap
+    misses paraphrases of an eval item; embedding cosine catches them.
+    Same LSH-bucket blocking as :func:`embedding_near_dup_pairs` — both
+    sides bucket with the shared random-hyperplane planes, the
+    candidate join is bucket-equi (never all-pairs), and the cosine
+    kernel is the fold-order-exact seqdot_udf. The corpus-side bucket
+    index materializes once (at scale: the stored index the probe set —
+    tiny by comparison — is shipped against per eval release).
+
+    Asymmetric by design: output rows are CORPUS ids only; probes are
+    never flagged. Blocked recall mirrors the near-dup operator's: a
+    true hit in a different bucket is missed — acceptable for the same
+    reason there (near-identical vectors agree on every plane sign),
+    and the text-side decontamination pass backstops it.
+    """
+    from .similarity import lsh_bucket
+    from .udfs import seqdot_udf
+
+    def _indexed(df: DataFrame, tag: str) -> DataFrame:
+        vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        return df.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            lsh_bucket(vec_d).alias(f"blk_{tag}"),
+            vec_d.alias(f"v_{tag}"),
+            F.sqrt(
+                F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias(f"n_{tag}"),
+        )
+
+    c = materialize(_indexed(corpus, "c"), "decontam_corpus_index")
+    p = _indexed(probes, "p")
+    joined = c.join(p, F.col("blk_c") == F.col("blk_p"))
+    cos = seqdot_udf(F.col("v_c"), F.col("v_p")) / (
+        F.col("n_c") * F.col("n_p")
+    )
+    hits = joined.select(
+        F.col("id_c").alias(id_col), round4(cos).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_hits"),
+        F.max("cosine").alias("max_probe_cosine"),
+    )

@@ -1330,3 +1330,55 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+_SEMDECON_COS = """(FLOOR((list_reduce(
+    list_transform(range(1, len(t.v) + 1), i -> t.v[i] * e.v[i]),
+    (acc, x) -> acc + x) / (t.nrm * e.nrm))
+    * 10000.0 + 0.5 + 0.000001) / 10000.0)"""
+
+
+def _semdecon_oracle() -> str:
+    from .dedup import _EMB_NORMED_CTES
+
+    return f"""
+    WITH {_EMB_NORMED_CTES},
+    ev AS (SELECT * FROM normed WHERE vec_id % 10 = 0),
+    tr AS (SELECT * FROM normed WHERE vec_id % 10 != 0),
+    hits AS (
+      SELECT t.vec_id, {_SEMDECON_COS} AS cosine
+      FROM tr t JOIN ev e ON t.blk = e.blk
+      WHERE {_SEMDECON_COS} >= 0.2
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_probe_hits,
+           MAX(cosine) AS max_probe_cosine
+    FROM hits GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@query(
+    "decontaminate_semantic_flags",
+    oracle=_semdecon_oracle(),
+    description="C-curation: SEMANTIC decontamination — train-split "
+    "vectors (vec_id%10!=0) within cosine 0.2 of ANY eval-split vector "
+    "(vec_id%10=0), LSH-bucket-blocked so the candidate join is never "
+    "all-pairs. The embedding-space complement of the 8-gram + Bloom "
+    "text decontamination: n-gram overlap misses paraphrases of an "
+    "eval item; cosine catches them. Asymmetric by design (only train "
+    "ids are flagged); the corpus bucket index materializes once and "
+    "the tiny probe set is shipped against it per eval release. "
+    "Threshold 0.2 because this corpus is random vectors — real "
+    "paraphrase contamination sits at ~0.9.",
+)
+def decontaminate_semantic_flags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import dedup as D
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 10 != 0)
+    ev = emb.where(F.col("vec_id") % 10 == 0)
+    return D.embedding_cross_hits(train, ev, threshold=0.2).orderBy(
+        "vec_id"
+    )
