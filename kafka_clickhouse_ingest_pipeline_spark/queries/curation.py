@@ -1382,3 +1382,66 @@ def decontaminate_semantic_flags(
     return D.embedding_cross_hits(train, ev, threshold=0.2).orderBy(
         "vec_id"
     )
+
+
+_SHRINK_M = 20  # pseudo-doc smoothing weight, shared with the oracle
+
+
+@query(
+    "source_quality_shrunk",
+    oracle=f"""
+    WITH rep AS (
+      SELECT r.doc_id, d.source, (1 - {_GATE_SQL}) AS fail
+      FROM ({_REP_SQL}) r JOIN documents d USING (doc_id)
+    ),
+    gp AS (
+      SELECT {round4_sql("SUM(fail) * 1.0 / COUNT(*)")} AS p_glob FROM rep
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fail) AS BIGINT) AS n_fail,
+           {round4_sql("SUM(fail) * 1.0 / COUNT(*)")} AS raw_fail_rate,
+           {round4_sql(
+               f"(SUM(fail) + {_SHRINK_M} * gp.p_glob) * 1.0"
+               f" / (COUNT(*) + {_SHRINK_M})"
+           )} AS shrunk_fail_rate
+    FROM rep CROSS JOIN gp
+    GROUP BY source, gp.p_glob
+    ORDER BY source
+    """,
+    description="C-curation: per-source quality rates with empirical-"
+    "Bayes shrinkage — each source's repetition-gate failure rate pulled "
+    f"toward the corpus-global rate by {_SHRINK_M} pseudo-docs, so a "
+    "3-doc domain with one bad page isn't banned while a 10k-doc spam "
+    "farm still surfaces. The domain-level triage every crawl curation "
+    "run reads before per-doc filtering; raw and shrunk rates exported "
+    "side by side. One scan + two aggregates; the 1-row global rate "
+    "broadcasts.",
+)
+def source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rep = T.repetition_features(docs, "text", "doc_id", carry=("source",))
+    fail = (1 - F.col("passes_repetition_gate")).alias("fail")
+    per = rep.select("source", fail)
+    glob = per.agg(
+        round4(F.sum("fail") * 1.0 / F.count(F.lit(1))).alias("p_glob")
+    )
+    m = F.lit(_SHRINK_M)
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .groupBy("source", "p_glob")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("fail").cast("long").alias("n_fail"),
+            round4(F.sum("fail") * 1.0 / F.count(F.lit(1))).alias(
+                "raw_fail_rate"
+            ),
+            round4(
+                (F.sum("fail") + m * F.first("p_glob"))
+                * 1.0
+                / (F.count(F.lit(1)) + m)
+            ).alias("shrunk_fail_rate"),
+        )
+        .drop("p_glob")
+        .orderBy("source")
+    )
