@@ -673,3 +673,72 @@ def test_classifier_loss_curve_decreases_on_planted_corpus(spark):
     assert abs(losses[0] - round(math.log(2.0), 4)) < 5e-4  # ln 2 baseline
     assert all(a > b for a, b in zip(losses, losses[1:])), losses
     assert losses[-1] < 0.25  # converged well below the baseline
+
+
+def test_incremental_suffix_remove_frozen_semantics(spark):
+    """Pins the frozen-index contract of remove_suffix_spans_against_corpus:
+    (a) a new doc fully contained in the corpus comes back EMPTIED, never
+    dropped; (b) a corpus phrase at an UNALIGNED offset inside a new doc
+    is cut exactly (the grid-invisible case); (c) duplicates between two
+    new batch-mates survive — cuts come only from the corpus."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    corpus_phrase = "alpha beta gamma delta epsilon"
+    corpus = spark.createDataFrame(
+        [(1, corpus_phrase + " zeta eta theta")], "doc_id long, text string"
+    )
+    twin = "x1 x2 x3 x4 x5 x6 x7"  # shared by two NEW docs, not in corpus
+    new = spark.createDataFrame(
+        [
+            (10, corpus_phrase),                       # fully duplicated
+            (11, "pre1 pre2 " + corpus_phrase + " post1 post2"),  # offset 3
+            (12, twin),
+            (13, twin),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.remove_suffix_spans_against_corpus(
+            new, corpus, "text", "doc_id", 5
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}  # every input returns exactly once
+    assert out[10].n_kept == 0 and out[10].text_deduped == ""  # emptied
+    # unaligned cut: exactly the 5 phrase words go, the flanks stay
+    assert out[11].n_words == 9 and out[11].n_kept == 4
+    assert out[11].text_deduped == "pre1 pre2 post1 post2"
+    # batch-mates never cut each other under a frozen corpus index
+    for d in (12, 13):
+        assert out[d].n_kept == out[d].n_words == 7
+        assert out[d].text_deduped == twin
+    # rebuilt text is consistent with the kept count everywhere
+    for r in out.values():
+        n = len(r.text_deduped.split()) if r.text_deduped else 0
+        assert n == r.n_kept
+
+
+def test_embedding_cross_hits_flags_planted_probe_twin(spark):
+    """Pins embedding_cross_hits: a corpus vector identical to a probe is
+    flagged at cosine 1.0; an orthogonal corpus vector is not; probe ids
+    never appear in the output (asymmetry)."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    dim = 8
+    v = [1.0] + [0.0] * (dim - 1)
+    w = [0.0, 1.0] + [0.0] * (dim - 2)  # orthogonal to v
+    corpus = spark.createDataFrame(
+        [(100, v), (101, w)], "vec_id long, embedding array<float>"
+    )
+    probes = spark.createDataFrame(
+        [(900, v)], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r.vec_id: r
+        for r in D.embedding_cross_hits(
+            corpus, probes, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {100}  # the twin, never the probe id 900
+    assert out[100].n_probe_hits == 1
+    assert abs(out[100].max_probe_cosine - 1.0) < 1e-9
