@@ -477,3 +477,49 @@ def test_ivf_drift_surfaces_new_only_cells(spark):
     assert rows[0].retrain_flag == 1
     # cell 1: zero training distance -> NULL ratio, flag down
     assert rows[1].drift_ratio is None and rows[1].retrain_flag == 0
+
+
+def test_embedding_cross_hits_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Score-at-ingest for semantic decontamination: flagging a corpus
+    increment against the FROZEN eval probe set through a stream (3
+    micro-batches) produces exactly the single-batch flags — the
+    operator is stateless per corpus vector (hits come only from the
+    probe side), the same property ivf_assign pins for the IVF index."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    probes = spark.createDataFrame(probes.collect(), schema=probes.schema)
+    new = emb.where(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+
+    batch = {
+        r.vec_id: (r.n_probe_hits, r.max_probe_cosine)
+        for r in D.embedding_cross_hits(new, probes, threshold=0.15).collect()
+    }
+    assert len(batch) > 0
+
+    src = str(tmp_path / "increment")
+    ckpt = str(tmp_path / "ckpt")
+    new.repartition(3).write.parquet(src)
+    streamed: dict[int, tuple] = {}
+
+    def sink(df, bid):
+        for r in D.embedding_cross_hits(df, probes, threshold=0.15).collect():
+            streamed[r.vec_id] = (r.n_probe_hits, r.max_probe_cosine)
+
+    q = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert streamed == batch
