@@ -392,6 +392,7 @@ def kmeans_cells(
     seeding: str = "hash",
     reseed_empty: bool = True,
     with_centroids: bool = False,
+    with_trace: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """IVF train step done properly: k-means (Lloyd) cell assignment.
 
@@ -426,7 +427,20 @@ def kmeans_cells(
     With ``with_centroids=True`` returns the tuple (assignment incl. the
     vector column ``v``, centroids (cell, cv)) — the IVFADC composition
     needs both to form residuals.
+
+    ``with_trace=True`` (exclusive with ``with_centroids``) returns
+    (assignment, curve) where curve is the per-round training inertia
+    (round, inertia): round t averages the snapped dist_sq of the
+    assignment step t's gradient-equivalent (assign under the PREVIOUS
+    centroids), plus one final row under the trained centroids —
+    iters+1 rows, each a 1-row aggregate over the already-materialized
+    assignment. The convergence dashboard for the IVF index, mirroring
+    classifier.logreg_train(with_trace=True): a corpus change that
+    stops converging within the fixed Lloyd rounds becomes visible
+    instead of silently degrading recall.
     """
+    if with_trace and with_centroids:
+        raise ValueError("with_trace and with_centroids are exclusive")
     from ..functions.hashing import hash60
 
     vec_d = as_double(F.col(vec_col))
@@ -493,9 +507,16 @@ def kmeans_cells(
         )
 
     spark = emb.sparkSession
-    for _ in range(iters):
+    traces: list[DataFrame] = []
+
+    def _inertia_row(a: DataFrame, rnd: int) -> DataFrame:
+        return a.agg(round4(F.avg("dist_sq")).alias("inertia")).select(
+            F.lit(rnd).cast("long").alias("round"), "inertia"
+        )
+
+    for _t in range(iters):
         assign = assign_nearest(cvec)
-        if reseed_empty:
+        if reseed_empty or with_trace:
             # the round's assignment feeds BOTH the centroid update and
             # the farthest-point candidate scan; materialize it once so
             # the O(n·k·dim) assign pass isn't executed twice per round
@@ -538,10 +559,20 @@ def kmeans_cells(
             )
             repl = empty_rn.join(cand_rn, "rn").select("cell", "cv")
             cvec = cvec.unionByName(repl)
+        if with_trace:
+            traces.append(_inertia_row(assign, _t + 1))
     # final assignment under the last centroids
     if with_centroids:
         return assign_nearest(cvec), cvec
-    return assign_nearest(cvec).select(id_col, "cell", "dist_sq")
+    final = assign_nearest(cvec).select(id_col, "cell", "dist_sq")
+    if with_trace:
+        final = materialize(final, "kmeans_final_assign")
+        traces.append(_inertia_row(final, iters + 1))
+        curve = traces[0]
+        for t in traces[1:]:
+            curve = curve.unionByName(t)
+        return final, curve
+    return final
 
 
 def ivf_assign(

@@ -1657,3 +1657,56 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         "mmr_score",
     )
+
+
+def _kmeans_inertia_sql(k: int = 8, iters: int = 2) -> str:
+    """Per-round inertia selects over the _kmeans_parts CTE chain:
+    round t averages assign{t}'s snapped dist_sq; the final row is the
+    assignment under the trained centroids (the same subquery the
+    ivf_kmeans_cells oracle selects from)."""
+    parts, prev, dist = _kmeans_parts(k=k, iters=iters)
+    parts.append(f"""finalassign AS (
+      SELECT vec_id, dist_sq FROM (
+        SELECT c.vec_id, {dist} AS dist_sq,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id ORDER BY {dist}, k.cell
+               ) AS rn
+        FROM corpus c CROSS JOIN {prev} k
+      ) WHERE rn = 1
+    )""")
+    ctes = ",\n    ".join(parts)
+    r4 = "(FLOOR(AVG(dist_sq) * 10000.0 + 0.5 + 0.000001) / 10000.0)"
+    rounds = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({t + 1} AS BIGINT) AS round, {r4} AS inertia "
+        f"FROM assign{t + 1}"
+        for t in range(iters)
+    )
+    return f"""
+    WITH {ctes}
+    SELECT * FROM (
+    {rounds}
+    UNION ALL
+    SELECT CAST({iters + 1} AS BIGINT) AS round, {r4} AS inertia
+    FROM finalassign
+    ) ORDER BY round
+    """
+
+
+@query(
+    "ivf_train_inertia_curve",
+    oracle=_kmeans_inertia_sql(),
+    description="C10/IVF convergence dashboard: per-round k-means "
+    "training inertia (mean snapped squared L2 to the assigned "
+    "centroid) — round 1 under the hash seeds through the assignment "
+    "under the trained centroids. The IVF twin of "
+    "quality_classifier_loss_curve: the fixed Lloyd round count keeps "
+    "the oracle replayable, and the curve makes a corpus change that "
+    "stops converging within those rounds VISIBLE (retrain signal next "
+    "to ivf_drift) instead of silently degrading recall. Each point is "
+    "one 1-row aggregate over the round's already-materialized "
+    "assignment.",
+)
+def ivf_train_inertia_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _asg, curve = S.kmeans_cells(emb, k=8, iters=2, with_trace=True)
+    return curve.orderBy("round")

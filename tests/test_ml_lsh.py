@@ -523,3 +523,24 @@ def test_embedding_cross_hits_stream_equals_batch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(180)
     assert streamed == batch
+
+
+def test_kmeans_inertia_curve_decreases(spark, sf_dir):
+    """Lloyd's guarantee surfaced: per-round inertia is non-increasing
+    (each assign step picks the nearest centroid, each update step is
+    the within-cell mean), and the final-assignment row is the minimum
+    of the curve. Fixed rounds + round4 snaps keep it oracle-replayable;
+    this pins the signal the retrain decision reads."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import (
+        similarity as S,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _asg, curve = S.kmeans_cells(emb, k=8, iters=2, with_trace=True)
+    rows = curve.orderBy("round").collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    vals = [r.inertia for r in rows]
+    assert all(a >= b for a, b in zip(vals, vals[1:])), vals
