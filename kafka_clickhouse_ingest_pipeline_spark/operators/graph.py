@@ -45,7 +45,8 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     node_col: str = "node",
-) -> DataFrame:
+    with_trace: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Damped PageRank over (src, dst) edges for the given node set.
 
     Multi-edges contribute once each (out-degree counts edges, not
@@ -53,6 +54,15 @@ def pagerank(
     uniformly — the standard stochastic-matrix completion, computed as a
     single-row aggregate broadcast into the update, never a collect.
     Returns (node, pr) with pr snapped to the portable 1e-10 grid.
+
+    ``with_trace=True`` returns (ranks, curve) where curve is the
+    per-round convergence trace (round, l1_delta_scaled): the L1 norm
+    of the rank change that round, scaled by n so the numbers are
+    O(1), round4-snapped. Completes the convergence-dashboard family
+    (classifier loss curve, k-means inertia curve): a graph change
+    that stops converging within the fixed round count becomes visible
+    instead of silently shipping stale ranks. Each point is one 1-row
+    aggregate joining two already-materialized rank vectors.
     """
     n_nodes = nodes.count()  # scalar cardinality, not data, to the driver
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -60,7 +70,9 @@ def pagerank(
         F.col(node_col).alias("node"), F.lit(1.0 / n_nodes).alias("pr")
     )
     base = (1.0 - damping) / n_nodes
+    traces: list[DataFrame] = []
     for i in range(iterations):
+        prev = ranks
         contrib = (
             edges.join(deg, "src")
             .join(ranks, F.col("src") == F.col("node"))
@@ -88,6 +100,29 @@ def pagerank(
             ),
             f"pagerank_iter_{i}",
         )
+        if with_trace:
+            from ..functions.rounding import round4
+
+            delta = (
+                ranks.alias("a")
+                .join(prev.alias("b"), "node")
+                .agg(
+                    round4(
+                        F.sum(F.abs(F.col("a.pr") - F.col("b.pr")))
+                        * F.lit(float(n_nodes))
+                    ).alias("l1_delta_scaled")
+                )
+                .select(
+                    F.lit(i + 1).cast("long").alias("round"),
+                    "l1_delta_scaled",
+                )
+            )
+            traces.append(delta)
+    if with_trace:
+        curve = traces[0]
+        for t in traces[1:]:
+            curve = curve.unionByName(t)
+        return ranks, curve
     return ranks
 
 

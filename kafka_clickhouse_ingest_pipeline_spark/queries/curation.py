@@ -621,10 +621,10 @@ _PR_ITERS = 5
 _PR_DAMPING = 0.85
 
 
-def _pagerank_sql() -> str:
-    """Chained-CTE DuckDB twin of operators/graph.pagerank: one
-    (mass, dangling, rank) CTE triple per round, every rank snapped to
-    the same 1e-10 grid (the BPE round-for-round replay pattern)."""
+def _pagerank_parts() -> list[str]:
+    """Chained-CTE chain (nn/nodes/edges/deg, then one (mass, dangling,
+    rank) triple per round, every rank snapped to the 1e-10 grid) shared
+    by the rank and convergence-curve oracles."""
     edge_selects = " UNION ALL ".join(
         f"SELECT doc_id AS src, (doc_id * {a} + {b}) % nn.n AS dst "
         f"FROM documents, nn WHERE doc_id % {_PR_DANGLING_MOD} != 0"
@@ -655,6 +655,13 @@ def _pagerank_sql() -> str:
             f"FROM nodes nd CROSS JOIN nn CROSS JOIN d{k} dd "
             f"LEFT JOIN m{k} m ON m.node = nd.node)"
         )
+    return parts
+
+
+def _pagerank_sql() -> str:
+    """DuckDB twin of operators/graph.pagerank (the BPE round-for-round
+    replay pattern): the shared CTE chain + the top-20 rank select."""
+    parts = _pagerank_parts()
     parts.append(
         f"SELECT r.node AS node, {round4_sql(f'r.pr * nn.n')} AS pr_scaled "
         f"FROM r{_PR_ITERS} r, nn ORDER BY pr_scaled DESC, node LIMIT 20"
@@ -1445,3 +1452,61 @@ def source_quality_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("p_glob")
         .orderBy("source")
     )
+
+
+def _pagerank_delta_sql() -> str:
+    """Per-round L1 rank-change selects over the shared _pagerank_parts
+    chain: round k joins r{k} to r{k-1} on node."""
+    parts = _pagerank_parts()
+    rounds = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, "
+        + round4_sql(
+            f"SUM(ABS(a.pr - b.pr)) * (SELECT n FROM nn)"
+        )
+        + f" AS l1_delta_scaled FROM r{k} a JOIN r{k - 1} b USING (node)"
+        for k in range(1, _PR_ITERS + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"\n    SELECT * FROM (\n    {rounds}\n    ) ORDER BY round"
+    )
+
+
+@query(
+    "pagerank_convergence_curve",
+    oracle=_pagerank_delta_sql(),
+    description="Curation/link-graph convergence dashboard: per-round "
+    f"L1 rank change (scaled by N, round4-snapped) across the "
+    f"{_PR_ITERS} damped PageRank rounds — completes the convergence-"
+    "dashboard family (classifier loss curve, k-means inertia curve): "
+    "a graph change that stops converging within the fixed round count "
+    "becomes visible instead of silently shipping stale ranks (geometric "
+    "decay at rate ~damping is the healthy signature). Each point is "
+    "one 1-row aggregate joining two already-materialized rank "
+    "vectors; the oracle reuses the rank oracle's chained CTEs.",
+)
+def pagerank_convergence_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    src = docs.where(F.col("doc_id") % _PR_DANGLING_MOD != 0)
+    edges = src.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (F.col("doc_id") * F.lit(a) + F.lit(b)) % F.lit(n)
+                    for a, b in _PR_EDGE_MULTS
+                ]
+            )
+        ).alias("dst"),
+    )
+    _ranks, curve = pagerank(
+        nodes, edges, iterations=_PR_ITERS, damping=_PR_DAMPING,
+        with_trace=True,
+    )
+    return curve.orderBy("round")

@@ -129,3 +129,24 @@ def test_triangle_counts_star_has_none(spark):
     star = [(0, i) for i in range(1, 30)]
     df = spark.createDataFrame(star, "src long, dst long")
     assert triangle_counts(df).count() == 0
+
+
+def test_pagerank_convergence_curve_decays_geometrically(spark, sf_dir):
+    """The convergence trace's healthy signature: the per-round L1 rank
+    change strictly decreases, and the decay between consecutive rounds
+    is at most ~damping (power iteration contracts by the damping
+    factor on the subdominant eigenvalue)."""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
+        pagerank_convergence_curve,
+    )
+
+    rows = pagerank_convergence_curve(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.round for r in rows] == [1, 2, 3, 4, 5]
+    vals = [r.l1_delta_scaled for r in rows]
+    assert all(v > 0 for v in vals)
+    assert all(a > b for a, b in zip(vals, vals[1:])), vals
+    # contraction: each round shrinks to <= damping (+ slack for the
+    # snapped grid) of the previous delta
+    assert all(b <= 0.9 * a for a, b in zip(vals, vals[1:])), vals
