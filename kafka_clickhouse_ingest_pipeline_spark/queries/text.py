@@ -1663,3 +1663,108 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "term_a", "term_b")
         .limit(30)
     )
+
+
+_ZIPF_TOP = 200  # ranks fitted, shared with the oracle
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+      ) WHERE length(term) > 0
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+      FROM tf
+    ),
+    pts AS (
+      SELECT ln(rank * 1.0) AS x, ln(freq * 1.0) AS y
+      FROM ranked WHERE rank <= {_ZIPF_TOP}
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           {round4_sql(
+               "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+           )} AS zipf_slope,
+           {round4_sql(
+               "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n"
+           )} AS zipf_intercept,
+           {round4_sql(
+               "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+               " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+           )} AS r_squared
+    FROM fit
+    """,
+    description="C11/corpus statistics: Zipf rank-frequency fit — "
+    f"least-squares slope/intercept/R² of ln(freq) vs ln(rank) over the "
+    f"top {_ZIPF_TOP} terms (ties broken by term, so the rank order is "
+    "engine-portable). Natural text sits near slope −1 with high R²; "
+    "the companion to vocab_growth_heaps on the corpus-health "
+    "dashboard — a synthetic or template-spam corpus shows up as a "
+    "broken slope before any per-doc filter fires. One groupBy + a "
+    "top-k window over the (bounded) distinct-term table + a 1-row "
+    "fit aggregate.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        )
+        .where(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    # top-k FIRST (TakeOrderedAndProject: per-partition heaps, never a
+    # global vocab sort), then number the bounded k rows — the window's
+    # single partition is k-bounded by construction (constant-fold key,
+    # see kmeans seed_w)
+    top = tf.orderBy(F.col("freq").desc(), "term").limit(_ZIPF_TOP)
+    w = Window.partitionBy(F.col("freq") % F.lit(1)).orderBy(
+        F.col("freq").desc(), "term"
+    )
+    pts = (
+        top.select("freq", F.row_number().over(w).alias("rank"))
+        .select(
+            F.log(F.col("rank") * 1.0).alias("x"),
+            F.log(F.col("freq") * 1.0).alias("y"),
+        )
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        round4(slope).alias("zipf_slope"),
+        round4((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "zipf_intercept"
+        ),
+        round4(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r_squared"),
+    )
