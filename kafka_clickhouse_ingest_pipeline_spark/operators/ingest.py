@@ -252,9 +252,24 @@ def project_fixed(
     )
 
 
-def enrich_received_at(df: DataFrame, col_name: str = "received_at") -> DataFrame:
-    """A12: ingestion-timestamp enrichment (ClickHouseRepository.kt:75)."""
-    return df.withColumn(col_name, F.current_timestamp())
+def enrich_received_at(
+    df: DataFrame, col_name: str = "received_at", with_epoch_ms: bool = False
+) -> DataFrame:
+    """A12: ingestion-timestamp enrichment (ClickHouseRepository.kt:75).
+
+    ``with_epoch_ms`` adds ``{col_name}_ms``: the TRUE-INSTANT epoch
+    milliseconds via :func:`functions.temporal.epoch_ms_instant` — the
+    external-export flavor (JDBC / cross-system joins key on the point
+    on the timeline, not the session wall clock). The oracle-contract
+    ``epoch_ms`` is deliberately NOT used here: sink rows leave the
+    session, so wall-clock recovery would be wrong off-UTC.
+    """
+    out = df.withColumn(col_name, F.current_timestamp())
+    if with_epoch_ms:
+        from ..functions.temporal import epoch_ms_instant
+
+        out = out.withColumn(f"{col_name}_ms", epoch_ms_instant(col_name))
+    return out
 
 
 def observe_parse_quality(

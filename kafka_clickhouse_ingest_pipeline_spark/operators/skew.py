@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 
 
 def _row_salt(
-    df: DataFrame, n_salts: int, salt_on: list[str] | None
+    df: DataFrame,
+    n_salts: int,
+    salt_on: list[str] | None,
+    hot_keys: list[str] | None = None,
 ) -> Column:
     """Deterministic per-row salt: pmod(xxhash64(cols), n_salts).
 
@@ -27,8 +30,24 @@ def _row_salt(
     the salt columns share a cell — pass `salt_on` naming a stable
     row identifier (a key column, or (doc_id, pos) for exploded
     tokens) when the projection alone doesn't distinguish rows.
+
+    ``hot_keys`` names the grouping/join keys the salt exists to spread
+    BEYOND. If the resolved salt columns are a subset of those keys,
+    every row of a hot key hashes to the same salt cell and the
+    operator silently degenerates to the unsalted plan — raise instead
+    of letting the skew it exists to remove reappear unobserved
+    (round-7 ADVICE).
     """
     cols = salt_on if salt_on else df.columns
+    if hot_keys is not None and set(cols) <= set(hot_keys):
+        raise ValueError(
+            "salt columns "
+            f"{cols!r} are a subset of the grouping/join keys "
+            f"{hot_keys!r}: every row of a hot key would land in one "
+            "salt cell and the salting would be a no-op. Pass salt_on "
+            "naming at least one column that varies within a key "
+            "(a row id, or (doc_id, pos) for exploded tokens)."
+        )
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
 
 
@@ -47,7 +66,7 @@ def salted_sum_count(
     `salt_on` picks the columns the deterministic salt hashes (see
     :func:`_row_salt`); they need not survive into the output.
     """
-    salt = _row_salt(df, n_salts, salt_on).alias("_salt")
+    salt = _row_salt(df, n_salts, salt_on, hot_keys=keys).alias("_salt")
     aggs1 = [F.count(F.lit(1)).alias("_cnt")]
     aggs2 = [F.sum("_cnt").alias("cnt")]
     if value_col is not None:
@@ -128,7 +147,7 @@ def salted_join(
     degrade to a broadcast (where salting would be a no-op); pass None
     to let the planner choose.
     """
-    salt = _row_salt(left, n_salts, salt_on)
+    salt = _row_salt(left, n_salts, salt_on, hot_keys=[on])
     l = left.withColumn("_salt", salt.cast("int"))
     salts = F.array([F.lit(i) for i in range(n_salts)])
     r = right.withColumn("_salt", F.explode(salts))

@@ -141,10 +141,16 @@ def ingest_transform(
     raw: DataFrame,
     schema: StructType = ingest.INGESTED_DATA_SCHEMA,
 ) -> DataFrame:
-    """A2/A3/A9/A12/A13: the per-record pipeline, identical to batch mode."""
+    """A2/A3/A9/A12/A13: the per-record pipeline, identical to batch mode.
+
+    received_at_ms rides along as the true-instant epoch export
+    (functions/temporal.epoch_ms_instant): pipeline rows land in
+    external sinks (parquet + JDBC), where cross-system consumers join
+    on UTC epochs, not session wall clocks.
+    """
     df = ingest.filter_nonempty(raw, "value")
     df = ingest.parse_typed(df, "value", schema=schema, keep_raw=True)
-    return ingest.enrich_received_at(df)
+    return ingest.enrich_received_at(df, with_epoch_ms=True)
 
 
 def _parquet_data_files(data_dir: str) -> set[str]:

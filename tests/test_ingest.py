@@ -104,7 +104,21 @@ class TestEnrichment:
         df = ingest.parse_typed(_payload_df(spark, [VALID]), keep_raw=False)
         out = ingest.enrich_received_at(df)
         assert "received_at" in out.columns
+        assert "received_at_ms" not in out.columns
         assert out.filter(F.col("received_at").isNotNull()).count() == 1
+
+    def test_received_at_ms_is_true_instant(self, spark):
+        """with_epoch_ms exports the INSTANT epoch (epoch_ms_instant):
+        received_at_ms must equal floor(unix_micros(received_at)/1000)
+        regardless of session zone — the external-sink contract."""
+        df = ingest.parse_typed(_payload_df(spark, [VALID]), keep_raw=False)
+        out = ingest.enrich_received_at(df, with_epoch_ms=True)
+        assert "received_at_ms" in out.columns
+        bad = out.filter(
+            F.col("received_at_ms")
+            != F.floor(F.unix_micros("received_at") / F.lit(1000)).cast("long")
+        ).count()
+        assert bad == 0
 
 
 class TestAuthGate:

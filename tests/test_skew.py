@@ -40,6 +40,29 @@ def test_salted_aggregate_spreads_hot_key(spark, sf_dir):
     assert cells > 1
 
 
+def test_degenerate_salt_columns_raise(spark, sf_dir):
+    """Salt columns that are a subset of the grouping/join keys cannot
+    spread a hot key (every row of the key hashes to one cell) — the
+    operator must refuse rather than silently reintroduce the skew."""
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="subset of the grouping/join keys"):
+        skew.salted_sum_count(
+            ev, ["event_type"], "value", salt_on=["event_type"]
+        )
+    # projection == keys with salt_on omitted degenerates the same way
+    with pytest.raises(ValueError, match="subset of the grouping/join keys"):
+        skew.salted_sum_count(ev.select("event_type"), ["event_type"])
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    with pytest.raises(ValueError, match="subset of the grouping/join keys"):
+        skew.salted_join(
+            ev.select("user_id"), cust, "user_id", salt_on=["user_id"]
+        )
+    # valid salt_on still works (plan construction only — no execution)
+    skew.salted_sum_count(ev, ["event_type"], "value", salt_on=["event_id"])
+
+
 def test_row_salt_is_deterministic_across_evaluations(spark, sf_dir):
     """The content-derived salt assigns the SAME cell to the same row on
     every evaluation (the property monotonically_increasing_id lacked:

@@ -37,9 +37,23 @@ def main() -> None:
     stages = json.load(
         urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
     )
-    wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
-    recs = sum(s.get("shuffleWriteRecords", 0) for s in stages)
+    # Only COMPLETE attempts, one (final) attempt per stageId: failed or
+    # retried attempts would double-count the same shuffle and inflate
+    # the numbers the repo's key-representation decisions rest on
+    # (round-7 ADVICE).
+    final: dict[int, dict] = {}
+    for s in stages:
+        if s.get("status") != "COMPLETE":
+            continue
+        sid = s["stageId"]
+        if sid not in final or s.get("attemptId", 0) > final[sid].get(
+            "attemptId", 0
+        ):
+            final[sid] = s
+    kept = list(final.values())
+    wr = sum(s.get("shuffleWriteBytes", 0) for s in kept)
+    rd = sum(s.get("shuffleReadBytes", 0) for s in kept)
+    recs = sum(s.get("shuffleWriteRecords", 0) for s in kept)
     print(
         json.dumps(
             {
