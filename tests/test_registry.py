@@ -82,6 +82,39 @@ def test_bench_headline_fits_driver_tail():
     assert not lost, f"baseline keys dropped from headline: {sorted(lost)}"
 
 
+def test_bench_line_fallback_stages_always_fit(monkeypatch):
+    """Round-7 VERDICT #8: exercise format_bench_line itself (not a
+    re-derived encoding) at adversarial magnitudes and assert ONE parseable
+    JSON line under the 2000-char driver tail at every fallback stage."""
+    import json as _json
+
+    import bench
+
+    cases = {
+        "realistic": 3.141,
+        "ten_sec_outliers": 87.654,
+        "hundred_sec_fleet": 912.345,
+        "pathological": 123456789.123456,  # forces the map-drop backstop
+    }
+    for label, per_query in cases.items():
+        timings = {k: per_query for k in bench.HEADLINE}
+        total = round(sum(timings.values()), 2)
+        line = bench.format_bench_line(total, timings, 0.1)
+        assert "\n" not in line, label
+        assert len(line) < 1900, (label, len(line))
+        parsed = _json.loads(line)
+        assert parsed["metric"] == "headline_queries_total"
+        assert parsed["value"] == total
+        assert parsed["sf"] == 0.1
+        # per-query detail survives every stage short of the terminal
+        # map-drop backstop
+        if label != "pathological":
+            assert set(parsed["queries"]) == set(bench.HEADLINE), label
+    # the terminal backstop drops the map but never the contract
+    worst = {k: 123456789.123456 for k in bench.HEADLINE}
+    assert _json.loads(bench.format_bench_line(9e9, worst, 0.1))["queries"] == {}
+
+
 def test_every_family_has_headline_representative():
     """VERDICT r6 #8: the ADVICE blind-spot class (a family lands with
     no bench representative) cannot reopen. Two layers: the curated

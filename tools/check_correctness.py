@@ -51,6 +51,40 @@ def approx_equal(a, b, tol=1e-6):
     return a == b
 
 
+def compare_results(scols, srows, ocols, orows) -> list[str]:
+    """The gate's comparison: column names (order-insensitive), row count,
+    then order-insensitive values with float tolerance. Returns the list
+    of discrepancy strings — empty means PASS. Factored out of main() so
+    tests/test_gate_sensitivity.py can prove the gate FAILS on perturbed
+    output (a checker bug is a silent 255-query outage)."""
+    status = []
+    if sorted(scols) != sorted(ocols):
+        status.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+    if len(srows) != len(orows):
+        status.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if not status:
+        sk = rows_key([tuple(r) for r in srows], scols)
+        ok = rows_key(orows, ocols)
+        n_bad = 0
+        first_bad = None
+        for a, b in zip(sk, ok):
+            if len(a) != len(b) or not all(
+                approx_equal(x, y) for x, y in zip(a, b)
+            ):
+                n_bad += 1
+                if first_bad is None:
+                    first_bad = (a, b)
+        exact_bad = sum(1 for a, b in zip(sk, ok) if repr(a) != repr(b))
+        if n_bad:
+            status.append(f"values {n_bad}/{len(sk)} differ; first {first_bad}")
+        elif exact_bad:
+            status.append(
+                f"EXACT-HASH RISK: {exact_bad}/{len(sk)} rows differ bitwise "
+                f"(within tolerance)"
+            )
+    return status
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -89,29 +123,7 @@ def main() -> int:
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
             continue
-        status = []
-        if sorted(scols) != sorted(ocols):
-            status.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            status.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not status:
-            sk = rows_key([tuple(r) for r in srows], scols)
-            ok = rows_key(orows, ocols)
-            n_bad = 0
-            first_bad = None
-            for a, b in zip(sk, ok):
-                if len(a) != len(b) or not all(approx_equal(x, y) for x, y in zip(a, b)):
-                    n_bad += 1
-                    if first_bad is None:
-                        first_bad = (a, b)
-            exact_bad = sum(1 for a, b in zip(sk, ok) if repr(a) != repr(b))
-            if n_bad:
-                status.append(f"values {n_bad}/{len(sk)} differ; first {first_bad}")
-            elif exact_bad:
-                status.append(
-                    f"EXACT-HASH RISK: {exact_bad}/{len(sk)} rows differ bitwise "
-                    f"(within tolerance)"
-                )
+        status = compare_results(scols, srows, ocols, orows)
         if status:
             print(f"FAIL {name}: {'; '.join(status)}")
             failures.append(name)
