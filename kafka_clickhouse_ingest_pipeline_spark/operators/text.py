@@ -394,6 +394,84 @@ def bm25_build_index(
     return postings, df_tbl, dl
 
 
+def bm25_index_merge_increment(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_tag: str = "default",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """O(increment) BM25 index maintenance (round-7 VERDICT #5): merge a
+    NEW document batch into a FROZEN index without re-tokenizing the
+    corpus — the retrieval twin of the suffix/IVF/minhash frozen-state
+    family.
+
+    Only the increment is tokenized: its postings rows append to the
+    frozen postings (first-owner semantics — a re-crawled id already in
+    the frozen index is dropped via anti-join on the frozen doc-length
+    table, exactly like exact dedup's first-owner-incremental; the
+    frozen occurrence keeps), its per-term document counts ADD to the
+    frozen df table (a full-outer sum over the narrow 2-column df
+    frame, never the corpus text), and its doc lengths append. Cost is
+    O(new_postings + |df table|); the corpus postings are touched only
+    as an already-materialized table union.
+
+    IDF semantics are NOT frozen: unlike the frozen-SEARCH paths
+    (ivf_assign keeps stale centroids, suffix-against-corpus keeps the
+    old digest set), index *maintenance* recomputes df and lets
+    :func:`bm25_query_indexed` re-derive avgdl/N from the merged
+    doc-length table — so the merged index is VALUE-IDENTICAL to a full
+    rebuild over corpus ∪ increment (pinned by the equivalence test and
+    by the oracle of `bm25_index_incremental`, which scores the merged
+    index against the from-scratch full-corpus SQL). df arithmetic
+    stays exact: counts are integers carried in doubles, and an int sum
+    < 2^53 is exact in IEEE754.
+
+    Returns (postings, df_tbl, dl) with the same schemas as
+    :func:`bm25_build_index`, materialized under ``{corpus_tag}_inc``
+    names so the frozen tables are never overwritten.
+    """
+    postings0, df0, dl0 = index
+    fresh = new_docs.join(
+        dl0.select(id_col), id_col, "left_anti"
+    )
+    toks = fresh.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.length("term") > 0)
+    new_postings = toks.groupBy("term", id_col).agg(
+        (F.count(F.lit(1)) * 1.0).alias("tf")
+    )
+    postings = materialize(
+        postings0.unionByName(new_postings),
+        f"bm25_postings_{corpus_tag}_inc",
+        reuse=True,
+    )
+    new_df = new_postings.groupBy("term").agg(
+        (F.count(F.lit(1)) * 1.0).alias("df")
+    )
+    df_tbl = materialize(
+        df0.unionByName(new_df)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df")),
+        f"bm25_df_{corpus_tag}_inc",
+        reuse=True,
+    )
+    nw = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    new_dl = fresh.select(F.col(id_col), (nw * 1.0).alias("dl")).where(
+        F.col("dl") > 0
+    )
+    dl = materialize(
+        dl0.unionByName(new_dl), f"bm25_dl_{corpus_tag}_inc", reuse=True
+    )
+    return postings, df_tbl, dl
+
+
 def bm25_query_indexed(
     index: tuple[DataFrame, DataFrame, DataFrame],
     terms: tuple[str, ...],

@@ -1051,6 +1051,37 @@ def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_INC_TERMS = ("stream", "index", "data")
+
+
+@query(
+    "bm25_index_incremental",
+    oracle=_bm25_oracle(_BM25_INC_TERMS),
+    description="C11/IR incremental maintenance (VERDICT r7 #5): a FROZEN "
+    "BM25 index built on 90% of the corpus is merged with the remaining "
+    "10% as a new-crawl increment — only the increment is tokenized "
+    "(O(increment) postings + a narrow df-table sum + dl append; "
+    "first-owner anti-join drops re-crawled ids), then queried. The "
+    "oracle is the from-scratch FULL-corpus BM25, so the green row IS "
+    "the proof that merge == full rebuild (df recomputed exactly; "
+    "avgdl/N re-derived from the merged dl table — maintenance does NOT "
+    "freeze idf, unlike the frozen-SEARCH family; see "
+    "operators/text.bm25_index_merge_increment docstring).",
+)
+def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    increment = docs.where(F.col("doc_id") % 10 == 0)
+    tag = os.path.basename(sf_dir.rstrip("/")) + "_r8frozen"
+    frozen = T.bm25_build_index(corpus, corpus_tag=tag)
+    merged = T.bm25_index_merge_increment(frozen, increment, corpus_tag=tag)
+    return T.bm25_query_indexed(
+        merged, _BM25_INC_TERMS, k1=_BM25_K1, b=_BM25_B, k_top=20
+    )
+
+
 def _bpe_encode_sql(rounds: int = _BPE_ROUNDS) -> str:
     """Train chain (shared CTEs with _bpe_train_sql) + an encode chain
     e0..e{rounds} that carries the term through the same replaces, then

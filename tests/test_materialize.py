@@ -175,6 +175,50 @@ def test_bm25_index_built_once_probed_many(spark, sf_dir):
     reset_reuse_cache()
 
 
+def test_bm25_incremental_merge_equals_full_rebuild(spark, sf_dir):
+    """VERDICT r7 #5: merging a new-doc increment into a frozen index
+    must be VALUE-IDENTICAL to rebuilding from the full corpus —
+    postings, df, and dl compare as exact sets (counts are integer-in-
+    double, so equality is exact), and re-crawled ids already in the
+    frozen index are dropped (first-owner), never double-counted."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators.text import (
+        bm25_build_index,
+        bm25_index_merge_increment,
+        bm25_query_indexed,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    reset_reuse_cache()
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    inc = docs.where(F.col("doc_id") % 7 == 0)
+    frozen = bm25_build_index(corpus, corpus_tag="t_inc_base")
+    merged = bm25_index_merge_increment(frozen, inc, corpus_tag="t_inc_base")
+    full = bm25_build_index(docs, corpus_tag="t_inc_full")
+    for m, f, cols in zip(
+        merged, full, (("term", "doc_id", "tf"), ("term", "df"), ("doc_id", "dl"))
+    ):
+        ms = {tuple(r) for r in m.select(*cols).collect()}
+        fs = {tuple(r) for r in f.select(*cols).collect()}
+        assert ms == fs, cols
+    # first-owner: merging an increment containing ALREADY-INDEXED docs
+    # is a no-op (the anti-join drops them; df/dl never double-count)
+    recrawl = bm25_index_merge_increment(
+        (merged[0], merged[1], merged[2]),
+        docs.where(F.col("doc_id") % 7 == 0),
+        corpus_tag="t_inc_recrawl",
+    )
+    assert recrawl[2].count() == full[2].count()
+    assert {tuple(r) for r in recrawl[1].collect()} == {
+        tuple(r) for r in full[1].collect()
+    }
+    # and the query path over the merged index matches the full index
+    a = bm25_query_indexed(merged, ("data", "stream"), k_top=10).collect()
+    b = bm25_query_indexed(full, ("data", "stream"), k_top=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    reset_reuse_cache()
+
+
 def test_bm25_index_storage_mode_writes_tables(spark, sf_dir, storage_mode):
     import os as _os
 
