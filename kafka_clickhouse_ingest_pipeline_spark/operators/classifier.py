@@ -199,3 +199,27 @@ def logreg_score(
         .agg(round4(F.sum(F.col("wt") * F.col("val"))).alias("m"))
         .select(id_col, round4(_sigmoid(F.col("m"))).alias("score"))
     )
+
+
+def logreg_score_docs(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_dims: int = HT_DIM,
+) -> DataFrame:
+    """Score raw documents under FROZEN trained weights — the
+    score-at-ingest entry point (round-7 VERDICT #6), same frozen-state
+    pattern as similarity.ivf_assign and dedup.embedding_cross_hits.
+
+    Featurize + broadcast-join-score in one call, stateless per
+    document: a doc's features come from its own text alone and the
+    weight table rides as a broadcast, so scoring a crawl increment
+    micro-batch-by-micro-batch through foreachBatch produces exactly
+    the single-batch scores (pinned by
+    tests/test_streaming.py::test_classifier_score_at_ingest_stream_equals_batch).
+    ``n_dims`` must match the dims the weights were trained with — the
+    weight table is (dim, wt) with dim = n_dims as the bias row."""
+    return logreg_score(
+        hashed_features(docs, text_col, id_col, n_dims), weights, id_col
+    )

@@ -1147,6 +1147,46 @@ def quality_classifier_loss_curve(
 
 
 @query(
+    "quality_classifier_score_at_ingest",
+    oracle=f"""
+    WITH {_logreg_sql()}
+    SELECT doc_id, score FROM sc
+    WHERE doc_id >= 0 AND doc_id % 10 = 0
+    ORDER BY doc_id
+    """,
+    description="C11/curation score-at-ingest (VERDICT r7 #6): a crawl "
+    "increment (every 10th real doc) scored through "
+    "operators/classifier.logreg_score_docs under FROZEN weights "
+    "trained on the full corpus — the one-call featurize+score entry "
+    "the micro-batch path uses (stream-vs-batch equivalence over 3 "
+    "micro-batches pinned in tests/test_streaming.py). Oracle is the "
+    "full training replay filtered to the increment: frozen-weight "
+    "scoring must equal in-corpus scoring doc-for-doc because features "
+    "depend only on each doc's own text.",
+)
+def quality_classifier_score_at_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import classifier as C
+
+    corpus = _quality_training_corpus(spark, sf_dir)
+    feats = C.hashed_features(corpus, "text", "doc_id")
+    wts = C.logreg_train(
+        feats,
+        corpus.select("doc_id", "y"),
+        "doc_id",
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+    )
+    increment = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 10 == 0)
+    )
+    return C.logreg_score_docs(increment, wts).orderBy("doc_id")
+
+
+@query(
     "graph_triangle_counts",
     oracle=f"""
     WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),

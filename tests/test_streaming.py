@@ -1013,3 +1013,63 @@ def test_suffix_remove_incremental_stream_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert streamed == batch
+
+
+def test_classifier_score_at_ingest_stream_equals_batch(spark, tmp_path):
+    """VERDICT r7 #6 'done' criterion: scoring a crawl increment under
+    FROZEN classifier weights through a stream (3 micro-batches)
+    produces exactly the single-batch scores — featurize depends only
+    on the doc's own text and the weight table rides as a broadcast, so
+    curation flags can be produced at ingest (the ivf_assign /
+    embedding_cross_hits frozen-state pattern, now for model scores)."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.operators import (
+        classifier as C,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
+        _quality_training_corpus,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = _quality_training_corpus(spark, sf_dir)
+    feats = C.hashed_features(corpus, "text", "doc_id")
+    wts = C.logreg_train(
+        feats, corpus.select("doc_id", "y"), "doc_id", iters=3, lr=0.5
+    )
+    # freeze: the trained weights become a static local table, exactly
+    # what a serving/ingest job loads at startup
+    wts = spark.createDataFrame(wts.collect(), schema=wts.schema)
+
+    new = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 10 == 0)
+    )
+    batch = {
+        r.doc_id: r.score
+        for r in C.logreg_score_docs(new, wts).collect()
+    }
+    assert len(batch) > 0
+
+    src = str(tmp_path / "increment")
+    ckpt = str(tmp_path / "ckpt")
+    new.repartition(3).write.parquet(src)
+    streamed: dict[int, float] = {}
+
+    def sink(df, bid):
+        for r in C.logreg_score_docs(df, wts).collect():
+            streamed[r.doc_id] = r.score
+
+    q = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert streamed == batch
