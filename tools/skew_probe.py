@@ -1,0 +1,214 @@
+"""Skewed-data scale probe (round-7 VERDICT #4): the uniform 64x probe in
+docs/SCALEPROBE.md answers "does the engine scale with MORE data"; real
+corpora are Zipfian, so this probe answers "does it scale when ~10% of
+the mass sits on ONE key".
+
+Planted skew, applied on top of scale_probe's duplicate-structure-
+preserving copies:
+
+- documents: a 5-token boilerplate island (`zq0..zq4`) overwrites
+  positions i %% 50 < 5 of EVERY doc — one hot token family at ~10% of
+  all token mass, pure-hot 3-grams for the shingle/inverted-index
+  families, and one corpus-wide hot 5-gram per island for the suffix
+  (k=5) index. Document frequency of the hot shingles = the whole
+  corpus, exactly the regime the DF cap (`NGRAM_MAX_DF`) and the
+  salted aggregation exist for.
+- events: scaled copies preserve skew_join_topk's planted hot join key
+  (every 5th event -> user 1, ~20%% of the fact table on one key), so
+  the salted-join probe's hot partition grows with scale.
+
+Writes a "## Skew" section appended to docs/SCALEPROBE.md, including
+the DF-cap recall eval ON the skewed corpus (1x only: the eval's
+uncapped reference side is quadratic in the hot shingle's DF by
+construction — that blowup is the thing the cap removes, so probing it
+at 16x would measure the disease, not the engine).
+
+Usage: python tools/skew_probe.py [max_scale]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_ingest_pipeline_spark import registry
+from kafka_clickhouse_ingest_pipeline_spark.session import build_session
+from kafka_clickhouse_ingest_pipeline_spark.tables import TABLES, load_table
+from tools.scale_probe import SF_DIR, scaled_docs
+
+HOT = ["zq0", "zq1", "zq2", "zq3", "zq4"]
+
+# (query, skew story). All run at every scale; growth is compared to the
+# uniform-corpus table in the section header.
+PROBES = [
+    ("text_top_terms", "hot-term aggregation (map-side combine eats the 10% token)"),
+    ("salted_skew_aggregate", "salted two-stage agg (hot term spread over 16 salt cells)"),
+    ("dedup_ngram_jaccard_pairs", "inverted index under corpus-wide hot shingles (DF cap)"),
+    ("dedup_containment_pairs", "containment index under the same hot shingles"),
+    ("doc_novelty_scores", "gram min-ownership with a corpus-wide gram"),
+    ("dedup_suffix_spans", "suffix index with a corpus-wide hot 5-gram"),
+    ("dedup_suffix_remove", "suffix rewrite cutting the boilerplate islands"),
+    ("dedup_minhash_lsh_pairs", "MinHash/LSH under shared boilerplate shingles"),
+    ("skew_join_topk", "salted fact-to-dim join, hot key at 20% of the fact side"),
+]
+
+
+def skewed_docs(docs, n_copies: int):
+    """scale_probe copies (duplicate structure constant), then the hot
+    boilerplate island stamped over positions i % 50 < 5 of every doc."""
+    base = scaled_docs(docs, n_copies)
+    words = F.split(F.col("text"), " ")
+    stamped = F.concat_ws(
+        " ",
+        F.transform(
+            words,
+            lambda w, i: F.when(i % 50 == 0, F.lit(HOT[0]))
+            .when(i % 50 == 1, F.lit(HOT[1]))
+            .when(i % 50 == 2, F.lit(HOT[2]))
+            .when(i % 50 == 3, F.lit(HOT[3]))
+            .when(i % 50 == 4, F.lit(HOT[4]))
+            .otherwise(w),
+        ),
+    )
+    return base.select(
+        "doc_id", stamped.alias("text"), "lang", "source", "n_chars"
+    )
+
+
+def scaled_events(ev, n_copies: int):
+    stride = 100_000_000
+    out = None
+    for c in range(n_copies):
+        copy = ev.select(
+            (F.col("event_id") + F.lit(c * stride)).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        out = copy if out is None else out.unionByName(copy)
+    return out
+
+
+def main() -> None:
+    max_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    scales = [s for s in (1, 4, 16, 64) if s <= max_scale]
+    spark = build_session(app_name="skew-probe")
+    registry.load_all()
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = load_table(spark, SF_DIR, "events")
+
+    base = Path(tempfile.mkdtemp(prefix="skew_probe_"))
+    results: dict[int, dict[str, float]] = {}
+    rows: dict[int, int] = {}
+    recall_rows = None
+    try:
+        for s in scales:
+            d = base / f"x{s}"
+            d.mkdir()
+            skewed_docs(docs, s).repartition(32).write.parquet(
+                str(d / "documents.parquet")
+            )
+            scaled_events(ev, s).repartition(32).write.parquet(
+                str(d / "events.parquet")
+            )
+            for t in TABLES:
+                if t not in ("documents", "events"):
+                    (d / f"{t}.parquet").symlink_to(
+                        Path(SF_DIR) / f"{t}.parquet"
+                    )
+            rows[s] = spark.read.parquet(
+                str(d / "documents.parquet")
+            ).count()
+            results[s] = {}
+            for name, _story in PROBES:
+                fn = registry.REGISTRY[name].fn
+                df = fn(spark, str(d))
+                df.write.mode("overwrite").format("noop").save()  # warm
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    df.write.mode("overwrite").format("noop").save()
+                    best = min(best, time.time() - t0)
+                results[s][name] = round(best, 3)
+            print(f"x{s}: {rows[s]} docs -> {json.dumps(results[s])}")
+            if s == 1:
+                recall_rows = [
+                    r.asDict()
+                    for r in registry.REGISTRY[
+                        "dedup_jaccard_cap_recall_eval"
+                    ].fn(spark, str(d)).collect()
+                ]
+                print("df-cap recall on skewed 1x:", recall_rows)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+    lines = [
+        "",
+        "## Skew (Zipf-planted corpus: one hot key family at ~10% mass)",
+        "",
+        "Generated by tools/skew_probe.py on the SAME perturbed-copy",
+        "corpora as the table above, plus planted skew: a 5-token",
+        "boilerplate island stamped over every doc (~10% of all token",
+        "mass on one token family; corpus-wide-DF hot 3-gram shingles and",
+        "a hot 5-gram for the suffix index) and the salted-join probe's",
+        "planted hot join key (~20% of events on one user) growing with",
+        "scale. The pass criterion is the same: time growth at or below",
+        "data growth — under skew this is only true if the DF cap,",
+        "salting, and banding actually do their jobs.",
+        "",
+        "| query (skew story) | "
+        + " | ".join(f"{s}x ({rows[s]} docs)" for s in scales)
+        + " | growth vs data |",
+        "|---|" + "---|" * (len(scales) + 1),
+    ]
+    for name, story in PROBES:
+        ts = [results[s][name] for s in scales]
+        growth = (
+            f"{ts[-1] / ts[0]:.1f}x time for {scales[-1] / scales[0]:.0f}x data"
+            if ts[0] > 0
+            else "—"
+        )
+        cells = [f"{t:.2f}s" for t in ts]
+        lines.append(
+            f"| `{name}` ({story}) | " + " | ".join(cells) + f" | {growth} |"
+        )
+    lines.append("")
+    if recall_rows:
+        r = recall_rows[0]
+        lines.append(
+            "DF-cap recall eval ON the skewed corpus (1x; the uncapped "
+            "reference is quadratic in the hot shingle's corpus-wide DF "
+            "by construction, which is precisely the blowup the cap "
+            f"removes): {json.dumps(r)}. Reading: precision stays 1.0 "
+            "(everything the capped index reports is a true >=0.2 "
+            "pair), while recall collapses to the content-overlap "
+            "pairs — the planted boilerplate pushes many SHORT docs "
+            "over 0.2 true Jaccard purely via shared template "
+            "shingles, and those template-similarity pairs are exactly "
+            "what the cap is designed to ignore (they are removal "
+            "candidates for the SUFFIX pass, which cuts corpus-wide "
+            "repeated spans like these islands; after boilerplate "
+            "removal the Jaccard index sees content-only overlap "
+            "again). The production reading is an ordering rule: run "
+            "suffix/boilerplate removal BEFORE shingle dedup on "
+            "template-heavy corpora."
+        )
+    lines.append("")
+    with open("docs/SCALEPROBE.md", "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("appended skew section to docs/SCALEPROBE.md")
+
+
+if __name__ == "__main__":
+    main()

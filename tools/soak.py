@@ -1,0 +1,362 @@
+"""Sustained streaming soak of the full ingest pipeline (VERDICT r7 #3).
+
+Drives the HTTP front door (`sources/http_ingest.IngestHTTPServer` —
+auth, method/JSON gates, async spool batching) at load for a sustained
+window, runs TWO concurrent streaming queries over the spool —
+`streaming/pipeline.run_pipeline` into clustered parquet, and
+`ingest_transform` → the batched JDBC sink into embedded Derby — with
+`PipelineMetricsListener` capturing per-batch rows/s and durations, and
+a driver-side sampler recording backlog (accepted − processed). At ~40%
+of the window BOTH queries are killed and restarted from their
+checkpoints, exercising A15 (at-least-once replay) at volume: any
+in-flight batch replays, and the report counts the resulting duplicate
+rows per sink (the parquet sink runs with dedupe_replays=False exactly
+so the redelivery is observable — the `_batch_ledger` idempotence path
+is property-tested separately).
+
+Usage:
+  python tools/soak.py                      # 5-minute soak, ~600 rows/s
+  python tools/soak.py --minutes 5 --rate 1000
+  python tools/soak.py --short              # ~25 s CI profile
+  python tools/soak.py --report docs/SOAK.md
+
+Prints one JSON summary line and (with --report) appends a markdown
+section. The CI regression test (tests/test_soak_harness.py) runs the
+--short profile as a subprocess.
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import os
+import statistics
+import sys
+import tempfile
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from kafka_clickhouse_ingest_pipeline_spark.session import build_session  # noqa: E402
+from kafka_clickhouse_ingest_pipeline_spark.sources import http_ingest as H  # noqa: E402
+from kafka_clickhouse_ingest_pipeline_spark.sources import jdbc as J  # noqa: E402
+from kafka_clickhouse_ingest_pipeline_spark.streaming import pipeline as P  # noqa: E402
+from kafka_clickhouse_ingest_pipeline_spark.streaming.metrics import (  # noqa: E402
+    PipelineMetricsListener,
+)
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+API_KEY = "soak-key"
+
+
+class LoadGen:
+    """Closed-loop POST generator: N threads with persistent connections,
+    token-bucket throttled to the target aggregate rate. Every ~200th
+    request is deliberately invalid (bad JSON) and every ~300th carries a
+    bad API key, so the 400/401 gates stay exercised under load."""
+
+    def __init__(self, host: str, port: int, rate: float, n_threads: int = 4):
+        self.host, self.port, self.rate = host, port, rate
+        self.n_threads = n_threads
+        self.accepted = 0
+        self.rejected_400 = 0
+        self.rejected_401 = 0
+        self.errors = 0
+        self._seq = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._t0 = 0.0
+
+    def _next_seq(self) -> int:
+        with self._lock:
+            self._seq += 1
+            return self._seq
+
+    def _run(self) -> None:
+        conn = http.client.HTTPConnection(self.host, self.port, timeout=10)
+        while not self._stop.is_set():
+            # token bucket: stay at or below the aggregate target rate
+            with self._lock:
+                sent = (
+                    self.accepted + self.rejected_400 + self.rejected_401
+                    + self.errors
+                )
+            ahead = sent - self.rate * (time.monotonic() - self._t0)
+            if ahead > 0:
+                time.sleep(min(0.05, ahead / self.rate))
+                continue
+            seq = self._next_seq()
+            key = API_KEY if seq % 300 else "stolen-key"
+            if seq % 200 == 0:
+                body = b"{not json"
+            else:
+                body = json.dumps(
+                    {
+                        "sensorId": f"s{seq % 50:02d}",
+                        "temperature": 20.0 + (seq % 100) / 10.0,
+                        "value": seq,
+                        "timestamp": "2024-01-01T00:00:00Z",
+                    }
+                ).encode()
+            try:
+                conn.request("POST", "/ingest", body, {H.API_KEY_HEADER: key})
+                resp = conn.getresponse()
+                code = resp.status
+                resp.read()  # drain so the keep-alive conn is reusable
+            except Exception:
+                with self._lock:
+                    self.errors += 1
+                conn.close()
+                conn = http.client.HTTPConnection(
+                    self.host, self.port, timeout=10
+                )
+                continue
+            with self._lock:
+                if code == 202:
+                    self.accepted += 1
+                elif code == 400:
+                    self.rejected_400 += 1
+                elif code == 401:
+                    self.rejected_401 += 1
+                else:
+                    self.errors += 1
+        conn.close()
+
+    def start(self) -> None:
+        self._t0 = time.monotonic()
+        for _ in range(self.n_threads):
+            t = threading.Thread(target=self._run, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=10)
+
+
+def _spool_reader(spark, spool: str):
+    """Throughput-mode spool reader: unlike the test-mode file_source
+    (maxFilesPerTrigger=1 for deterministic micro-batch tests), the soak
+    consumes every available spool file per trigger."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 256)
+        .load(spool)
+    )
+
+
+def _start_parquet_query(spark, spool, out, ckpt, trigger):
+    return (
+        P.ingest_transform(_spool_reader(spark, spool))
+        .writeStream.foreachBatch(
+            P.foreach_batch_writer(out, dedupe_replays=False)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def _start_jdbc_query(spark, spool, url, ckpt, trigger):
+    sink = J.jdbc_foreach_batch(
+        url, "ingested_data", driver=DERBY_DRIVER
+    )
+    return (
+        P.ingest_transform(_spool_reader(spark, spool))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=5.0)
+    ap.add_argument("--rate", type=float, default=600.0)
+    ap.add_argument("--trigger", default="5 seconds")
+    ap.add_argument("--report", default=None, help="markdown file to append")
+    ap.add_argument(
+        "--short", action="store_true",
+        help="~25 s CI profile (overrides minutes/rate/trigger)",
+    )
+    args = ap.parse_args()
+    if args.short:
+        args.minutes, args.rate, args.trigger = 25 / 60.0, 120.0, "2 seconds"
+
+    duration_s = args.minutes * 60.0
+    work = tempfile.mkdtemp(prefix="soak_")
+    spool = os.path.join(work, "spool")
+    out = os.path.join(work, "out")
+    ckpt_pq = os.path.join(work, "ckpt_pq")
+    ckpt_db = os.path.join(work, "ckpt_db")
+    derby_url = f"jdbc:derby:{work}/soakdb;create=true"
+    metrics_log = os.path.join(work, "metrics.jsonl")
+
+    spark = build_session(app_name="soak")
+    listener = PipelineMetricsListener(log_path=metrics_log)
+    spark.streams.addListener(listener)
+
+    pub = H.SpoolPublisher(spool, batch_size=100, batch_timeout_s=1.0)
+    srv = H.IngestHTTPServer(
+        pub, authenticate=lambda k: k == API_KEY
+    ).start()
+    host, port = srv.server_address[:2]
+
+    q_pq = _start_parquet_query(spark, spool, out, ckpt_pq, args.trigger)
+    q_db = _start_jdbc_query(spark, spool, derby_url, ckpt_db, args.trigger)
+
+    gen = LoadGen(host, port, rate=args.rate)
+    gen.start()
+    t_start = time.monotonic()
+
+    backlog_samples: list[int] = []
+    kill_at = duration_s * 0.4
+    killed = False
+    restart_wall = None
+    while time.monotonic() - t_start < duration_s:
+        time.sleep(1.0)
+        snap = listener.snapshot()
+        processed = max(
+            (v.get("total_rows", 0) for v in snap.values()), default=0
+        )
+        with gen._lock:
+            backlog_samples.append(max(0, gen.accepted - processed))
+        if not killed and time.monotonic() - t_start >= kill_at:
+            # A15 at volume: hard-stop both queries mid-stream, restart
+            # from their checkpoints. In-flight uncommitted batches replay.
+            t_kill = time.monotonic()
+            q_pq.stop()
+            q_db.stop()
+            q_pq = _start_parquet_query(
+                spark, spool, out, ckpt_pq, args.trigger
+            )
+            q_db = _start_jdbc_query(
+                spark, spool, derby_url, ckpt_db, args.trigger
+            )
+            restart_wall = round(time.monotonic() - t_kill, 1)
+            killed = True
+
+    gen.stop()
+    srv.close()  # graceful drain: flushes the partial spool batch (A17)
+
+    # drain: wait until both sinks stop growing and cover every accepted row
+    def _pq_rows() -> int:
+        try:
+            return spark.read.parquet(os.path.join(out, "data")).count()
+        except Exception:
+            return 0
+
+    def _db() -> tuple[int, int]:
+        try:
+            df = (
+                spark.read.format("jdbc")
+                .option("url", derby_url)
+                .option("dbtable", "ingested_data")
+                .option("driver", DERBY_DRIVER)
+                .load()
+            )
+            return df.count(), df.select("value").distinct().count()
+        except Exception:
+            return 0, 0
+
+    deadline = time.monotonic() + max(120.0, duration_s)
+    while time.monotonic() < deadline:
+        if _pq_rows() >= gen.accepted and _db()[0] >= gen.accepted:
+            break
+        time.sleep(2.0)
+    q_pq.stop()
+    q_db.stop()
+    spark.streams.removeListener(listener)
+
+    pq = spark.read.parquet(os.path.join(out, "data"))
+    pq_rows = pq.count()
+    pq_distinct = pq.select("value").distinct().count()
+    db_rows, db_distinct = _db()
+
+    durations = []
+    batch_rows = []
+    with open(metrics_log) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if rec.get("duration_ms") is not None:
+                durations.append(rec["duration_ms"])
+            batch_rows.append(rec.get("num_input_rows", 0))
+    wall = time.monotonic() - t_start
+    qs = statistics.quantiles(durations, n=20) if len(durations) >= 2 else []
+    summary = {
+        "profile": "short" if args.short else "full",
+        "wall_sec": round(wall, 1),
+        "target_rate": args.rate,
+        "accepted_202": gen.accepted,
+        "rejected_400": gen.rejected_400,
+        "rejected_401": gen.rejected_401,
+        "client_errors": gen.errors,
+        "parquet_rows": pq_rows,
+        "parquet_distinct": pq_distinct,
+        "parquet_replay_dupes": pq_rows - pq_distinct,
+        "derby_rows": db_rows,
+        "derby_distinct": db_distinct,
+        "derby_replay_dupes": db_rows - db_distinct,
+        "delivered_all": bool(
+            pq_distinct >= gen.accepted and db_distinct >= gen.accepted
+        ),
+        "ingest_rows_per_sec": round(gen.accepted / wall, 1),
+        "n_batches": len(durations),
+        "batch_ms_p50": round(statistics.median(durations), 1)
+        if durations
+        else None,
+        "batch_ms_p95": round(qs[18], 1) if qs else None,
+        "max_batch_rows": max(batch_rows, default=0),
+        "backlog_max": max(backlog_samples, default=0),
+        "backlog_final": backlog_samples[-1] if backlog_samples else 0,
+        "restart_wall_sec": restart_wall,
+        "workdir": work,
+    }
+    print(json.dumps(summary))
+
+    ok = (
+        summary["delivered_all"]
+        and gen.accepted > 0
+        and gen.rejected_400 > 0
+        and gen.rejected_401 > 0
+        and summary["parquet_replay_dupes"] >= 0
+    )
+    if args.report:
+        _append_report(args.report, summary)
+    return 0 if ok else 1
+
+
+def _append_report(path: str, s: dict) -> None:
+    row = (
+        f"| {s['profile']} | {s['wall_sec']} | {s['target_rate']:.0f} | "
+        f"{s['accepted_202']} | {s['rejected_400']}/{s['rejected_401']} | "
+        f"{s['ingest_rows_per_sec']} | {s['n_batches']} | "
+        f"{s['batch_ms_p50']} | {s['batch_ms_p95']} | "
+        f"{s['backlog_max']} / {s['backlog_final']} | "
+        f"{s['parquet_rows']} ({s['parquet_replay_dupes']} dup) | "
+        f"{s['derby_rows']} ({s['derby_replay_dupes']} dup) | "
+        f"{'yes' if s['delivered_all'] else 'NO'} |"
+    )
+    p = Path(path)
+    if not p.exists() or "| profile |" not in p.read_text():
+        hdr = (
+            "| profile | wall s | target r/s | accepted 202 | 400/401 | "
+            "ingest r/s | batches | batch p50 ms | batch p95 ms | "
+            "backlog max/final | parquet rows | derby rows | all delivered |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
+        )
+        with open(p, "a") as fh:
+            fh.write("\n" + hdr + row + "\n")
+    else:
+        with open(p, "a") as fh:
+            fh.write(row + "\n")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
