@@ -205,6 +205,11 @@ class _Handler(BaseHTTPRequestHandler):
     timeout = HTTP_READ_TIMEOUT_S
     # main.go:88: IdleTimeout 60 s for keep-alive connections
     protocol_version = "HTTP/1.1"
+    # Go's net/http sets TCP_NODELAY on every accepted conn; without it,
+    # Nagle + delayed-ACK caps a keep-alive request/response loop at
+    # ~25 req/s per connection (measured in the round-8 soak: 87 rows/s
+    # at a 600 target until this landed).
+    disable_nagle_algorithm = True
 
     def log_message(self, fmt, *args):  # silence per-request stderr noise
         pass

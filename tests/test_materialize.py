@@ -219,6 +219,38 @@ def test_bm25_incremental_merge_equals_full_rebuild(spark, sf_dir):
     reset_reuse_cache()
 
 
+def test_bm25_incremental_merge_is_associative(spark, sf_dir):
+    """Successive micro-batch merges equal one bulk merge: merging
+    increment A then increment B into a frozen index produces the same
+    tables as merging A ∪ B at once (df sums over disjoint doc sets are
+    associative), so the operator composes with a foreachBatch loop the
+    same way every other frozen-state incremental does."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators.text import (
+        bm25_build_index,
+        bm25_index_merge_increment,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    reset_reuse_cache()
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 > 1)
+    inc_a = docs.where(F.col("doc_id") % 5 == 0)
+    inc_b = docs.where(F.col("doc_id") % 5 == 1)
+    frozen = bm25_build_index(corpus, corpus_tag="t_assoc_base")
+    step1 = bm25_index_merge_increment(frozen, inc_a, corpus_tag="t_assoc_a")
+    step2 = bm25_index_merge_increment(step1, inc_b, corpus_tag="t_assoc_ab")
+    bulk = bm25_index_merge_increment(
+        frozen, inc_a.unionByName(inc_b), corpus_tag="t_assoc_bulk"
+    )
+    for m, f, cols in zip(
+        step2, bulk, (("term", "doc_id", "tf"), ("term", "df"), ("doc_id", "dl"))
+    ):
+        ms = {tuple(r) for r in m.select(*cols).collect()}
+        fs = {tuple(r) for r in f.select(*cols).collect()}
+        assert ms == fs, cols
+    reset_reuse_cache()
+
+
 def test_bm25_index_storage_mode_writes_tables(spark, sf_dir, storage_mode):
     import os as _os
 

@@ -58,7 +58,7 @@ class LoadGen:
     request is deliberately invalid (bad JSON) and every ~300th carries a
     bad API key, so the 400/401 gates stay exercised under load."""
 
-    def __init__(self, host: str, port: int, rate: float, n_threads: int = 4):
+    def __init__(self, host: str, port: int, rate: float, n_threads: int = 8):
         self.host, self.port, self.rate = host, port, rate
         self.n_threads = n_threads
         self.accepted = 0
@@ -76,8 +76,18 @@ class LoadGen:
             self._seq += 1
             return self._seq
 
-    def _run(self) -> None:
+    def _connect(self) -> http.client.HTTPConnection:
         conn = http.client.HTTPConnection(self.host, self.port, timeout=10)
+        conn.connect()
+        # client-side TCP_NODELAY too: both directions of the keep-alive
+        # loop must skip Nagle or delayed-ACK still serializes at ~40 ms
+        import socket as _socket
+
+        conn.sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+        return conn
+
+    def _run(self) -> None:
+        conn = self._connect()
         while not self._stop.is_set():
             # token bucket: stay at or below the aggregate target rate
             with self._lock:
@@ -111,9 +121,7 @@ class LoadGen:
                 with self._lock:
                     self.errors += 1
                 conn.close()
-                conn = http.client.HTTPConnection(
-                    self.host, self.port, timeout=10
-                )
+                conn = self._connect()
                 continue
             with self._lock:
                 if code == 202:
