@@ -238,6 +238,16 @@ def main() -> int:
         if not killed and time.monotonic() - t_start >= kill_at:
             # A15 at volume: hard-stop both queries mid-stream, restart
             # from their checkpoints. In-flight uncommitted batches replay.
+            # Aim the kill INSIDE a trigger (poll isTriggerActive) so a
+            # batch is actually in flight — otherwise the ~75% idle gap
+            # between triggers makes the replay path frequently unhit.
+            t_wait = time.monotonic()
+            while time.monotonic() - t_wait < 15.0:
+                if q_pq.status.get("isTriggerActive") or q_db.status.get(
+                    "isTriggerActive"
+                ):
+                    break
+                time.sleep(0.05)
             t_kill = time.monotonic()
             q_pq.stop()
             q_db.stop()
