@@ -158,12 +158,32 @@ def _spool_reader(spark, spool: str):
     )
 
 
-def _start_parquet_query(spark, spool, out, ckpt, trigger):
+CRASH_MSG = "injected crash after sink write, before checkpoint commit"
+
+
+def _start_parquet_query(spark, spool, out, ckpt, trigger, crash=None):
+    """crash: optional {'armed': bool} flag. When armed, the NEXT
+    non-empty batch is written to the sink and THEN the writer raises —
+    the at-least-once window (sink persisted, checkpoint commit never
+    reached). The query dies; the harness restarts it from the
+    checkpoint and Spark re-delivers the batch, which the ledger-less
+    sink double-appends. This is the supported way to model the crash:
+    deleting commit markers under a live JVM trips Spark's
+    multiple-writers guard (SparkConcurrentModificationException,
+    HDFSMetadataLog.write) because the metadata-log cache sees its own
+    file vanish — a real crash loses the JVM and the cache with it."""
+    base = P.foreach_batch_writer(out, dedupe_replays=False)
+
+    def write(df, bid):
+        n = df.count() if (crash and crash.get("armed")) else None
+        base(df, bid)
+        if crash and crash.get("armed") and n:
+            crash["armed"] = False
+            raise IOError(CRASH_MSG)
+
     return (
         P.ingest_transform(_spool_reader(spark, spool))
-        .writeStream.foreachBatch(
-            P.foreach_batch_writer(out, dedupe_replays=False)
-        )
+        .writeStream.foreachBatch(write)
         .option("checkpointLocation", ckpt)
         .trigger(processingTime=trigger)
         .start()
@@ -216,7 +236,10 @@ def main() -> int:
     ).start()
     host, port = srv.server_address[:2]
 
-    q_pq = _start_parquet_query(spark, spool, out, ckpt_pq, args.trigger)
+    crash = {"armed": False}
+    q_pq = _start_parquet_query(
+        spark, spool, out, ckpt_pq, args.trigger, crash=crash
+    )
     q_db = _start_jdbc_query(spark, spool, derby_url, ckpt_db, args.trigger)
 
     gen = LoadGen(host, port, rate=args.rate)
@@ -227,6 +250,7 @@ def main() -> int:
     kill_at = duration_s * 0.4
     killed = False
     restart_wall = None
+    crash_evidence = ""
     while time.monotonic() - t_start < duration_s:
         time.sleep(1.0)
         snap = listener.snapshot()
@@ -236,29 +260,37 @@ def main() -> int:
         with gen._lock:
             backlog_samples.append(max(0, gen.accepted - processed))
         if not killed and time.monotonic() - t_start >= kill_at:
-            # A15 at volume: hard-stop both queries mid-stream, restart
-            # from their checkpoints. In-flight uncommitted batches replay.
-            # Aim the kill INSIDE a trigger (poll isTriggerActive) so a
-            # batch is actually in flight — otherwise the ~75% idle gap
-            # between triggers makes the replay path frequently unhit.
-            t_wait = time.monotonic()
-            while time.monotonic() - t_wait < 15.0:
-                if q_pq.status.get("isTriggerActive") or q_db.status.get(
-                    "isTriggerActive"
-                ):
-                    break
-                time.sleep(0.05)
+            # A15 at volume, two failure modes at once:
+            # - parquet query: injected CRASH after the sink write
+            #   (writer raises before the checkpoint commit → query
+            #   dies → restart → Spark re-delivers the batch → the
+            #   ledger-less sink double-appends = observable
+            #   at-least-once replay);
+            # - JDBC query: graceful stop + resume from checkpoint
+            #   (the clean-drain path, exercised concurrently).
             t_kill = time.monotonic()
-            q_pq.stop()
+            crash["armed"] = True
             q_db.stop()
-            q_pq = _start_parquet_query(
-                spark, spool, out, ckpt_pq, args.trigger
-            )
             q_db = _start_jdbc_query(
                 spark, spool, derby_url, ckpt_db, args.trigger
             )
+            # wait for the armed crash to fire (next non-empty batch),
+            # then restart the dead query from its checkpoint
+            t_wait = time.monotonic()
+            while q_pq.isActive and time.monotonic() - t_wait < 60.0:
+                time.sleep(0.2)
+            # capture the evidence NOW: the restart reuses the same
+            # checkpoint query id, so the listener's failure record for
+            # this id is overwritten by the new instance's started event
+            exc = q_pq.exception() if not q_pq.isActive else None
+            crash_evidence = str(exc) if exc is not None else ""
+            q_pq = _start_parquet_query(
+                spark, spool, out, ckpt_pq, args.trigger, crash=crash
+            )
             restart_wall = round(time.monotonic() - t_kill, 1)
             killed = True
+            if CRASH_MSG not in crash_evidence:
+                print("WARN: injected crash did not fire within 60 s")
 
     gen.stop()
     srv.close()  # graceful drain: flushes the partial spool batch (A17)
@@ -336,14 +368,25 @@ def main() -> int:
         "restart_wall_sec": restart_wall,
         "workdir": work,
     }
+    errors = [
+        str(v.get("error"))
+        for v in listener.snapshot().values()
+        if v.get("status") == "failed"
+    ]
+    summary["injected_crash_fired"] = CRASH_MSG in crash_evidence
+    summary["stream_errors_unexpected"] = [
+        e[:400] for e in errors if CRASH_MSG not in e
+    ]
     print(json.dumps(summary))
 
     ok = (
         summary["delivered_all"]
+        and not summary["stream_errors_unexpected"]
+        and summary["injected_crash_fired"]
+        and summary["parquet_replay_dupes"] > 0  # the replay is REAL
         and gen.accepted > 0
         and gen.rejected_400 > 0
         and gen.rejected_401 > 0
-        and summary["parquet_replay_dupes"] >= 0
     )
     if args.report:
         _append_report(args.report, summary)
