@@ -415,6 +415,71 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, docs.select("doc_id"), "doc_id")
 
 
+@query(
+    "dedup_cluster_size_profile",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_lsh_pairs_sql()}),
+    nodes AS (SELECT doc_id FROM ({_PLANTED_SQL})),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.d, w.root FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    cc AS (
+      SELECT node AS doc_id, MIN(root) AS cluster_id
+      FROM walk GROUP BY node
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY cluster_id
+    )
+    SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+                WHEN sz <= 5 THEN '3-5' ELSE '6+' END AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY 1 ORDER BY size_bucket
+    """,
+    description="C9 dedup-QA dashboard: the duplicate-CLUSTER size "
+    "distribution — per size bucket (1 / 2 / 3-5 / 6+), how many "
+    "clusters, how many docs they hold, and how many docs a "
+    "keep-one-per-cluster policy removes (sum of size-1). THE number an "
+    "operator reads before committing a dedup pass at 100 TB: a fat 6+ "
+    "tail means boilerplate/template families (route to the suffix "
+    "pass first), a thin all-size-2 profile means true near-dup twins. "
+    "Reuses the same CC plan as dedup_minhash_clusters (O(diameter) "
+    "rounds) plus two tiny aggregates; oracle replays the recursive "
+    "walk and rolls up identically.",
+)
+def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    sig = D.minhash_signatures(docs, "text", "doc_id")
+    pairs = D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+    cc = D.connected_components(pairs, docs.select("doc_id"), "doc_id")
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    bucket = (
+        F.when(F.col("sz") == 1, "1")
+        .when(F.col("sz") == 2, "2")
+        .when(F.col("sz") <= 5, "3-5")
+        .otherwise("6+")
+    )
+    return (
+        sizes.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_removable"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
 def _band_keys_sql(sig_rel: str) -> str:
     """DuckDB band-key projection over a signature relation (LSH banding)."""
     selects = []

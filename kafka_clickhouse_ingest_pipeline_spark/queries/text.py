@@ -1082,6 +1082,93 @@ def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bm25_index_freshness",
+    oracle="""
+    WITH frozen AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+    ),
+    inc AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    dlf AS (
+      SELECT doc_id FROM frozen
+      WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> length(x) > 0)) > 0
+    ),
+    dli AS (
+      SELECT doc_id FROM inc
+      WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> length(x) > 0)) > 0
+    ),
+    tf AS (
+      SELECT DISTINCT term FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM frozen
+      ) WHERE length(term) > 0
+    ),
+    ti AS (
+      SELECT DISTINCT term FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM inc
+      ) WHERE length(term) > 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dlf) AS n_docs_frozen,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dli) AS n_docs_new,
+           (FLOOR((SELECT COUNT(*) FROM dli) * 1.0
+                  / ((SELECT COUNT(*) FROM dlf) + (SELECT COUNT(*) FROM dli))
+                  * 10000.0 + 0.5 + 0.000001) / 10000.0) AS pct_new,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS n_terms_frozen,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ti t
+            WHERE NOT EXISTS (SELECT 1 FROM tf f WHERE f.term = t.term))
+             AS n_terms_new_only
+    """,
+    description="C11/IR incremental maintenance dashboard: how stale is "
+    "the frozen BM25 index after a merge — docs and UNSEEN-vocabulary "
+    "terms contributed by the increment (pct_new is the rebuild/retrain "
+    "signal, the retrieval twin of ivf_drift's retrain_flag; a large "
+    "n_terms_new_only means the corpus distribution moved, not just "
+    "grew). Computed from the index TABLES themselves (frozen dl/df vs "
+    "merged dl/df — an anti-join on the narrow term frame), never by "
+    "re-reading corpus text.",
+)
+def bm25_index_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    increment = docs.where(F.col("doc_id") % 10 == 0)
+    tag = os.path.basename(sf_dir.rstrip("/")) + "_r8fresh"
+    frozen = T.bm25_build_index(corpus, corpus_tag=tag)
+    merged = T.bm25_index_merge_increment(frozen, increment, corpus_tag=tag)
+    n_f = frozen[2].agg(F.count(F.lit(1)).cast("long").alias("n_docs_frozen"))
+    n_m = merged[2].agg(F.count(F.lit(1)).cast("long").alias("_n_all"))
+    new_terms = (
+        merged[1]
+        .select("term")
+        .join(frozen[1].select("term"), "term", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms_new_only"))
+    )
+    terms_f = frozen[1].agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_frozen")
+    )
+    return (
+        n_f.crossJoin(F.broadcast(n_m))
+        .crossJoin(F.broadcast(terms_f))
+        .crossJoin(F.broadcast(new_terms))
+        .select(
+            "n_docs_frozen",
+            (F.col("_n_all") - F.col("n_docs_frozen")).alias("n_docs_new"),
+            round4(
+                (F.col("_n_all") - F.col("n_docs_frozen"))
+                / F.col("_n_all")
+            ).alias("pct_new"),
+            "n_terms_frozen",
+            "n_terms_new_only",
+        )
+    )
+
+
 def _bpe_encode_sql(rounds: int = _BPE_ROUNDS) -> str:
     """Train chain (shared CTEs with _bpe_train_sql) + an encode chain
     e0..e{rounds} that carries the term through the same replaces, then
