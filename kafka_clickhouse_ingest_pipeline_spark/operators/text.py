@@ -400,6 +400,7 @@ def bm25_index_merge_increment(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_tag: str = "default",
+    batch_id: int | str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """O(increment) BM25 index maintenance (round-7 VERDICT #5): merge a
     NEW document batch into a FROZEN index without re-tokenizing the
@@ -428,9 +429,24 @@ def bm25_index_merge_increment(
     < 2^53 is exact in IEEE754.
 
     Returns (postings, df_tbl, dl) with the same schemas as
-    :func:`bm25_build_index`, materialized under ``{corpus_tag}_inc``
-    names so the frozen tables are never overwritten.
+    :func:`bm25_build_index`, materialized under
+    ``{corpus_tag}_inc_{batch_id}`` names so the frozen tables are never
+    overwritten.
+
+    ``batch_id`` disambiguates SUCCESSIVE merges under one corpus_tag.
+    When given (the foreachBatch path — pass Spark's micro-batch id), the
+    merge is idempotent per (corpus_tag, batch_id): an at-least-once
+    replay of the same batch returns the already-merged tables instead of
+    re-appending. When omitted, a unique per-call suffix is generated so
+    a second ad-hoc merge in the same session can NEVER silently alias
+    the first merge's tables and drop its increment (round-8 ADVICE
+    medium — the old behavior reused fixed ``{tag}_inc`` names).
     """
+    import uuid as _uuid
+
+    suffix = (
+        str(batch_id) if batch_id is not None else _uuid.uuid4().hex[:12]
+    )
     postings0, df0, dl0 = index
     fresh = new_docs.join(
         dl0.select(id_col), id_col, "left_anti"
@@ -444,7 +460,7 @@ def bm25_index_merge_increment(
     )
     postings = materialize(
         postings0.unionByName(new_postings),
-        f"bm25_postings_{corpus_tag}_inc",
+        f"bm25_postings_{corpus_tag}_inc_{suffix}",
         reuse=True,
     )
     new_df = new_postings.groupBy("term").agg(
@@ -454,7 +470,7 @@ def bm25_index_merge_increment(
         df0.unionByName(new_df)
         .groupBy("term")
         .agg(F.sum("df").alias("df")),
-        f"bm25_df_{corpus_tag}_inc",
+        f"bm25_df_{corpus_tag}_inc_{suffix}",
         reuse=True,
     )
     nw = F.size(
@@ -467,7 +483,7 @@ def bm25_index_merge_increment(
         F.col("dl") > 0
     )
     dl = materialize(
-        dl0.unionByName(new_dl), f"bm25_dl_{corpus_tag}_inc", reuse=True
+        dl0.unionByName(new_dl), f"bm25_dl_{corpus_tag}_inc_{suffix}", reuse=True
     )
     return postings, df_tbl, dl
 

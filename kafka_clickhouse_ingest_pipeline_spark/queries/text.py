@@ -776,6 +776,19 @@ def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_tag(sf_dir: str, suffix: str = "") -> str:
+    """Reuse-cache tag that identifies the CORPUS, not just the dir name:
+    basename for readability + an abspath md5 prefix so two sf dirs with
+    the same basename in one session can never collide in the
+    materialize(reuse=True) cache (round-8 ADVICE / VERDICT wrong-#2)."""
+    import hashlib
+    import os
+
+    path = os.path.abspath(sf_dir.rstrip("/"))
+    h = hashlib.md5(path.encode()).hexdigest()[:8]
+    return f"{os.path.basename(path)}_{h}{suffix}"
+
+
 _BM25_TERMS = ("spark", "hash", "window")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -1040,11 +1053,9 @@ def _bm25_oracle(terms: tuple[str, ...]) -> str:
     "job; queries never re-tokenize.",
 )
 def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     docs = load_table(spark, sf_dir, "documents")
     index = T.bm25_build_index(
-        docs, corpus_tag=os.path.basename(sf_dir.rstrip("/"))
+        docs, corpus_tag=_corpus_tag(sf_dir)
     )
     return T.bm25_query_indexed(
         index, _BM25_INDEXED_TERMS, k1=_BM25_K1, b=_BM25_B, k_top=20
@@ -1069,12 +1080,10 @@ _BM25_INC_TERMS = ("stream", "index", "data")
     "operators/text.bm25_index_merge_increment docstring).",
 )
 def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     increment = docs.where(F.col("doc_id") % 10 == 0)
-    tag = os.path.basename(sf_dir.rstrip("/")) + "_r8frozen"
+    tag = _corpus_tag(sf_dir, "_r8frozen")
     frozen = T.bm25_build_index(corpus, corpus_tag=tag)
     merged = T.bm25_index_merge_increment(frozen, increment, corpus_tag=tag)
     return T.bm25_query_indexed(
@@ -1133,12 +1142,10 @@ def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-reading corpus text.",
 )
 def bm25_index_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     increment = docs.where(F.col("doc_id") % 10 == 0)
-    tag = os.path.basename(sf_dir.rstrip("/")) + "_r8fresh"
+    tag = _corpus_tag(sf_dir, "_r8fresh")
     frozen = T.bm25_build_index(corpus, corpus_tag=tag)
     merged = T.bm25_index_merge_increment(frozen, increment, corpus_tag=tag)
     n_f = frozen[2].agg(F.count(F.lit(1)).cast("long").alias("n_docs_frozen"))

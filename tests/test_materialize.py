@@ -237,10 +237,13 @@ def test_bm25_incremental_merge_is_associative(spark, sf_dir):
     inc_a = docs.where(F.col("doc_id") % 5 == 0)
     inc_b = docs.where(F.col("doc_id") % 5 == 1)
     frozen = bm25_build_index(corpus, corpus_tag="t_assoc_base")
-    step1 = bm25_index_merge_increment(frozen, inc_a, corpus_tag="t_assoc_a")
-    step2 = bm25_index_merge_increment(step1, inc_b, corpus_tag="t_assoc_ab")
+    # Deliberately the SAME tag for every merge: round-8 ADVICE medium —
+    # fixed `{tag}_inc` reuse names made the second merge silently return
+    # the first's tables. The per-call suffix must make both land.
+    step1 = bm25_index_merge_increment(frozen, inc_a, corpus_tag="t_assoc_base")
+    step2 = bm25_index_merge_increment(step1, inc_b, corpus_tag="t_assoc_base")
     bulk = bm25_index_merge_increment(
-        frozen, inc_a.unionByName(inc_b), corpus_tag="t_assoc_bulk"
+        frozen, inc_a.unionByName(inc_b), corpus_tag="t_assoc_base"
     )
     for m, f, cols in zip(
         step2, bulk, (("term", "doc_id", "tf"), ("term", "df"), ("doc_id", "dl"))
@@ -248,6 +251,45 @@ def test_bm25_incremental_merge_is_associative(spark, sf_dir):
         ms = {tuple(r) for r in m.select(*cols).collect()}
         fs = {tuple(r) for r in f.select(*cols).collect()}
         assert ms == fs, cols
+    reset_reuse_cache()
+
+
+def test_bm25_merge_default_tag_successive_and_batch_id_replay(spark, sf_dir):
+    """Round-8 ADVICE medium, pinned: (a) two successive merges under the
+    DEFAULT corpus_tag both take effect (doc counts grow twice — the old
+    fixed `_inc` reuse names silently dropped the second increment);
+    (b) with an explicit batch_id, replaying the SAME batch is idempotent
+    (returns the already-merged tables), while the NEXT batch_id lands as
+    a new merge — the contract the foreachBatch at-least-once path needs."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators.text import (
+        bm25_build_index,
+        bm25_index_merge_increment,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    reset_reuse_cache()
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 > 1)
+    inc_a = docs.where(F.col("doc_id") % 5 == 0)
+    inc_b = docs.where(F.col("doc_id") % 5 == 1)
+    n_corpus, n_a, n_b = corpus.count(), inc_a.count(), inc_b.count()
+
+    # (a) default tag, no batch_id: both merges must land
+    frozen = bm25_build_index(corpus)
+    m1 = bm25_index_merge_increment(frozen, inc_a)
+    assert m1[2].count() == n_corpus + n_a
+    m2 = bm25_index_merge_increment(m1, inc_b)
+    assert m2[2].count() == n_corpus + n_a + n_b
+
+    # (b) explicit batch_id: same id replays idempotently, next id lands
+    f2 = bm25_build_index(corpus, corpus_tag="t_bid")
+    s1 = bm25_index_merge_increment(f2, inc_a, corpus_tag="t_bid", batch_id=0)
+    s1_replay = bm25_index_merge_increment(
+        f2, inc_a, corpus_tag="t_bid", batch_id=0
+    )
+    assert all(a is b for a, b in zip(s1, s1_replay))
+    s2 = bm25_index_merge_increment(s1, inc_b, corpus_tag="t_bid", batch_id=1)
+    assert s2[2].count() == n_corpus + n_a + n_b
     reset_reuse_cache()
 
 
