@@ -428,6 +428,11 @@ def bm25_index_merge_increment(
     stays exact: counts are integers carried in doubles, and an int sum
     < 2^53 is exact in IEEE754.
 
+    This COMPOSES (not just "would compose") with Structured Streaming:
+    ``test_bm25_incremental_merge_maintained_by_foreach_batch`` runs a
+    foreachBatch loop that maintains the index across micro-batches
+    (batch_id-keyed merges) and pins final-index == full-rebuild.
+
     Returns (postings, df_tbl, dl) with the same schemas as
     :func:`bm25_build_index`, materialized under
     ``{corpus_tag}_inc_{batch_id}`` names so the frozen tables are never
