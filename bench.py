@@ -116,6 +116,9 @@ HEADLINE = [
     # round-7: Arrow-UDF surface representative (queries/udfs.py had no
     # headline coverage — the exact blind-spot class VERDICT r6 #8 closes)
     "udf_vector_norms",
+    # round-9: boilerplate-first curation ordering (scrub -> capped
+    # Jaccard), the composed pass SCALEPROBE's recall eval mandates
+    "dedup_boilerplate_first_pairs",
 ]
 
 # Family → headline representative. tests/test_registry.py asserts every
@@ -140,6 +143,7 @@ FAMILY_REPS = {
     "dedup-embedding": "dedup_semdedup_keep",
     "dedup-clustering": "dedup_minhash_clusters",
     "dedup-cdc": "dedup_cdc_savings_probe",
+    "dedup-boilerplate": "dedup_boilerplate_first_pairs",
     "text-stats": "text_token_stats",
     "text-langid": "text_lang_id",
     "text-repetition": "text_repetition_scores",

@@ -845,6 +845,20 @@ def remove_suffix_duplicate_spans(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
         ).alias("p"),
     ).distinct()
+    return _rebuild_minus_covered(df, text_col, id_col, covered)
+
+
+def _rebuild_minus_covered(
+    df: DataFrame, text_col: str, id_col: str, covered: DataFrame
+) -> DataFrame:
+    """Shared rewrite tail for the span-removal family: drop every word
+    position in ``covered`` (id, p — 1-based) and rebuild each document's
+    text from the survivors. EVERY input doc returns exactly once
+    (fully-cut docs emptied, never dropped — the r4 lesson); the
+    collect_list is bounded by document length, never corpus size.
+
+    Returns (id, n_words, n_kept, text_deduped).
+    """
     words = df.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), " ")).alias("widx", "word"),
@@ -874,6 +888,60 @@ def remove_suffix_duplicate_spans(
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
         )
     )
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_docs: int = 20,
+) -> DataFrame:
+    """Boilerplate scrub (the C4/CCNet-style template cut): every word
+    position covered by a k-gram appearing in MORE THAN ``min_docs``
+    DISTINCT documents is cut from EVERY occurrence, and each document is
+    rebuilt from its surviving words.
+
+    Contrast :func:`remove_suffix_duplicate_spans` (exact-substring
+    DEDUP: cuts every cross-repeated span, keeping one first owner) —
+    boilerplate has no first owner worth keeping and genuine near-dup
+    content must SURVIVE this pass so the shingle/MinHash passes can
+    still find it. A span shared by >min_docs documents is template
+    markup by definition (navigation, footers, license headers), which
+    is exactly the mass that (a) bloats the shingle inverted index's hot
+    keys and (b) pushes unrelated short docs over the Jaccard threshold.
+    SCALEPROBE's DF-cap recall eval derived the ordering rule this
+    operator exists for: run THIS pass BEFORE shingle near-dup on
+    template-heavy corpora, and the capped Jaccard index sees
+    content-only overlap again (measured by the probe's cleaned-corpus
+    recall row).
+
+    Scale shape: the hot-gram election is a partial-aggregated
+    groupBy(digest) over the sliding k-gram index (~n_words rows/doc,
+    the same explode the suffix family pays; a corpus-wide template
+    collapses map-side before the shuffle); the hot set is tiny by
+    construction (few grams clear a corpus-fraction DF bar) so the
+    cut-position join is a near-no-op for clean docs; the rebuild is
+    document-bounded. No UDF anywhere.
+
+    Returns (id, n_words, n_kept, text_deduped); every input doc exactly
+    once, clean docs verbatim.
+    """
+    kg = suffix_kgrams(df, text_col, id_col, k)
+    hot = (
+        kg.groupBy("dig")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") > min_docs)
+        .select("dig")
+    )
+    cut = kg.join(hot, "dig").select(id_col, "pos")
+    covered = cut.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("p"),
+    ).distinct()
+    return _rebuild_minus_covered(df, text_col, id_col, covered)
 
 
 def ngram_containment_pairs(

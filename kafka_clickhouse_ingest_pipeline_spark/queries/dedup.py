@@ -59,6 +59,22 @@ _PLANTED_SQL = f"""
     WHERE doc_id % {PLANT_EVERY} = 0 AND len(w) > 6
 """
 
+
+def _docs_with_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """planted corpus + a 10-word template stamped onto every 3rd doc —
+    the deterministic template-heavy corpus for the boilerplate-first
+    curation queries (Spark twin of _BOILER_SQL)."""
+    base = _docs_with_planted(spark, sf_dir)
+    return base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BOILER_TPL + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
 # DuckDB twin of operators.dedup.shingles (distinct word 3-grams)
 _SHINGLES_SQL = """
     SELECT DISTINCT doc_id,
@@ -838,6 +854,158 @@ def dedup_suffix_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.remove_suffix_duplicate_spans(docs, "text", "doc_id", _SUFFIX_K).orderBy(
         "doc_id"
+    )
+
+
+# --- boilerplate-first curation ordering (VERDICT r8 #1) -------------------
+# SCALEPROBE's DF-cap recall eval ended round 8 in an untested claim:
+# "after boilerplate removal the Jaccard index sees content-only overlap
+# again". These queries make that ordering executable and oracle-gated:
+# a 10-word template is stamped onto every 3rd doc (deterministically, on
+# both engines), the scrub cuts every k-gram shared by >BOILER_MIN_DOCS
+# DISTINCT docs from every occurrence, and the composed pass runs the
+# capped shingle-Jaccard on the CLEANED text. tools/skew_probe.py re-runs
+# the recall eval on the scrubbed skewed corpus and records the recovery.
+
+BOILER_MIN_DOCS = 20
+_BOILER_TPL = "follow us on social media and subscribe to our newsletter"
+
+_BOILER_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN '{_BOILER_TPL} ' || text ELSE text END AS text
+    FROM ({_PLANTED_SQL})
+"""
+
+# sliding k-gram index + hot-gram cut + per-doc rebuild, over any base CTE
+# (the DuckDB twin of operators/dedup.remove_boilerplate_spans; same
+# word-position arithmetic as the dedup_suffix_remove oracle)
+_BOILER_SCRUB_SQL = f"""
+    kg AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(w[pos:pos+{_SUFFIX_K - 1}], ' ')) AS dig
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - {_SUFFIX_K} + 2)) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)
+        WHERE len(w) >= {_SUFFIX_K}
+      )
+    ),
+    hot AS (
+      SELECT dig FROM kg GROUP BY dig
+      HAVING COUNT(DISTINCT doc_id) > {BOILER_MIN_DOCS}
+    ),
+    cut AS (SELECT doc_id, pos FROM kg JOIN hot USING (dig)),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM cut CROSS JOIN (SELECT unnest(range(0, {_SUFFIX_K})) AS j)
+    ),
+    words AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS word
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)
+      )
+    ),
+    kept AS (
+      SELECT wd.doc_id, wd.p, wd.word FROM words wd
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov WHERE cov.doc_id = wd.doc_id AND cov.p = wd.p
+      )
+    )
+"""
+
+
+@query(
+    "dedup_boilerplate_scrub",
+    oracle=f"""
+    WITH base AS ({_BOILER_SQL}),
+    {_BOILER_SCRUB_SQL}
+    SELECT b.doc_id,
+           CAST(COALESCE(t.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(kk.txt, '') AS text_deduped
+    FROM base b
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id
+    ) t USING (doc_id)
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY p) AS txt
+      FROM kept GROUP BY doc_id
+    ) kk USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    description="C9 curation stage 1 (VERDICT r8 #1): boilerplate scrub — "
+    f"every {_SUFFIX_K}-gram appearing in > {BOILER_MIN_DOCS} DISTINCT "
+    "docs is cut from EVERY occurrence (templates have no first owner, "
+    "unlike dedup_suffix_remove's keep-first exact dedup) and each doc is "
+    "rebuilt from surviving words. The stamped 10-word template must come "
+    "out surgically: the oracle checks every rebuilt text, so a stamped "
+    "doc whose cleaned text differs from its pre-stamp original by even "
+    "one word fails the hash. Hot-gram election partial-aggregates "
+    "map-side; clean docs pass through verbatim.",
+)
+def dedup_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_boilerplate(spark, sf_dir)
+    return D.remove_boilerplate_spans(
+        base, "text", "doc_id", k=_SUFFIX_K, min_docs=BOILER_MIN_DOCS
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_boilerplate_first_pairs",
+    oracle=f"""
+    WITH base AS ({_BOILER_SQL}),
+    {_BOILER_SCRUB_SQL},
+    cleaned AS (
+      SELECT b.doc_id, COALESCE(kk.txt, '') AS text
+      FROM base b
+      LEFT JOIN (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS txt
+        FROM kept GROUP BY doc_id
+      ) kk USING (doc_id)
+    ),
+    sh0 AS (
+      SELECT * FROM ({_SHINGLES_SQL.format(base="SELECT doc_id, text FROM cleaned")})
+      WHERE length(shingle) > 0
+    ),
+    keepc AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_MAX_DF}
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keepc USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           (FLOOR((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (FLOOR((inter / (sa.sz + sb.sz - inter)) * 10000.0 + 0.5 + 0.000001) / 10000.0) >= 0.2
+    """,
+    description="C9 composed curation pass (VERDICT r8 #1 'done' "
+    "criterion): boilerplate scrub FIRST, capped shingle-Jaccard near-dup "
+    "SECOND — the ordering rule SCALEPROBE's DF-cap recall eval derived "
+    "(template mass both bloats the inverted index's hot keys and pushes "
+    "unrelated short docs over the threshold; scrubbing it first leaves "
+    "content-only overlap for the pair stage). One registered pipeline: "
+    "template-stamped corpus -> remove_boilerplate_spans -> "
+    f"ngram_jaccard_pairs(0.2, max_df={NGRAM_MAX_DF}); the oracle runs "
+    "the identical two-stage SQL, so pair drift in EITHER stage fails "
+    "the hash. tools/skew_probe.py measures the recall recovery this "
+    "ordering buys on the planted-boilerplate corpus.",
+)
+def dedup_boilerplate_first_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs_with_boilerplate(spark, sf_dir)
+    cleaned = D.remove_boilerplate_spans(
+        base, "text", "doc_id", k=_SUFFIX_K, min_docs=BOILER_MIN_DOCS
+    ).select("doc_id", F.col("text_deduped").alias("text"))
+    return D.ngram_jaccard_pairs(
+        cleaned, "text", "doc_id", threshold=0.2, max_df=NGRAM_MAX_DF
     )
 
 

@@ -150,6 +150,59 @@ def test_remove_duplicate_spans_keeps_every_doc(spark):
     assert out[4] == (2, 2, "u v w x y z q r s t")
 
 
+def test_boilerplate_scrub_is_surgical_and_ordering_matters(spark):
+    """VERDICT r8 #1: the boilerplate-first curation ordering, pinned on
+    a hand-built template-heavy corpus. (a) remove_boilerplate_spans cuts
+    EVERY occurrence of the shared template (no first owner — contrast
+    remove_suffix_duplicate_spans) and restores each doc's own content
+    exactly; (b) genuine near-dup content SURVIVES the scrub; (c) the
+    ordering matters: uncapped Jaccard on the RAW corpus pairs unrelated
+    short docs via the template, while the same Jaccard AFTER the scrub
+    sees content-only overlap."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    # 10-word template dominating 5-word bodies: the short-doc regime
+    # where template mass alone pushes true Jaccard over the threshold
+    tpl = "like comment share and subscribe to our newsletter right now"
+    bodies = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta extra",  # content near-dup of 1
+        3: "one two three four five",
+        4: "red orange yellow green blue",
+        5: "cats dogs birds fish mice",
+    }
+    rows = [(i, f"{tpl} {b}") for i, b in bodies.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r.doc_id: r.text_deduped
+        for r in D.remove_boilerplate_spans(
+            df, "text", "doc_id", k=5, min_docs=3
+        ).collect()
+    }
+    # (a) surgical: every doc comes back as exactly its own body
+    assert out == bodies
+    # (b)+(c): content near-dup survives the scrub; template pairs do not
+    cleaned = spark.createDataFrame(
+        list(out.items()), "doc_id long, text string"
+    )
+    after = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(
+            cleaned, "text", "doc_id", threshold=0.2, max_df=None
+        ).collect()
+    }
+    assert after == {(1, 2)}, after
+    before = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.2, max_df=None
+        ).collect()
+    }
+    # raw corpus: the template alone pushes unrelated docs over 0.2
+    assert len(before) > len(after) and (3, 4) in before, before
+
+
 def test_suffix_spans_catch_unaligned_duplicates_grid_misses(spark):
     """VERDICT r5 #1: the suffix-array detector must find a duplicated
     span at ANY offset. Doc 2 embeds doc 1's 10-word run shifted by two
