@@ -92,18 +92,45 @@ def main() -> int:
         print(f"unknown variants: {unknown}; have {list(VARIANTS)}")
         return 2
 
+    # Round-8 ADVICE low: a typo'd query filter (check_correctness skips
+    # unknown names, exits 0) or any zero-query run used to print a
+    # vacuous ALL GREEN from the tool whose purpose is preventing stale
+    # records. Pin the EXPECTED count up front: the requested subset
+    # size, else the full registry.
+    if queries:
+        expected = len(queries)
+    else:
+        sys.path.insert(0, str(REPO))
+        from kafka_clickhouse_ingest_pipeline_spark import registry
+
+        registry.load_all()
+        expected = len(registry.REGISTRY)
+    print(f"expecting {expected} queries per variant")
+
     any_fail = False
     for name in names:
         r = run_variant(name, sf_dir, queries)
-        status = "OK " if not r["fail"] and r["exit"] in (0,) else "FAIL"
+        short = r["pass"] + len(r["fail"]) != expected
+        status = (
+            "OK "
+            if not r["fail"] and r["exit"] in (0,) and not short
+            else "FAIL"
+        )
         print(
             f"{status} {name:<11} pass={r['pass']:<4} "
             f"fail={len(r['fail'])} wall={r['wall_sec']}s"
             + (f" failed={r['fail']}" if r["fail"] else "")
+            + (
+                f" SHORT RUN: pass+fail={r['pass'] + len(r['fail'])}"
+                f" != expected {expected} (typo'd --query filter or"
+                " crashed gate?)"
+                if short
+                else ""
+            )
         )
         if r["tail"]:
             print(f"  (abnormal exit {r['exit']}) tail:\n{r['tail']}")
-        if r["fail"] or r["exit"] != 0:
+        if r["fail"] or r["exit"] != 0 or short:
             any_fail = True
     print("VARIANT GATES:", "FAIL" if any_fail else "ALL GREEN")
     return 1 if any_fail else 0

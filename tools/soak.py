@@ -284,6 +284,13 @@ def main() -> int:
             # this id is overwritten by the new instance's started event
             exc = q_pq.exception() if not q_pq.isActive else None
             crash_evidence = str(exc) if exc is not None else ""
+            if q_pq.isActive:
+                # round-8 ADVICE low: the armed crash never fired (no
+                # non-empty batch in 60 s). Starting a second query on
+                # the SAME checkpoint while this one runs would throw —
+                # stop the live query first, then restart disarmed.
+                crash["armed"] = False
+                q_pq.stop()
             q_pq = _start_parquet_query(
                 spark, spool, out, ckpt_pq, args.trigger, crash=crash
             )
