@@ -662,6 +662,85 @@ def ivf_drift(
     )
 
 
+def ivf_budgeted_topk(
+    corpus: DataFrame,
+    assign: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 2,
+    budget: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search under a PER-CELL SCAN BUDGET: for each query, probe the
+    ``nprobe`` cells whose centroids are cosine-nearest, scan at most the
+    first ``budget`` members of each probed cell's inverted list in
+    STORED order (dist-to-centroid ascending, id ties — the layout that
+    keeps each list's densest core first), and exact-rerank the scanned
+    candidates. Returns (q_id, vec_id, cosine): top-k per query.
+
+    This models the work bound every production IVF deployment runs
+    with: per-query latency is capped by nprobe × budget candidates no
+    matter how a cell grows. That cap is precisely what distribution
+    drift breaks — a drifted increment piles into ONE frozen cell AND
+    sorts to the TAIL of its list (drifted members are farthest from the
+    frozen centroid), so a budgeted scan never reaches them and
+    recall@k collapses even though an unbounded scan would be fine.
+    Retraining rebalances the lists and restores recall; the
+    ivf_drift_retrain_recovery query measures that loop end to end.
+
+    Scale shape: the budget rank is QUERY-INDEPENDENT — computed once
+    per index build (row_number over cell, the physical write order of
+    the list at 100 TB, where "rank <= budget" is a prefix read, not a
+    window at query time); probes are a broadcast of k·|queries| cell
+    picks; candidates cap at |queries|·nprobe·budget rows; both ranks
+    end in window-prefix filters over bounded partitions.
+
+    ``corpus`` is (id, embedding double-array), ``assign`` is the (id,
+    cell, dist_sq) index table, ``cents`` is (cell, cv), ``queries`` is
+    (q_id, qv).
+    """
+    w_list = Window.partitionBy("cell").orderBy("dist_sq", id_col)
+    listed = assign.select(
+        id_col, "cell", F.row_number().over(w_list).alias("list_rank")
+    ).where(F.col("list_rank") <= budget)
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("c_cos").desc(), F.col("cell")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(queries))
+        .select(
+            "cell",
+            "q_id",
+            round4(cosine(F.col("cv"), F.col("qv"))).alias("c_cos"),
+        )
+        .select("cell", "q_id", F.row_number().over(w_probe).alias("pr"))
+        .where(F.col("pr") <= nprobe)
+        .select("cell", "q_id")
+    )
+    cand = (
+        listed.join(F.broadcast(probes), "cell")
+        .join(corpus, id_col)
+        .join(
+            F.broadcast(queries), "q_id"
+        )
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            id_col,
+            round4(cosine(F.col("embedding"), F.col("qv"))).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.select("q_id", id_col, "cosine", F.row_number().over(w_rank).alias("rn"))
+        .where(F.col("rn") <= k)
+        .select("q_id", id_col, "cosine")
+    )
+
+
 def quantize_int8(
     emb: DataFrame,
     vec_col: str = "embedding",
