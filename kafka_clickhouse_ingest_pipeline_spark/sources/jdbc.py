@@ -111,11 +111,129 @@ def write_jdbc_batch(
     writer.save()
 
 
-def jdbc_foreach_batch(url: str, table: str, **kw):
-    """foreachBatch adapter: stream micro-batches into the JDBC sink —
-    the direct equivalent of the reference's consumer loop."""
+def _jdbc_exec(
+    spark, url: str, sql: str, driver: str | None = None
+) -> None:
+    """Run one non-query JDBC statement through the driver-side JVM
+    (DriverManager via py4j). Used ONLY for the tiny ledger operations
+    (create ledger / delete one batch / mark one batch) — bulk data
+    always moves through Spark's distributed JDBC writer. Driver-side is
+    correct here: each statement touches at most |one batch| rows of the
+    sink, never the corpus."""
+    jvm = spark._sc._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
 
-    def write(batch_df: DataFrame, _batch_id: int) -> None:
-        write_jdbc_batch(batch_df, url, table, **kw)
+
+def _jdbc_scalar(spark, url: str, sql: str, driver: str | None = None) -> int:
+    jvm = spark._sc._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            rs = stmt.executeQuery(sql)
+            rs.next()
+            return int(rs.getLong(1))
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def jdbc_foreach_batch(
+    url: str,
+    table: str,
+    dedupe_replays: bool = False,
+    ledger_table: str | None = None,
+    **kw,
+):
+    """foreachBatch adapter: stream micro-batches into the JDBC sink —
+    the direct equivalent of the reference's consumer loop.
+
+    Default (``dedupe_replays=False``) is reference-faithful
+    at-least-once: a replayed batch re-inserts, exactly like the
+    reference's redelivered Kafka batch (ClickHouseRepository.kt:77-79
+    has no dedup either).
+
+    ``dedupe_replays=True`` upgrades to idempotent sink-side writes (the
+    JDBC analog of foreach_batch_writer's parquet ``_batch_ledger``,
+    SURVEY §4 custom-#1) via the standard three-step replay-convergent
+    protocol — correct no matter where a crash lands:
+
+    1. ledger hit → the batch fully committed before; skip.
+    2. ``DELETE FROM table WHERE _batch_id = X`` — clears any rows a
+       CRASHED earlier attempt wrote without reaching its ledger mark
+       (the at-least-once window between data insert and mark);
+       a no-op on the happy path.
+    3. insert the batch with a ``_batch_id`` column, then mark X in the
+       ledger table.
+
+    The ledger lives IN the database (``{table}_batch_ledger`` by
+    default) so sink and ledger share fate — a restored DB snapshot
+    stays self-consistent, unlike a filesystem ledger next to a remote
+    sink. On ClickHouse, step 2 maps to a lightweight DELETE mutation
+    (or partition-by-batch + DROP PARTITION for bulk loads), and
+    ReplacingMergeTree over (_batch_id, key) is the server-side
+    belt-and-suspenders; on Derby (tests) it's a plain DELETE.
+    """
+    lt = ledger_table or f"{table}_batch_ledger"
+    driver = kw.get("driver")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if not dedupe_replays:
+            write_jdbc_batch(batch_df, url, table, **kw)
+            return
+        spark = batch_df.sparkSession
+        try:
+            _jdbc_exec(
+                spark, url, f"CREATE TABLE {lt} (batch_id BIGINT)", driver
+            )
+        except Exception:
+            pass  # exists (Derby/ClickHouse both lack CREATE IF NOT EXISTS
+            # in a portable form; existence is the only expected failure)
+        done = _jdbc_scalar(
+            spark,
+            url,
+            f"SELECT COUNT(*) FROM {lt} WHERE batch_id = {int(batch_id)}",
+            driver,
+        )
+        if done:
+            return
+        try:
+            # identifier quoted: leading-underscore names need it on
+            # Derby; ClickHouse accepts double-quoted identifiers too
+            _jdbc_exec(
+                spark,
+                url,
+                f'DELETE FROM {table} WHERE "_batch_id" = {int(batch_id)}',
+                driver,
+            )
+        except Exception:
+            pass  # first-ever batch: data table not created yet
+        from pyspark.sql import functions as F
+
+        write_jdbc_batch(
+            batch_df.withColumn("_batch_id", F.lit(int(batch_id))),
+            url,
+            table,
+            **kw,
+        )
+        _jdbc_exec(
+            spark,
+            url,
+            f"INSERT INTO {lt} (batch_id) VALUES ({int(batch_id)})",
+            driver,
+        )
 
     return write

@@ -130,3 +130,55 @@ def test_streaming_into_jdbc_sink(spark, tmp_path):
     q.awaitTermination(120)
     got = _read(spark, url, "ingested_data")
     assert {r.sensor_id for r in got.collect()} == {"a", "b"}
+
+
+def test_jdbc_dedupe_replays_ledger_idempotence(spark, tmp_path, rows):
+    """VERDICT r8 #6: the opt-in sink-side batch ledger. A replayed
+    batch (same batch_id) must land exactly once; distinct batch ids
+    append; and the DEFAULT path stays reference-faithful at-least-once
+    (double-appends like the reference's redelivered Kafka batch)."""
+    url = _url(tmp_path, "db_ledger")
+    w = J.jdbc_foreach_batch(
+        url, "ingested_data", dedupe_replays=True, driver=DERBY_DRIVER
+    )
+    w(rows, 0)
+    w(rows, 0)  # at-least-once redelivery
+    got = _read(spark, url, "ingested_data")
+    assert got.count() == 3, "replayed batch must dedupe sink-side"
+    w(rows, 1)
+    assert _read(spark, url, "ingested_data").count() == 6
+
+    # default path: unchanged, faithful double-append
+    url2 = _url(tmp_path, "db_noledger")
+    w2 = J.jdbc_foreach_batch(url2, "ingested_data", driver=DERBY_DRIVER)
+    w2(rows, 0)
+    w2(rows, 0)
+    assert _read(spark, url2, "ingested_data").count() == 6
+
+
+def test_jdbc_dedupe_replays_converges_after_crash_window(
+    spark, tmp_path, rows
+):
+    """The at-least-once window the ledger protocol must close: a
+    crashed attempt wrote its data rows but died BEFORE the ledger mark.
+    The replay must pre-delete that batch's rows (step 2) and land the
+    batch exactly once — no duplicates, no loss."""
+    url = _url(tmp_path, "db_crashwin")
+    w = J.jdbc_foreach_batch(
+        url, "ingested_data", dedupe_replays=True, driver=DERBY_DRIVER
+    )
+    w(rows, 0)
+    # simulate the crashed attempt of batch 1: data present, no mark
+    J.write_jdbc_batch(
+        rows.withColumn("_batch_id", F.lit(1)),
+        url,
+        "ingested_data",
+        driver=DERBY_DRIVER,
+    )
+    assert _read(spark, url, "ingested_data").count() == 6
+    w(rows, 1)  # replay: delete-then-insert-then-mark
+    got = _read(spark, url, "ingested_data")
+    assert got.count() == 6
+    assert got.where(F.col("_batch_id") == 1).count() == 3
+    w(rows, 1)  # and a further replay is a ledger-hit no-op
+    assert _read(spark, url, "ingested_data").count() == 6
