@@ -191,9 +191,14 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     same_band = (F.col("l.band") == F.col("r.band"))
     for j in range(LSH_ROWS):
         same_band = same_band & (F.col(f"l.k{j}") == F.col(f"r.k{j}"))
+    # shuffle_hash hints (256x-probe finding, same bug as the shingle
+    # self-join): the checkpointed signature table carries the child
+    # plan's underestimated stats, so Catalyst auto-broadcast the
+    # corpus-sized band table / signature sides. Both self-join sides
+    # hash-partition on the band key; the estimate joins on the ids.
     pairs = (
         left.join(
-            right,
+            right.hint("shuffle_hash"),
             same_band & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
@@ -215,8 +220,8 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
         for i in range(N_MINHASH)
     )
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -354,8 +359,16 @@ def _shingle_pair_index(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # shuffle_hash hint, found at the 256x probe: in LOCAL materialize
+    # mode the checkpointed index is a LogicalRDD with no size stats, so
+    # Catalyst auto-broadcast the ENTIRE inverted index as the self-join
+    # build side (silently fine in one local JVM; a >1 GB driver collect
+    # at 256x, catastrophic on a cluster — and no shuffle boundary
+    # exists for AQE to demote it). Hash-partitioning both sides on the
+    # shingle is the correct plan at every scale; storage mode never hit
+    # this (parquet reads carry real size stats).
     inter = (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -390,9 +403,11 @@ def ngram_jaccard_pairs(
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    # sizes is one row PER DOCUMENT (same stats-less LogicalRDD lineage
+    # as the index) — shuffle-hash it too, never a corpus-sized broadcast
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        inter.join(sz_a.hint("shuffle_hash"), "id_a")
+        .join(sz_b.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", round4(jac).alias("jaccard"))
         .where(round4(jac) >= threshold)
     )
@@ -455,7 +470,12 @@ def embedding_near_dup_pairs(
         F.col("norm").alias("nb"),
     )
     cond = (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
-    joined = a.join(b, cond)
+    # shuffle_hash: the checkpointed bucket index carries the CHILD
+    # plan's (under)estimated stats, so Catalyst auto-broadcast the
+    # whole corpus-sized b side (found by the 256x probe; same bug as
+    # the shingle self-join). Hash-partitioning on the bucket key is
+    # the correct plan at every scale.
+    joined = a.join(b.hint("shuffle_hash"), cond)
     from .udfs import seqdot_udf
 
     cos = seqdot_udf(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
@@ -970,8 +990,8 @@ def ngram_containment_pairs(
         F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     )
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        inter.join(sz_a.hint("shuffle_hash"), "id_a")
+        .join(sz_b.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",

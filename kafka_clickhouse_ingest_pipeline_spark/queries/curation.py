@@ -259,7 +259,11 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     train = docs.select("doc_id").where(~is_bench)
-    return train.join(hits, "doc_id", "left").select(
+    # shuffle_hash (256x-probe finding): hits is bounded by CONTAMINATED
+    # docs — corpus-sized in the worst case — and its checkpointed-grams
+    # lineage carries underestimated stats, so Catalyst auto-broadcast
+    # it. The bench-grams broadcast above stays: small by construction.
+    return train.join(hits.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap_grams"),
         (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).cast("int").alias("contaminated"),
@@ -771,8 +775,12 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "novelty_grams",
     )
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # shuffle_hash: first_seen is one row per DISTINCT GRAM (corpus-
+    # sized); the checkpointed grams table carries underestimated child
+    # stats, so Catalyst auto-broadcast it (found by the 256x probe —
+    # contradicting the documented two-shuffles-on-the-gram-key plan)
     return (
-        grams.join(first_seen, "gram")
+        grams.join(first_seen.hint("shuffle_hash"), "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),

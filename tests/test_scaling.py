@@ -95,3 +95,52 @@ def test_time_growth_is_at_most_linear(spark, scaled_dirs, qname):
         f"{BOUND_FACTOR}x-linear bound {bound:.2f}s — a super-linear "
         "plan crept in"
     )
+
+
+# --- 256x extension (VERDICT r8 #5) ----------------------------------------
+# The pair-generating families grew fastest at 64x; this pins one more
+# 16x (16x -> 256x of sf0.01) with the same at-or-below-data-growth
+# criterion, so a DF-cap or suffix-index regression that only bends at
+# depth fails CI, not just the SCALEPROBE report. Baseline is 16x (not
+# 1x) so fixed job overhead is already amortized on both sides.
+SCALES_256 = (16, 256)
+PAIR_PROBED = [
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",
+    "doc_novelty_scores",
+    "dedup_suffix_spans",
+    "dedup_suffix_remove",
+]
+
+
+@pytest.fixture(scope="module")
+def scaled_dirs_256(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("scaleprobe256")
+    docs = load_table(spark, SF, "documents")
+    dirs = {}
+    for s in SCALES_256:
+        d = base / f"x{s}"
+        d.mkdir()
+        scaled_docs(docs, s).repartition(8).write.parquet(
+            str(d / "documents.parquet")
+        )
+        dirs[s] = str(d)
+    return dirs
+
+
+@pytest.mark.parametrize("qname", PAIR_PROBED)
+def test_pair_families_hold_at_256x(spark, scaled_dirs_256, qname):
+    times = {}
+    for s in SCALES_256:
+        df = registry.REGISTRY[qname].fn(spark, scaled_dirs_256[s])
+        run = lambda: df.write.mode("overwrite").format("noop").save()
+        run()  # warm
+        times[s] = _best_of(run)
+    data_growth = SCALES_256[-1] / SCALES_256[0]
+    bound = BOUND_FACTOR * data_growth * max(times[SCALES_256[0]], FLOOR_S)
+    assert times[SCALES_256[-1]] <= bound, (
+        f"{qname}: {times[SCALES_256[0]]:.2f}s @16x -> "
+        f"{times[SCALES_256[-1]]:.2f}s @256x exceeds the "
+        f"{BOUND_FACTOR}x-linear bound {bound:.2f}s — the pair family "
+        "bends super-linear at depth"
+    )

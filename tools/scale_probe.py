@@ -79,10 +79,14 @@ PROBES = [
 ]
 
 
-def scaled_docs(docs, n_copies: int):
+def scaled_docs(docs, n_copies: int, offset: int = 0):
+    """Union of perturbed copies with global copy indexes
+    [offset, offset+n_copies) — `offset` lets large corpora build in
+    chunked APPENDS (a 256-branch union in one plan OOMed the 24g probe
+    JVM; 64-copy chunks are the proven size)."""
     out = None
     n_docs = 1_000_000  # id stride; far above sf0.1's doc count
-    for c in range(n_copies):
+    for c in range(offset, offset + n_copies):
         words = F.split(F.col("text"), " ")
         perturbed = F.concat_ws(
             " ",
@@ -104,7 +108,7 @@ def scaled_docs(docs, n_copies: int):
     return out
 
 
-def scaled_emb(emb, n_copies: int):
+def scaled_emb(emb, n_copies: int, offset: int = 0):
     """Copies must be far apart in BUCKET space, not just cosine space:
     the original micro-jitter left every copy in its source's LSH bucket
     (sign patterns unchanged), so bucket occupancy grew linearly with
@@ -115,7 +119,7 @@ def scaled_emb(emb, n_copies: int):
     ~0.6, far below the near-dup thresholds."""
     out = None
     stride = 1_000_000
-    for c in range(n_copies):
+    for c in range(offset, offset + n_copies):
         jitter = F.transform(
             F.col("embedding"),
             lambda x, i: F.when((i + c) % 5 == 0, -x).otherwise(x)
@@ -130,9 +134,42 @@ def scaled_emb(emb, n_copies: int):
     return out
 
 
+# The pair-GENERATING families (inverted-index self-joins, suffix index):
+# the fastest growers at 64x (23-31x per 64x data). The 256x extension
+# (round-9, VERDICT r8 #5) probes ONLY these one more 4x to decide
+# whether the DF cap's growth stays at-or-below data growth or bends —
+# run as `python tools/scale_probe.py 256 pairs` (appends a section).
+PAIR_PROBES = [
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",
+    "doc_novelty_scores",
+    "dedup_suffix_spans",
+    "dedup_suffix_remove",
+    "dedup_suffix_remove_incremental",
+]
+
+
+def _write_chunked(build_fn, src, s: int, path: str, chunk: int = 64):
+    """Write an s-copy scaled table in <=chunk-copy appends: one 256-way
+    union plan OOMs the probe JVM during shuffle write; four 64-way
+    plans are the size the 64x probes already proved."""
+    first = True
+    for off in range(0, s, chunk):
+        n = min(chunk, s - off)
+        mode = "overwrite" if first else "append"
+        build_fn(src, n, offset=off).repartition(32).write.mode(
+            mode
+        ).parquet(path)
+        first = False
+
+
 def main() -> None:
     max_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    scales = [s for s in (1, 4, 16, 64) if s <= max_scale]
+    pairs_only = len(sys.argv) > 2 and sys.argv[2] == "pairs"
+    if pairs_only:
+        scales = [s for s in (1, 16, 64, 256) if s <= max_scale]
+    else:
+        scales = [s for s in (1, 4, 16, 64) if s <= max_scale]
     spark = build_session(app_name="scale-probe")
     registry.load_all()
     docs = load_table(spark, SF_DIR, "documents")
@@ -147,18 +184,18 @@ def main() -> None:
         for s in scales:
             d = base / f"x{s}"
             d.mkdir()
-            scaled_docs(docs, s).repartition(32).write.parquet(
-                str(d / "documents.parquet")
-            )
-            scaled_emb(emb, s).repartition(32).write.parquet(
-                str(d / "embeddings.parquet")
-            )
+            _write_chunked(scaled_docs, docs, s,
+                           str(d / "documents.parquet"))
+            _write_chunked(scaled_emb, emb, s,
+                           str(d / "embeddings.parquet"))
             # events table: hll probe reads it; reuse the original via copy
             # reference (symlink keeps the probe honest for the 1x row)
             (d / "events.parquet").symlink_to(Path(SF_DIR) / "events.parquet")
             rows[s] = spark.read.parquet(str(d / "documents.parquet")).count()
             results[s] = {}
             for name, _story, max_s in PROBES:
+                if pairs_only and name not in PAIR_PROBES:
+                    continue
                 if max_s is not None and s > max_s:
                     continue
                 fn = registry.REGISTRY[name].fn
@@ -174,6 +211,55 @@ def main() -> None:
     finally:
         shutil.rmtree(base, ignore_errors=True)
         spark.stop()
+
+    if pairs_only:
+        lines = [
+            "",
+            "## 256x extension — the pair-generating families",
+            "",
+            "Generated by `tools/scale_probe.py 256 pairs` (round-9,",
+            "VERDICT r8 #5): the inverted-index/suffix families were the",
+            "fastest growers at 64x; one more 4x decides whether the DF",
+            "cap's growth stays at-or-below data growth or starts",
+            "bending. Same perturbed-copy corpora and best-of-2 noop-sink",
+            "timing as the main table; the pass criterion for the final",
+            "doubling-doubling is time(256x)/time(64x) <= 4x data growth.",
+            "",
+            "| query | "
+            + " | ".join(f"{s}x ({rows[s]} docs)" for s in scales)
+            + " | 64x->256x | overall |",
+            "|---|" + "---|" * (len(scales) + 2),
+        ]
+        for name, _story, _max_s in PROBES:
+            if name not in PAIR_PROBES:
+                continue
+            probed = [s for s in scales if name in results[s]]
+            ts = [results[s][name] for s in probed]
+            cells = [
+                f"{results[s][name]:.2f}s" if name in results[s] else "—"
+                for s in scales
+            ]
+            last = (
+                f"{results[256][name] / results[64][name]:.1f}x time for 4x data"
+                if 256 in results and 64 in results
+                and name in results.get(256, {}) and name in results.get(64, {})
+                else "—"
+            )
+            overall = (
+                f"{ts[-1] / ts[0]:.1f}x time for "
+                f"{probed[-1] / probed[0]:.0f}x data"
+                if len(probed) >= 2 and ts[0] > 0
+                else "—"
+            )
+            lines.append(
+                f"| `{name}` | " + " | ".join(cells)
+                + f" | {last} | {overall} |"
+            )
+        lines.append("")
+        with open("docs/SCALEPROBE.md", "a") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print("appended 256x pair section to docs/SCALEPROBE.md")
+        return
 
     lines = [
         "# SCALEPROBE — measured scaling of representative queries",
