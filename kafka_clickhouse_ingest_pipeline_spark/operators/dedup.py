@@ -291,10 +291,16 @@ def simhash_hamming_pairs(
     bands = fp.select(F.col(id_col), F.explode(bands_arr).alias("bk")).select(
         id_col, "bk.band", "bk.band_bits"
     )
+    # shuffle_hash hints here and below (256x-probe finding): corpus-
+    # sized sides derived from checkpointed tables or aggregates carry
+    # underestimated stats, so Catalyst auto-broadcast them — fatal on a
+    # cluster, >1 GB driver collects locally. Hash-partitioning on the
+    # join key is the correct plan at every scale; genuinely-small sides
+    # keep their explicit F.broadcast().
     cand = (
         bands.alias("l")
         .join(
-            bands.alias("r"),
+            bands.hint("shuffle_hash").alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_bits") == F.col("r.band_bits"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
@@ -309,8 +315,8 @@ def simhash_hamming_pairs(
     fb = fp.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"))
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
+        cand.join(fa.hint("shuffle_hash"), "id_a")
+        .join(fb.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
@@ -354,7 +360,7 @@ def _shingle_pair_index(
             .where(F.col("df_count") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle")
+        sh = sh.join(keep.hint("shuffle_hash"), "shingle")  # keep is per-DISTINCT-shingle: corpus-sized
     sh = materialize(sh, "ngram_inverted_index")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -578,7 +584,7 @@ def _cc_star(
             .select("u", F.least("u", "minv").alias("m"))
         )
         ls = (
-            sym.join(nm, "u")
+            sym.join(nm.hint("shuffle_hash"), "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -588,7 +594,7 @@ def _cc_star(
         # smaller neighbors point at the neighborhood minimum.
         nm2 = ls.groupBy("u").agg(F.min("v").alias("m"))
         ss = materialize(
-            ls.join(nm2, "u")
+            ls.join(nm2.hint("shuffle_hash"), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionAll(nm2.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
@@ -605,7 +611,7 @@ def _cc_star(
     labels = edges.groupBy("u").agg(F.min("v").alias("label"))
     return (
         nodes.select(F.col(id_col))
-        .join(labels.withColumnRenamed("u", id_col), id_col, "left")
+        .join(labels.hint("shuffle_hash").withColumnRenamed("u", id_col), id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("label", F.col(id_col)).alias("cluster_id"),
@@ -645,13 +651,13 @@ def _cc_minlabel(
     for _ in range(max_iters):
         rounds += 1
         nbr_min = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(labels.hint("shuffle_hash"), edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
         new_labels = materialize(
             labels.withColumnRenamed("label", "old_label")
-            .join(nbr_min, "node", "left")
+            .join(nbr_min.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 F.least(
@@ -670,7 +676,9 @@ def _cc_minlabel(
     # Singletons (nodes with no edge) are their own cluster; attach them
     # with a left join instead of having dragged them through every round.
     return nodes.select(F.col(id_col)).join(
-        labels.withColumnRenamed("node", id_col), id_col, "left"
+        labels.hint("shuffle_hash").withColumnRenamed("node", id_col),
+        id_col,
+        "left",
     ).select(
         F.col(id_col),
         F.coalesce("label", F.col(id_col)).alias("cluster_id"),
@@ -799,7 +807,9 @@ def suffix_duplicated_spans(
         if distinct_docs
         else (F.col("n_occ") >= 2)
     )
-    dup = kg.join(stats.where(cond).select("dig"), "dig").select(id_col, "pos")
+    dup = kg.join(
+        stats.where(cond).select("dig").hint("shuffle_hash"), "dig"
+    ).select(id_col, "pos")  # stats is per-DISTINCT-kgram: corpus-sized
     wdoc = Window.partitionBy(id_col).orderBy("pos")
     isl = dup.select(
         id_col, "pos", (F.col("pos") - F.row_number().over(wdoc)).alias("g")
@@ -850,7 +860,7 @@ def remove_suffix_duplicate_spans(
         ).alias("keeper"),
     )
     cut = (
-        kg.join(stats.where(F.col("n") >= 2), "dig")
+        kg.join(stats.where(F.col("n") >= 2).hint("shuffle_hash"), "dig")
         .where(
             ~(
                 (F.col(id_col) == F.col("keeper.kid"))
@@ -883,7 +893,7 @@ def _rebuild_minus_covered(
         id_col,
         F.posexplode(F.split(F.col(text_col), " ")).alias("widx", "word"),
     ).select(id_col, (F.col("widx") + 1).cast("long").alias("p"), "word")
-    kept = words.join(covered, [id_col, "p"], "left_anti")
+    kept = words.join(covered.hint("shuffle_hash"), [id_col, "p"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.concat_ws(
@@ -899,8 +909,8 @@ def _rebuild_minus_covered(
     )
     return (
         df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        .join(totals.hint("shuffle_hash"), id_col, "left")
+        .join(rebuilt.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
@@ -954,7 +964,7 @@ def remove_boilerplate_spans(
         .where(F.col("n_docs") > min_docs)
         .select("dig")
     )
-    cut = kg.join(hot, "dig").select(id_col, "pos")
+    cut = kg.join(hot.hint("shuffle_hash"), "dig").select(id_col, "pos")
     covered = cut.select(
         id_col,
         F.explode(
@@ -1067,8 +1077,8 @@ def remove_duplicate_spans(
     # short docs (no chunks) and fully-duplicated docs (no kept rows).
     return (
         df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(kept_agg, id_col, "left")
+        .join(totals.hint("shuffle_hash"), id_col, "left")
+        .join(kept_agg.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("n_chunks"), F.lit(0))
@@ -1125,7 +1135,7 @@ def cdc_chunks(
     ).select(id_col, F.col("i").alias("cut"))
     cuts = cut.groupBy(id_col).agg(F.sort_array(F.collect_list("cut")).alias("cuts"))
     base = df.select(id_col, text_col, ln.alias("ln")).join(
-        cuts, id_col, "left"
+        cuts.hint("shuffle_hash"), id_col, "left"
     )
     cuts_arr = F.coalesce(F.col("cuts"), F.array().cast("array<int>"))
     starts = F.concat(
@@ -1179,7 +1189,9 @@ def suffix_spans_against_corpus(
     corpus_digs = suffix_kgrams(corpus, text_col, id_col, k).select(
         "dig"
     ).distinct()
-    dup = new_kg.join(corpus_digs, "dig", "left_semi").select(id_col, "pos")
+    dup = new_kg.join(
+        corpus_digs.hint("shuffle_hash"), "dig", "left_semi"
+    ).select(id_col, "pos")  # corpus_digs: per-distinct-kgram, corpus-sized
     wdoc = Window.partitionBy(id_col).orderBy("pos")
     isl = dup.select(
         id_col, "pos", (F.col("pos") - F.row_number().over(wdoc)).alias("g")
@@ -1232,7 +1244,9 @@ def remove_suffix_spans_against_corpus(
     corpus_digs = (
         suffix_kgrams(corpus, text_col, id_col, k).select("dig").distinct()
     )
-    cut = new_kg.join(corpus_digs, "dig", "left_semi").select(id_col, "pos")
+    cut = new_kg.join(
+        corpus_digs.hint("shuffle_hash"), "dig", "left_semi"
+    ).select(id_col, "pos")
     covered = cut.select(
         id_col,
         F.explode(
@@ -1243,7 +1257,7 @@ def remove_suffix_spans_against_corpus(
         id_col,
         F.posexplode(F.split(F.col(text_col), " ")).alias("widx", "word"),
     ).select(id_col, (F.col("widx") + 1).cast("long").alias("p"), "word")
-    kept = words.join(covered, [id_col, "p"], "left_anti")
+    kept = words.join(covered.hint("shuffle_hash"), [id_col, "p"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.concat_ws(
@@ -1259,8 +1273,8 @@ def remove_suffix_spans_against_corpus(
     )
     return (
         new_docs.select(id_col)
-        .join(totals, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        .join(totals.hint("shuffle_hash"), id_col, "left")
+        .join(rebuilt.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
@@ -1313,7 +1327,7 @@ def embedding_cross_hits(
 
     c = materialize(_indexed(corpus, "c"), "decontam_corpus_index")
     p = _indexed(probes, "p")
-    joined = c.join(p, F.col("blk_c") == F.col("blk_p"))
+    joined = c.join(F.broadcast(p), F.col("blk_c") == F.col("blk_p"))
     cos = seqdot_udf(F.col("v_c"), F.col("v_p")) / (
         F.col("n_c") * F.col("n_p")
     )

@@ -73,19 +73,30 @@ def pagerank(
     traces: list[DataFrame] = []
     for i in range(iterations):
         prev = ranks
+        # shuffle_hash (256x-probe finding class): deg/ranks/contrib are
+        # NODE-sized and the checkpointed rank vector carries
+        # underestimated stats — without hints Catalyst may broadcast a
+        # graph-sized side
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks, F.col("src") == F.col("node"))
+            edges.join(deg.hint("shuffle_hash"), "src")
+            .join(ranks.hint("shuffle_hash"), F.col("src") == F.col("node"))
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("mass"))
         )
         dangling = (
-            ranks.join(deg, F.col("node") == F.col("src"), "left_anti")
+            ranks.join(
+                deg.hint("shuffle_hash"), F.col("node") == F.col("src"),
+                "left_anti",
+            )
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
         )
         ranks = materialize(
             nodes.select(F.col(node_col).alias("node"))
-            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .join(
+                contrib.hint("shuffle_hash"),
+                F.col("node") == F.col("dst"),
+                "left",
+            )
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -105,7 +116,7 @@ def pagerank(
 
             delta = (
                 ranks.alias("a")
-                .join(prev.alias("b"), "node")
+                .join(prev.hint("shuffle_hash").alias("b"), "node")
                 .agg(
                     round4(
                         F.sum(F.abs(F.col("a.pr") - F.col("b.pr")))

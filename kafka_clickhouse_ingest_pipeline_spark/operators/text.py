@@ -453,8 +453,11 @@ def bm25_index_merge_increment(
         str(batch_id) if batch_id is not None else _uuid.uuid4().hex[:12]
     )
     postings0, df0, dl0 = index
+    # shuffle_hash (256x-probe finding): the frozen dl table is
+    # corpus-sized and its checkpointed stats underestimate — without the
+    # hint Catalyst may broadcast the whole corpus doc-length table
     fresh = new_docs.join(
-        dl0.select(id_col), id_col, "left_anti"
+        dl0.select(id_col).hint("shuffle_hash"), id_col, "left_anti"
     )
     toks = fresh.select(
         F.col(id_col),
@@ -527,7 +530,7 @@ def bm25_query_indexed(
     term_score = idf * F.col("tf") * (k1 + 1.0) / denom
     return (
         tf.join(F.broadcast(dfq), "term")
-        .join(dl, id_col)
+        .join(dl.hint("shuffle_hash"), id_col)  # dl: per-doc, corpus-sized
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(round4(F.sum(term_score)).alias("bm25"))

@@ -762,8 +762,10 @@ def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.length("term") > 0)
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
     tot = tf.agg((F.sum("freq") * 1.0).alias("n"))
+    # shuffle_hash: tf is VOCAB-sized (Heaps-sublinear but still far too
+    # big to broadcast at corpus scale) and aggregate stats underestimate
     return (
-        toks.join(tf, "term")
+        toks.join(tf.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -1774,9 +1776,10 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = (
         F.col("n_ab").cast("double") * F.col("nu") * F.col("nu")
     ) / (F.col("nb") * F.col("n_a") * F.col("n_b"))
+    # shuffle_hash: unigram counts are vocab-sized (see unigram LM note)
     return (
-        bgc.join(ua, "a")
-        .join(ub, "b")
+        bgc.join(ua.hint("shuffle_hash"), "a")
+        .join(ub.hint("shuffle_hash"), "b")
         .crossJoin(F.broadcast(nu))
         .crossJoin(F.broadcast(nb))
         .select(
