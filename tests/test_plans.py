@@ -495,3 +495,22 @@ def test_hilbert_arrow_kernel_matches_jvm_fold_exactly(spark):
         L.hilbert_key_expr("x", "y", 5).alias("jvm"),
     )
     assert cmp.where("arrow != jvm").count() == 0
+
+
+def test_index_self_joins_never_broadcast_corpus_sized_sides(spark, sf_dir):
+    """Round-9 regression pin for the 256x-probe finding: checkpointed
+    index tables inherit underestimated stats, so without explicit
+    shuffle_hash hints Catalyst broadcast the ENTIRE shingle inverted
+    index / signature table / first-owner aggregate as a join build
+    side (>1 GB driver collect at depth; fatal on a cluster). The final
+    plans of the pair-generating queries must contain NO
+    BroadcastExchange at all — their only legitimate broadcasts
+    (1-row stats, eval probes) don't appear in these plans — and the
+    shingle self-join must be a ShuffledHashJoin."""
+    jac = registry.REGISTRY["dedup_ngram_jaccard_pairs"].fn(spark, sf_dir)
+    plan = _executed_plan(jac)
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" in plan
+    for q in ("dedup_minhash_lsh_pairs", "doc_novelty_scores"):
+        p = _executed_plan(registry.REGISTRY[q].fn(spark, sf_dir))
+        assert "BroadcastExchange" not in p, (q, p[:2000])
