@@ -132,7 +132,7 @@ def logreg_train(
     def _loss_row(p_df: DataFrame, it: int) -> DataFrame:
         pc = F.least(F.greatest(F.col("p"), F.lit(0.0001)), F.lit(0.9999))
         return (
-            p_df.join(labels, id_col)
+            p_df.join(labels.hint("shuffle_hash"), id_col)
             .agg(
                 round4(
                     -F.avg(
@@ -146,33 +146,10 @@ def logreg_train(
 
     traces: list[DataFrame] = []
     for i in range(iters):
-        m = (
-            feats.join(F.broadcast(w), "dim")
-            .groupBy(id_col)
-            .agg(round4(F.sum(F.col("wt") * F.col("val"))).alias("m"))
-        )
-        p = m.select(id_col, round4(_sigmoid(F.col("m"))).alias("p"))
+        p, new_w = _logreg_step(feats, labels, w, n, id_col, lr)
         if with_trace:
             traces.append(_loss_row(p, i))
-        err = p.join(labels, id_col).select(
-            id_col, (F.col("p") - F.col("y")).alias("err")
-        )
-        g = (
-            feats.join(err, id_col)
-            .groupBy("dim")
-            .agg(F.sum(F.col("err") * F.col("val")).alias("gsum"))
-        )
-        w = materialize(
-            w.join(g, "dim")
-            .crossJoin(F.broadcast(n))
-            .select(
-                "dim",
-                round4(
-                    F.col("wt") - F.lit(lr) * F.col("gsum") / F.col("n_docs")
-                ).alias("wt"),
-            ),
-            "logreg_w",
-        )
+        w = materialize(new_w, "logreg_w")
     if with_trace:
         p_final = (
             feats.join(F.broadcast(w), "dim")
@@ -186,6 +163,53 @@ def logreg_train(
             curve = curve.unionByName(t)
         return w, curve
     return w
+
+
+def _logreg_step(
+    feats: DataFrame,
+    labels: DataFrame,
+    w: DataFrame,
+    n: DataFrame,
+    id_col: str,
+    lr: float,
+) -> tuple[DataFrame, DataFrame]:
+    """One full-batch gradient step: returns (p, new_w) where p is the
+    snapped per-doc probability under ``w`` and new_w the updated
+    (un-materialized) weight table.
+
+    Factored out so the per-iteration JOIN PLAN is auditable from
+    checkpointed inputs (tests/test_plans.py) — the round-9 VERDICT
+    found BroadcastHashJoins over checkpointed corpus-sized tables
+    hidden inside materialize() where final-plan pins can't see them.
+    The CORPUS-sized sides (``labels`` — materialize()d, one row per
+    doc; ``err`` — aggregate-derived, one row per doc) carry
+    shuffle_hash per the repo convention; the genuinely-bounded sides
+    (``w`` — n_dims+1 rows, ``n`` — 1 row) keep explicit broadcasts."""
+    m = (
+        feats.join(F.broadcast(w), "dim")
+        .groupBy(id_col)
+        .agg(round4(F.sum(F.col("wt") * F.col("val"))).alias("m"))
+    )
+    p = m.select(id_col, round4(_sigmoid(F.col("m"))).alias("p"))
+    err = p.join(labels.hint("shuffle_hash"), id_col).select(
+        id_col, (F.col("p") - F.col("y")).alias("err")
+    )
+    g = (
+        feats.join(err.hint("shuffle_hash"), id_col)
+        .groupBy("dim")
+        .agg(F.sum(F.col("err") * F.col("val")).alias("gsum"))
+    )
+    new_w = (
+        w.join(g, "dim")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dim",
+            round4(
+                F.col("wt") - F.lit(lr) * F.col("gsum") / F.col("n_docs")
+            ).alias("wt"),
+        )
+    )
+    return p, new_w
 
 
 def logreg_score(

@@ -159,8 +159,6 @@ def label_propagation(
 
     Returns (node, label) after ``iterations`` rounds.
     """
-    from pyspark.sql import Window
-
     und = (
         edges.select("src", "dst")
         .union(
@@ -174,27 +172,40 @@ def label_propagation(
     und = materialize(und, "lpa_edges")
     lbl = nodes.select("node", F.col("node").alias("label"))
     for i in range(iterations):
-        neigh = und.join(
-            lbl.select(F.col("node").alias("dst"), "label"), "dst"
-        ).select(F.col("src").alias("v"), "label")
-        cnts = neigh.groupBy("v", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        w = Window.partitionBy("v").orderBy(
-            F.col("cnt").desc(), F.col("label")
-        )
-        new = (
-            cnts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("v").alias("node"), F.col("label").alias("nl"))
-        )
-        lbl = materialize(
-            lbl.join(new, "node", "left").select(
-                "node", F.coalesce(F.col("nl"), F.col("label")).alias("label")
-            ),
-            f"lpa_iter_{i}",
-        )
+        lbl = materialize(_lpa_step(und, lbl), f"lpa_iter_{i}")
     return lbl
+
+
+def _lpa_step(und: DataFrame, lbl: DataFrame) -> DataFrame:
+    """One synchronous LPA round: (node, label) -> (node, label).
+
+    Factored out so the per-iteration JOIN PLAN is auditable from
+    checkpointed inputs (tests/test_plans.py) — the round-9 VERDICT
+    found the loop's joins hidden inside materialize() where final-plan
+    pins can't see them. Both joins carry shuffle_hash on their
+    graph-sized, checkpoint/aggregate-derived sides (the 256x-probe bug
+    class: localCheckpoint copies underestimated stats into the
+    LogicalRDD, so Catalyst silently broadcasts a node-sized label
+    table each round — >1 GB driver collect at depth, no shuffle
+    boundary for AQE to demote)."""
+    from pyspark.sql import Window
+
+    neigh = und.join(
+        lbl.select(F.col("node").alias("dst"), "label").hint("shuffle_hash"),
+        "dst",
+    ).select(F.col("src").alias("v"), "label")
+    cnts = neigh.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("label"))
+    new = (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("v").alias("node"), F.col("label").alias("nl"))
+    )
+    return lbl.hint("shuffle_hash").join(
+        new.hint("shuffle_hash"), "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("nl"), F.col("label")).alias("label")
+    )
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -217,6 +228,19 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (partial-agg), the wedge join on apex, the closure join on (u, v).
     All equi-joins — AQE handles residual skew; the orientation is what
     removes the structural hub skew up front.
+
+    Deliberately UN-hinted (the CLAUDE.md AQE-recoverable exception,
+    measured round 10): every join side here is aggregate-derived but
+    sits behind a genuine shuffle boundary IN THIS PLAN (the distinct's
+    exchange, the degree groupBy's exchange) — AQE re-optimizes the
+    join strategy from the exchange's RUNTIME size, so a node-sized
+    degree table broadcasts only while it actually fits and demotes
+    itself at scale. Forcing shuffle_hash here was measured at +253%
+    shuffle bytes at sf0.1 (0.86 MB -> 3.0 MB, tools/shuffle_probe.py,
+    docs/ROUND10_NOTES.md) because it shuffles the full edge table to
+    meet a small degree table. Contrast label_propagation/_lpa_step:
+    there the big side is a checkpointed LogicalRDD with NO shuffle
+    boundary below it, AQE cannot intervene, and the hint is mandatory.
     """
     und = (
         edges.select(

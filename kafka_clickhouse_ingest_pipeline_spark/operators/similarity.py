@@ -719,7 +719,14 @@ def ivf_budgeted_topk(
         .select("cell", "q_id")
     )
     cand = (
+        # the listed/cand side derives from the aggregate-shaped
+        # assignment table (underestimated-stats class) and under a
+        # corpus-scale budget (ivf_drift_retrain_recovery uses
+        # ceil(N/8)) candidates are corpus-sized — shuffle_hash per the
+        # CLAUDE.md convention; the probe/query broadcasts are the
+        # genuinely-bounded sides and stay
         listed.join(F.broadcast(probes), "cell")
+        .hint("shuffle_hash")
         .join(corpus, id_col)
         .join(
             F.broadcast(queries), "q_id"

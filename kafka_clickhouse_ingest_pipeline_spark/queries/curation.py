@@ -1045,8 +1045,10 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, labels, "doc_id", iters=_LOGREG_ITERS, lr=_LOGREG_LR
     )
     scores = C.logreg_score(feats, wts, "doc_id")
+    # both sides are corpus-sized and aggregate/materialize-derived
+    # (round-9 VERDICT #2): shuffle_hash per the CLAUDE.md convention
     return (
-        scores.join(labels, "doc_id")
+        scores.hint("shuffle_hash").join(labels.hint("shuffle_hash"), "doc_id")
         .select(
             "doc_id",
             F.col("y").cast("long").alias("label"),
@@ -1365,6 +1367,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
     tri = triangle_counts(edges)
+    # un-hinted: both sides sit behind in-plan groupBy exchanges, so
+    # this is the CLAUDE.md AQE-recoverable exception (measured in
+    # triangle_counts' docstring / docs/ROUND10_NOTES.md)
     return (
         deg.join(tri, "node", "left")
         .where(F.col("deg") >= 2)

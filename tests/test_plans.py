@@ -514,3 +514,101 @@ def test_index_self_joins_never_broadcast_corpus_sized_sides(spark, sf_dir):
     for q in ("dedup_minhash_lsh_pairs", "doc_novelty_scores"):
         p = _executed_plan(registry.REGISTRY[q].fn(spark, sf_dir))
         assert "BroadcastExchange" not in p, (q, p[:2000])
+
+
+def _join_lines(plan: str, node: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if node in ln]
+
+
+def test_lpa_step_never_broadcasts_checkpointed_sides(spark):
+    """Round-10 operator-level pin (round-9 VERDICT #1): LPA's
+    per-iteration joins execute INSIDE materialize(), so query-level
+    plan pins can't see them. Built from checkpointed inputs — the
+    exact mid-loop state whose underestimated LogicalRDD stats made
+    Catalyst broadcast the graph-sized label table — the step plan
+    must contain no broadcast at all: every side is graph-sized."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators.graph import _lpa_step
+
+    nodes = spark.range(600).select(F.col("id").alias("node"))
+    edges = spark.range(1200).select(
+        (F.col("id") % 600).alias("src"), ((F.col("id") * 7 + 1) % 600).alias("dst")
+    )
+    und = (
+        edges.union(edges.select(F.col("dst"), F.col("src")))
+        .where("src != dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    step = _lpa_step(und, lbl)
+    plan = _executed_plan(step)
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" in plan
+
+
+def test_logreg_step_broadcasts_only_bounded_sides(spark):
+    """Round-10 operator-level pin (round-9 VERDICT #2): one gradient
+    step built from checkpointed feats/labels/weights. The corpus-sized
+    joins (keyed on doc_id) must be ShuffledHashJoins; the only
+    broadcasts allowed are the genuinely-bounded sides — the
+    (n_dims+1)-row weight table (keyed on dim) and the 1-row doc count
+    (the BroadcastNestedLoopJoin cross join)."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import classifier as C
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 37).cast("string"),
+                 F.lit(" word"), (F.col("id") % 11).cast("string")).alias("text"),
+        (F.col("id") % 2).cast("double").alias("y"),
+    )
+    feats = C.hashed_features(docs, "text", "doc_id").localCheckpoint(eager=True)
+    labels = docs.select("doc_id", "y").localCheckpoint(eager=True)
+    n = labels.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = feats.select("dim").distinct().select(
+        "dim", F.lit(0.0).alias("wt")
+    ).localCheckpoint(eager=True)
+    _p, new_w = C._logreg_step(feats, labels, w, n, "doc_id", 0.5)
+    plan = _executed_plan(new_w)
+    doc_joins = [
+        ln for ln in _join_lines(plan, "ShuffledHashJoin") if "doc_id#" in ln
+    ]
+    assert len(doc_joins) >= 2, plan[:3000]
+    for ln in _join_lines(plan, "BroadcastHashJoin"):
+        assert "dim#" in ln, (ln, plan[:3000])
+
+
+def test_ivf_budgeted_corpus_join_not_broadcast(spark):
+    """Round-10 pin (round-9 ADVICE #5): ivf_budgeted_topk's
+    candidate->corpus join. Under a corpus-scale budget (the
+    drift-recovery query uses ceil(N/8)) the candidate side is
+    corpus-sized and derives from the aggregate-shaped assignment
+    table, so it must shuffle — broadcasts are only legitimate on the
+    bounded probe (cell) and query (q_id) sides."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import similarity as S
+
+    emb = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 13).cast("double"),
+            (F.col("id") % 7).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    _asg, cents = S.kmeans_cells(emb, k=4, iters=2, with_centroids=True)
+    cents = cents.localCheckpoint(eager=True)  # bounded (k rows); cut the
+    # seeding lineage so the audit sees only the budgeted-topk joins
+    assign = S.ivf_assign(emb, cents).localCheckpoint(eager=True)
+    queries = emb.where("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    topk = S.ivf_budgeted_topk(
+        emb, assign, cents, queries, nprobe=2, budget=50, k=5
+    )
+    plan = _executed_plan(topk)
+    for ln in _join_lines(plan, "BroadcastHashJoin"):
+        assert "cell#" in ln or "q_id#" in ln, (ln, plan[:3000])
+    assert any(
+        "vec_id#" in ln for ln in _join_lines(plan, "ShuffledHashJoin")
+    ), plan[:3000]
