@@ -172,7 +172,15 @@ def _start_parquet_query(spark, spool, out, ckpt, trigger, crash=None):
     multiple-writers guard (SparkConcurrentModificationException,
     HDFSMetadataLog.write) because the metadata-log cache sees its own
     file vanish — a real crash loses the JVM and the cache with it."""
-    base = P.foreach_batch_writer(out, dedupe_replays=False)
+    return _start_parquet_query_ledger(
+        spark, spool, out, ckpt, trigger, crash=crash, ledger=False
+    )
+
+
+def _start_parquet_query_ledger(
+    spark, spool, out, ckpt, trigger, crash=None, ledger=False
+):
+    base = P.foreach_batch_writer(out, dedupe_replays=ledger)
 
     def write(df, bid):
         n = df.count() if (crash and crash.get("armed")) else None
@@ -190,10 +198,19 @@ def _start_parquet_query(spark, spool, out, ckpt, trigger, crash=None):
     )
 
 
-def _start_jdbc_query(spark, spool, url, ckpt, trigger, ledger=False):
-    sink = J.jdbc_foreach_batch(
+def _start_jdbc_query(spark, spool, url, ckpt, trigger, ledger=False,
+                      crash=None):
+    base = J.jdbc_foreach_batch(
         url, "ingested_data", dedupe_replays=ledger, driver=DERBY_DRIVER
     )
+
+    def sink(df, bid):
+        n = df.count() if (crash and crash.get("armed")) else None
+        base(df, bid)
+        if crash and crash.get("armed") and n:
+            crash["armed"] = False
+            raise IOError(CRASH_MSG)
+
     return (
         P.ingest_transform(_spool_reader(spark, spool))
         .writeStream.foreachBatch(sink)
@@ -220,6 +237,14 @@ def main() -> int:
         "exercises idempotent replay sink-side; derby_replay_dupes "
         "must come out 0",
     )
+    ap.add_argument(
+        "--ledger-parity", action="store_true",
+        help="round-9 VERDICT #6: BOTH sinks ledgered (parquet "
+        "_batch_ledger + in-database batch ledger), with the injected "
+        "sink-write-then-crash fired on EACH sink at ~30%% and ~60%% "
+        "(>=2 crashes per sink). Pass requires EXACT row-count parity: "
+        "parquet_rows == derby_rows == accepted, zero dupes on both",
+    )
     args = ap.parse_args()
     if args.short:
         args.minutes, args.rate, args.trigger = 25 / 60.0, 120.0, "2 seconds"
@@ -243,13 +268,17 @@ def main() -> int:
     ).start()
     host, port = srv.server_address[:2]
 
+    pq_ledger = args.ledger_parity
+    db_ledger = args.jdbc_ledger or args.ledger_parity
     crash = {"armed": False}
-    q_pq = _start_parquet_query(
-        spark, spool, out, ckpt_pq, args.trigger, crash=crash
+    crash_db = {"armed": False} if args.ledger_parity else None
+    q_pq = _start_parquet_query_ledger(
+        spark, spool, out, ckpt_pq, args.trigger, crash=crash,
+        ledger=pq_ledger,
     )
     q_db = _start_jdbc_query(
         spark, spool, derby_url, ckpt_db, args.trigger,
-        ledger=args.jdbc_ledger,
+        ledger=db_ledger, crash=crash_db,
     )
 
     gen = LoadGen(host, port, rate=args.rate)
@@ -257,10 +286,11 @@ def main() -> int:
     t_start = time.monotonic()
 
     backlog_samples: list[int] = []
-    kill_at = duration_s * 0.4
-    killed = False
+    kill_fracs = (0.3, 0.6) if args.ledger_parity else (0.4,)
+    kills_done = 0
     restart_wall = None
     crash_evidence = ""
+    crash_counts = {"pq": 0, "db": 0}
     # Round-9 fresh-eyes fix (VERDICT r8 #8): the listener's per-query
     # total_rows RESETS when a query restarts from its checkpoint (the
     # started event re-initializes the entry), so reading the raw totals
@@ -287,7 +317,52 @@ def main() -> int:
         processed = _processed_floor()
         with gen._lock:
             backlog_samples.append(max(0, gen.accepted - processed))
-        if not killed and time.monotonic() - t_start >= kill_at:
+        if (
+            args.ledger_parity
+            and kills_done < len(kill_fracs)
+            and time.monotonic() - t_start
+            >= duration_s * kill_fracs[kills_done]
+        ):
+            # ledger-parity mode (round-9 VERDICT #6): fire the
+            # sink-write-then-crash on BOTH ledgered sinks at this kill
+            # point, restart each from its checkpoint, and require the
+            # replay to converge to EXACT parity at the end.
+            t_kill = time.monotonic()
+            crash["armed"] = True
+            crash_db["armed"] = True
+            t_wait = time.monotonic()
+            while (
+                (q_pq.isActive or q_db.isActive)
+                and time.monotonic() - t_wait < 60.0
+            ):
+                time.sleep(0.2)
+            for tag, q, flag in (("pq", q_pq, crash), ("db", q_db, crash_db)):
+                exc = q.exception() if not q.isActive else None
+                if exc is not None and CRASH_MSG in str(exc):
+                    crash_counts[tag] += 1
+                    crash_evidence = str(exc)
+                if q.isActive:
+                    # no non-empty batch within 60 s: disarm and stop so
+                    # the restart below doesn't double-run the checkpoint
+                    flag["armed"] = False
+                    q.stop()
+                    print(f"WARN: injected {tag} crash did not fire")
+            q_pq = _start_parquet_query_ledger(
+                spark, spool, out, ckpt_pq, args.trigger, crash=crash,
+                ledger=True,
+            )
+            q_db = _start_jdbc_query(
+                spark, spool, derby_url, ckpt_db, args.trigger,
+                ledger=True, crash=crash_db,
+            )
+            restart_wall = round(time.monotonic() - t_kill, 1)
+            kills_done += 1
+            continue
+        if (
+            not args.ledger_parity
+            and kills_done < len(kill_fracs)
+            and time.monotonic() - t_start >= duration_s * kill_fracs[0]
+        ):
             # A15 at volume, two failure modes at once:
             # - parquet query: injected CRASH after the sink write
             #   (writer raises before the checkpoint commit → query
@@ -301,7 +376,7 @@ def main() -> int:
             q_db.stop()
             q_db = _start_jdbc_query(
                 spark, spool, derby_url, ckpt_db, args.trigger,
-                ledger=args.jdbc_ledger,
+                ledger=db_ledger,
             )
             # wait for the armed crash to fire (next non-empty batch),
             # then restart the dead query from its checkpoint
@@ -324,8 +399,10 @@ def main() -> int:
                 spark, spool, out, ckpt_pq, args.trigger, crash=crash
             )
             restart_wall = round(time.monotonic() - t_kill, 1)
-            killed = True
-            if CRASH_MSG not in crash_evidence:
+            kills_done += 1
+            if CRASH_MSG in crash_evidence:
+                crash_counts["pq"] += 1
+            else:
                 print("WARN: injected crash did not fire within 60 s")
 
     gen.stop()
@@ -413,17 +490,39 @@ def main() -> int:
     summary["stream_errors_unexpected"] = [
         e[:400] for e in errors if CRASH_MSG not in e
     ]
+    if args.ledger_parity:
+        summary["profile"] += "+ledger-parity"
+        summary["crashes_fired_pq"] = crash_counts["pq"]
+        summary["crashes_fired_db"] = crash_counts["db"]
     print(json.dumps(summary))
 
-    ok = (
-        summary["delivered_all"]
-        and not summary["stream_errors_unexpected"]
-        and summary["injected_crash_fired"]
-        and summary["parquet_replay_dupes"] > 0  # the replay is REAL
-        and gen.accepted > 0
-        and gen.rejected_400 > 0
-        and gen.rejected_401 > 0
-    )
+    if args.ledger_parity:
+        # both sinks ledgered + >=2 injected crashes each: the pass bar
+        # is EXACT parity — every accepted row exactly once in BOTH
+        # sinks, and the crashes demonstrably fired (round-9 VERDICT #6)
+        ok = (
+            summary["delivered_all"]
+            and not summary["stream_errors_unexpected"]
+            and crash_counts["pq"] >= 2
+            and crash_counts["db"] >= 2
+            and summary["parquet_replay_dupes"] == 0
+            and summary["derby_replay_dupes"] == 0
+            and summary["parquet_rows"] == gen.accepted
+            and summary["derby_rows"] == gen.accepted
+            and gen.accepted > 0
+            and gen.rejected_400 > 0
+            and gen.rejected_401 > 0
+        )
+    else:
+        ok = (
+            summary["delivered_all"]
+            and not summary["stream_errors_unexpected"]
+            and summary["injected_crash_fired"]
+            and summary["parquet_replay_dupes"] > 0  # the replay is REAL
+            and gen.accepted > 0
+            and gen.rejected_400 > 0
+            and gen.rejected_401 > 0
+        )
     if args.report:
         _append_report(args.report, summary)
     return 0 if ok else 1
