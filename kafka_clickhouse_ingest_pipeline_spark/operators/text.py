@@ -452,6 +452,12 @@ def bm25_index_merge_increment(
     suffix = (
         str(batch_id) if batch_id is not None else _uuid.uuid4().hex[:12]
     )
+    # reuse=True only for the batch_id-keyed names (that's what makes an
+    # at-least-once replay idempotent). The uuid-suffixed ad-hoc path
+    # must NOT pin its checkpoints in the never-evicted reuse cache —
+    # every call minted three fresh entries, a memory leak across long
+    # sessions (round-9 ADVICE low).
+    reuse = batch_id is not None
     postings0, df0, dl0 = index
     # shuffle_hash (256x-probe finding): the frozen dl table is
     # corpus-sized and its checkpointed stats underestimate — without the
@@ -469,7 +475,7 @@ def bm25_index_merge_increment(
     postings = materialize(
         postings0.unionByName(new_postings),
         f"bm25_postings_{corpus_tag}_inc_{suffix}",
-        reuse=True,
+        reuse=reuse,
     )
     new_df = new_postings.groupBy("term").agg(
         (F.count(F.lit(1)) * 1.0).alias("df")
@@ -479,7 +485,7 @@ def bm25_index_merge_increment(
         .groupBy("term")
         .agg(F.sum("df").alias("df")),
         f"bm25_df_{corpus_tag}_inc_{suffix}",
-        reuse=True,
+        reuse=reuse,
     )
     nw = F.size(
         F.filter(
@@ -491,7 +497,9 @@ def bm25_index_merge_increment(
         F.col("dl") > 0
     )
     dl = materialize(
-        dl0.unionByName(new_dl), f"bm25_dl_{corpus_tag}_inc_{suffix}", reuse=True
+        dl0.unionByName(new_dl),
+        f"bm25_dl_{corpus_tag}_inc_{suffix}",
+        reuse=reuse,
     )
     return postings, df_tbl, dl
 

@@ -19,7 +19,7 @@ import pytest
 
 from kafka_clickhouse_ingest_pipeline_spark import registry
 from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
-from tools.scale_probe import scaled_docs, scaled_emb
+from tools.scale_probe import _write_chunked, scaled_docs, scaled_emb
 
 registry.load_all()
 
@@ -121,9 +121,11 @@ def scaled_dirs_256(spark, tmp_path_factory):
     for s in SCALES_256:
         d = base / f"x{s}"
         d.mkdir()
-        scaled_docs(docs, s).repartition(8).write.parquet(
-            str(d / "documents.parquet")
-        )
+        # chunked appends, not one s-way union plan: a single 256-way
+        # union OOMed the 24g probe JVM during shuffle write (round-9
+        # ADVICE low — keep the CI fixture on the same write path
+        # tools/scale_probe.py uses)
+        _write_chunked(scaled_docs, docs, s, str(d / "documents.parquet"))
         dirs[s] = str(d)
     return dirs
 
