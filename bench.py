@@ -116,9 +116,16 @@ HEADLINE = [
     # round-7: Arrow-UDF surface representative (queries/udfs.py had no
     # headline coverage — the exact blind-spot class VERDICT r6 #8 closes)
     "udf_vector_norms",
-    # round-9: boilerplate-first curation ordering (scrub -> capped
-    # Jaccard), the composed pass SCALEPROBE's recall eval mandates
-    "dedup_boilerplate_first_pairs",
+    # round-10: the full six-stage nightly pipeline (scrub -> near-dedup
+    # -> decontaminate -> classifier -> pack -> split) as one query; the
+    # timed number is the funnel report over the stage checkpoints (the
+    # stage builds run once at plan time, like bm25_indexed_topk's
+    # index). SUBSUMES round-9's dedup_boilerplate_first_pairs headline
+    # key — the pipeline's stages 1-2 are exactly that scrub -> capped
+    # Jaccard composition — which had to yield its slot to keep the
+    # 2-decimal line inside the driver's 2000-char tail budget (the
+    # query itself stays registered, oracle-gated, and scale-probed).
+    "curation_pipeline_report",
 ]
 
 # Family → headline representative. tests/test_registry.py asserts every
@@ -143,7 +150,7 @@ FAMILY_REPS = {
     "dedup-embedding": "dedup_semdedup_keep",
     "dedup-clustering": "dedup_minhash_clusters",
     "dedup-cdc": "dedup_cdc_savings_probe",
-    "dedup-boilerplate": "dedup_boilerplate_first_pairs",
+    "dedup-boilerplate": "curation_pipeline_report",
     "text-stats": "text_token_stats",
     "text-langid": "text_lang_id",
     "text-repetition": "text_repetition_scores",
@@ -170,6 +177,7 @@ FAMILY_REPS = {
     "sampling-mixture": "mix_corpus_by_lang",
     "packing": "pack_token_bins",
     "curation-corpus": "curate_training_corpus",
+    "curation-pipeline-e2e": "curation_pipeline_report",
     "behavior-funnel": "funnel_view_click_purchase",
     "behavior-argmax": "argmax_last_event",
     "multimodal-media": "multimodal_media_features",

@@ -198,14 +198,16 @@ def pack_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus, so the contamination probe is a *broadcast* inner join against
 # the exploded training grams — the 100 TB side never shuffles; one hash
 # exchange on doc_id for the per-doc count.
-_GRAMS_SQL = """
+_GRAMS_SQL_T = """
       SELECT doc_id,
              unnest(list_distinct(
                [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]
              )) AS gram
-      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
       WHERE len(w) >= 5
 """
+
+_GRAMS_SQL = _GRAMS_SQL_T.format(src="documents")
 
 
 @query(
@@ -913,7 +915,12 @@ _SPAM_PHRASE = "buy cheap pills now click here "
 _SPAM_REPEATS = 4
 
 
-def _logreg_sql(iters: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) -> str:
+def _logreg_sql(
+    iters: int = _LOGREG_ITERS,
+    lr: float = _LOGREG_LR,
+    src: str = "SELECT doc_id, text FROM documents",
+    pfx: str = "",
+) -> str:
     """DuckDB replay of classifier.logreg_train: one CTE pair per
     gradient step, MATERIALIZED so the chain stays linear (an inlined
     w{i} is referenced twice per step and would expand 2^iters). Snap
@@ -921,73 +928,84 @@ def _logreg_sql(iters: int = _LOGREG_ITERS, lr: float = _LOGREG_LR) -> str:
     sigmoid, round4(p) after it, round4(weight) after the update.
     The feature width is interpolated from the SAME constant the Spark
     operator uses (classifier.HT_DIM) — hardcoding 32 here would
-    silently diverge instead of failing if the operator width changed."""
+    silently diverge instead of failing if the operator width changed.
+
+    ``src`` is the clean-corpus source SELECT (doc_id, text) and ``pfx``
+    prefixes every CTE name — both exist so curation_pipeline_report can
+    run this chain on its dedup/decontaminate SURVIVOR set inside a
+    WITH that already defines base/kept/etc. Defaults reproduce the
+    original standalone chain exactly."""
     from ..functions.hashing import hash60_sql
     from ..operators.classifier import HT_DIM
 
     r4 = round4_sql
     head = f"""
-    base AS MATERIALIZED (
-      SELECT doc_id, text, 0 AS y FROM documents
+    {pfx}base AS MATERIALIZED (
+      SELECT doc_id, text, 0 AS y FROM ({src})
       UNION ALL
       SELECT -(doc_id + 1) AS doc_id,
              array_to_string(w[1:3], ' ') || ' ' ||
              trim(repeat('{_SPAM_PHRASE}', {_SPAM_REPEATS})) AS text,
              1 AS y
-      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ({src}))
       WHERE doc_id % {_SPAM_EVERY} = 0
     ),
-    tk AS (
+    {pfx}tk AS (
       SELECT doc_id, term FROM (
         SELECT doc_id,
                unnest(string_split_regex(trim(text), '\\s+')) AS term
-        FROM base
+        FROM {pfx}base
       ) WHERE length(term) > 0
     ),
-    feats AS MATERIALIZED (
+    {pfx}feats AS MATERIALIZED (
       SELECT doc_id, ({hash60_sql('term')}) % {HT_DIM} AS dim,
              CAST(SUM(CASE WHEN ({hash60_sql("'s' || term")}) % 2 = 0
                            THEN 1 ELSE -1 END) AS DOUBLE) AS val
-      FROM tk GROUP BY doc_id, dim
+      FROM {pfx}tk GROUP BY doc_id, dim
       HAVING SUM(CASE WHEN ({hash60_sql("'s' || term")}) % 2 = 0
                       THEN 1 ELSE -1 END) != 0
       UNION ALL
-      SELECT doc_id, {HT_DIM} AS dim, 1.0 AS val FROM base
+      SELECT doc_id, {HT_DIM} AS dim, 1.0 AS val FROM {pfx}base
     ),
-    labels AS MATERIALIZED (SELECT doc_id, y FROM base),
-    cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM labels),
-    w0 AS MATERIALIZED (SELECT DISTINCT dim, 0.0 AS wt FROM feats)
+    {pfx}labels AS MATERIALIZED (SELECT doc_id, y FROM {pfx}base),
+    {pfx}cnt AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM {pfx}labels
+    ),
+    {pfx}w0 AS MATERIALIZED (
+      SELECT DISTINCT dim, 0.0 AS wt FROM {pfx}feats
+    )
     """
     steps = ""
     for i in range(iters):
         steps += f""",
-    m{i} AS (
+    {pfx}m{i} AS (
       SELECT f.doc_id, {r4('SUM(w.wt * f.val)')} AS m
-      FROM feats f JOIN w{i} w USING (dim) GROUP BY f.doc_id
+      FROM {pfx}feats f JOIN {pfx}w{i} w USING (dim) GROUP BY f.doc_id
     ),
-    p{i} AS MATERIALIZED (
-      SELECT doc_id, {r4('1.0 / (1.0 + exp(-m))')} AS p FROM m{i}
+    {pfx}p{i} AS MATERIALIZED (
+      SELECT doc_id, {r4('1.0 / (1.0 + exp(-m))')} AS p FROM {pfx}m{i}
     ),
-    g{i} AS (
+    {pfx}g{i} AS (
       SELECT f.dim, SUM((p.p - l.y) * f.val) AS gsum
-      FROM feats f JOIN p{i} p USING (doc_id) JOIN labels l USING (doc_id)
+      FROM {pfx}feats f JOIN {pfx}p{i} p USING (doc_id)
+      JOIN {pfx}labels l USING (doc_id)
       GROUP BY f.dim
     ),
-    w{i + 1} AS MATERIALIZED (
+    {pfx}w{i + 1} AS MATERIALIZED (
       SELECT w.dim, {r4(f'w.wt - {lr} * g.gsum / cnt.c')} AS wt
-      FROM w{i} w JOIN g{i} g USING (dim) CROSS JOIN cnt
+      FROM {pfx}w{i} w JOIN {pfx}g{i} g USING (dim) CROSS JOIN {pfx}cnt cnt
     )
     """
     return (
         head
         + steps
         + f""",
-    mF AS (
+    {pfx}mF AS (
       SELECT f.doc_id, {r4('SUM(w.wt * f.val)')} AS m
-      FROM feats f JOIN w{iters} w USING (dim) GROUP BY f.doc_id
+      FROM {pfx}feats f JOIN {pfx}w{iters} w USING (dim) GROUP BY f.doc_id
     ),
-    sc AS (
-      SELECT doc_id, {r4('1.0 / (1.0 + exp(-m))')} AS score FROM mF
+    {pfx}sc AS (
+      SELECT doc_id, {r4('1.0 / (1.0 + exp(-m))')} AS score FROM {pfx}mF
     )
     """
     )
@@ -1002,6 +1020,13 @@ def _quality_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id at any corpus size (a fixed positive offset collides as soon
     as ids reach it — the scale probe's id-strided copies do)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _with_spam_twins(docs)
+
+
+def _with_spam_twins(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> labeled training corpus ∪ planted spam twins —
+    the Spark twin of _logreg_sql's {pfx}base CTE, factored so the
+    end-to-end pipeline can train on its SURVIVOR set."""
     w = F.split(F.col("text"), " ")
     bad = docs.where(F.col("doc_id") % _SPAM_EVERY == 0).select(
         (-(F.col("doc_id") + 1)).alias("doc_id"),
@@ -1563,3 +1588,324 @@ def pagerank_convergence_curve(
         with_trace=True,
     )
     return curve.orderBy("round")
+
+
+# --- the full nightly curation pipeline, end to end (VERDICT r9 #5) ------
+#
+# boilerplate scrub -> capped shingle-Jaccard near-dedup -> benchmark
+# decontamination -> in-engine classifier filter -> sequence packing ->
+# hash split, composed as ONE registered query over the planted corpus
+# (near-dup variants + template stamps), with a single multi-stage
+# DuckDB oracle replaying every stage. The output is the funnel report
+# a real 100 TB pipeline emits nightly: per-stage document and token
+# counts, then packed-bin and per-split totals — integer-only, so any
+# drift in ANY stage fails the value hash.
+
+
+def _pipeline_oracle_sql() -> str:
+    from .dedup import (
+        _BOILER_SQL,
+        _BOILER_SCRUB_SQL,
+        _SHINGLES_SQL,
+        NGRAM_MAX_DF,
+        PLANT_EVERY,
+        PLANT_OFFSET,
+    )
+    from .sampling import SPLITS
+    from ..operators import sampling as SMP
+
+    jac = round4_sql("inter / (sa.sz + sb.sz - inter)")
+    return f"""
+    WITH base AS ({_BOILER_SQL}),
+    {_BOILER_SCRUB_SQL},
+    cleaned AS MATERIALIZED (
+      SELECT b.doc_id, COALESCE(kk.txt, '') AS text
+      FROM base b
+      LEFT JOIN (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS txt
+        FROM kept GROUP BY doc_id
+      ) kk USING (doc_id)
+    ),
+    psh0 AS (
+      SELECT * FROM ({_SHINGLES_SQL.format(base="SELECT doc_id, text FROM cleaned")})
+      WHERE length(shingle) > 0
+    ),
+    pkeep AS (
+      SELECT shingle FROM psh0 GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_MAX_DF}
+    ),
+    psh AS (SELECT psh0.* FROM psh0 JOIN pkeep USING (shingle)),
+    psz AS (SELECT doc_id, COUNT(*) AS sz FROM psh GROUP BY doc_id),
+    pinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM psh a JOIN psh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pdrop AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM pinter
+      JOIN psz sa ON sa.doc_id = id_a
+      JOIN psz sb ON sb.doc_id = id_b
+      WHERE {jac} >= 0.2
+    ),
+    s2 AS MATERIALIZED (
+      SELECT c.doc_id, c.text FROM cleaned c
+      WHERE NOT EXISTS (SELECT 1 FROM pdrop d WHERE d.doc_id = c.doc_id)
+    ),
+    bgrams AS MATERIALIZED (
+      SELECT DISTINCT gram FROM ({_GRAMS_SQL_T.format(src="documents")})
+      WHERE doc_id % 97 = 0
+    ),
+    tgrams AS (
+      SELECT doc_id, gram FROM ({_GRAMS_SQL_T.format(src="s2")})
+      WHERE doc_id % 97 <> 0
+    ),
+    contam AS (SELECT DISTINCT doc_id FROM tgrams JOIN bgrams USING (gram)),
+    s3 AS MATERIALIZED (
+      SELECT s2.doc_id, s2.text FROM s2
+      WHERE s2.doc_id % 97 <> 0
+        AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s2.doc_id)
+    ),
+    {_logreg_sql(src="SELECT doc_id, text FROM s3", pfx="q")},
+    s4 AS MATERIALIZED (
+      SELECT s3.doc_id, s3.text FROM s3
+      JOIN qsc ON qsc.doc_id = s3.doc_id
+      WHERE qsc.score < 0.5
+    ),
+    srcmap AS (
+      SELECT doc_id, source FROM documents
+      UNION ALL
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id, source
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents)
+      WHERE doc_id % {PLANT_EVERY} = 0 AND len(w) > 6
+    ),
+    packed AS MATERIALIZED (
+      SELECT doc_id, source, n_tokens,
+             CAST(FLOOR(cum_before / {PK.DEFAULT_BUDGET}.0) AS BIGINT)
+               AS bin_id
+      FROM (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens
+                 AS cum_before
+        FROM (
+          SELECT s4.doc_id, m.source, {_TOKENS_SQL} AS n_tokens
+          FROM s4 JOIN srcmap m ON m.doc_id = s4.doc_id
+        )
+      )
+    ),
+    spl AS (
+      SELECT {SMP.hash_split_sql("doc_id", SPLITS)} AS split, n_tokens
+      FROM packed
+    )
+    SELECT stage_ord, stage, n_docs, n_tokens FROM (
+      SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM({_TOKENS_SQL}), 0) AS BIGINT) AS n_tokens
+      FROM base
+      UNION ALL
+      SELECT 1, 'scrubbed', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM({_TOKENS_SQL}), 0) AS BIGINT) FROM cleaned
+      UNION ALL
+      SELECT 2, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM({_TOKENS_SQL}), 0) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM({_TOKENS_SQL}), 0) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 4, 'classifier_kept', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM({_TOKENS_SQL}), 0) AS BIGINT) FROM s4
+      UNION ALL
+      SELECT 5, 'packed_bins',
+             CAST((SELECT COUNT(*) FROM
+                   (SELECT DISTINCT source, bin_id FROM packed)) AS BIGINT),
+             CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM packed
+      UNION ALL
+      SELECT CASE split WHEN 'train' THEN 6 WHEN 'valid' THEN 7 ELSE 8 END,
+             'split_' || split, CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+      FROM spl GROUP BY split
+    ) ORDER BY stage_ord
+    """
+
+
+@query(
+    "curation_pipeline_report",
+    oracle=_pipeline_oracle_sql(),
+    description="The full nightly curation pipeline END TO END (VERDICT "
+    "r9 #5), one registered query: template-stamped planted corpus -> "
+    "boilerplate scrub (hot-gram cut, no first owner) -> capped "
+    "shingle-Jaccard near-dedup (keep-smallest-id) -> benchmark "
+    "decontamination (raw 1/97 slice's 5-grams, broadcast) -> in-engine "
+    "logreg filter TRAINED ON THE SURVIVORS (score < 0.5 keeps) -> "
+    "per-source sequence packing (2048-token bins) -> 80/10/10 hash "
+    "split. Output is the integer funnel report (stage, n_docs, "
+    "n_tokens; packed-bin and per-split totals), so drift in ANY stage "
+    "fails the value hash; the oracle replays all six stages as one "
+    "CTE chain (the dedup_boilerplate_first_pairs pattern, extended "
+    "through the prefixed _logreg_sql chain). Every inter-stage join "
+    "carries the shuffle_hash convention on its checkpoint/aggregate-"
+    "derived side; bench grams and the 33-row weight table stay "
+    "broadcast. Stage layouts compose: scrub/dedup/decontam/classifier "
+    "all shuffle on doc_id, packing's one exchange on the source shard "
+    "is the only re-layout and feeds the pure-projection split.",
+)
+def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import (
+        NGRAM_MAX_DF,
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        _docs_with_boilerplate,
+        _SUFFIX_K,
+        BOILER_MIN_DOCS,
+    )
+    from .sampling import SPLITS
+    from ..operators import classifier as C
+    from ..operators import dedup as D
+    from ..operators import sampling as SMP
+
+    base = _docs_with_boilerplate(spark, sf_dir)
+
+    # stage 1: boilerplate scrub (hot k-grams cut from every occurrence)
+    cleaned = materialize(
+        D.remove_boilerplate_spans(
+            base, "text", "doc_id", k=_SUFFIX_K, min_docs=BOILER_MIN_DOCS
+        ).select("doc_id", F.col("text_deduped").alias("text")),
+        "pipe_cleaned",
+    )
+
+    # stage 2: capped-DF shingle-Jaccard near-dedup, keep-smallest-id
+    pairs = D.ngram_jaccard_pairs(
+        cleaned, "text", "doc_id", threshold=0.2, max_df=NGRAM_MAX_DF
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s2 = materialize(
+        cleaned.join(drops.hint("shuffle_hash"), "doc_id", "left_anti"),
+        "pipe_s2",
+    )
+
+    # stage 3: benchmark decontamination — bench grams from the RAW 1/97
+    # slice (at production scale an external eval table), broadcast
+    def grams5(df: DataFrame) -> DataFrame:
+        w = F.split(F.col("text"), " ")
+        g = F.when(
+            F.size(w) >= 5,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 4),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
+                )
+            ),
+        )
+        return df.select("doc_id", F.explode(g).alias("gram"))
+
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bench = (
+        grams5(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+    )
+    contam = (
+        grams5(s2.where(F.col("doc_id") % 97 != 0))
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = materialize(
+        s2.where(F.col("doc_id") % 97 != 0).join(
+            contam.hint("shuffle_hash"), "doc_id", "left_anti"
+        ),
+        "pipe_s3",
+    )
+
+    # stage 4: classifier filter trained on the SURVIVORS + spam twins
+    corpus = _with_spam_twins(s3)
+    feats = C.hashed_features(corpus, "text", "doc_id")
+    labels = corpus.select("doc_id", "y")
+    wts = C.logreg_train(
+        feats, labels, "doc_id", iters=_LOGREG_ITERS, lr=_LOGREG_LR
+    )
+    scores = C.logreg_score(feats, wts, "doc_id")
+    s4 = materialize(
+        s3.hint("shuffle_hash")
+        .join(
+            scores.where(F.col("score") < 0.5).hint("shuffle_hash"), "doc_id"
+        )
+        .select("doc_id", "text"),
+        "pipe_s4",
+    )
+
+    # stage 5: per-source sequence packing (variants inherit the parent
+    # doc's source through the srcmap)
+    wcol = F.split(F.col("text"), " ")
+    srcmap = raw.select("doc_id", "source").unionByName(
+        raw.where(
+            (F.col("doc_id") % PLANT_EVERY == 0) & (F.size(wcol) > 6)
+        ).select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "source")
+    )
+    packed = materialize(
+        PK.pack_sequential(
+            s4.hint("shuffle_hash").join(srcmap, "doc_id"),
+            tokens_col=T.token_count(F.col("text")),
+            order_col="doc_id",
+            group_col="source",
+        ).select("doc_id", "source", "n_tokens", "bin_id"),
+        "pipe_packed",
+    )
+
+    # stage 6: 80/10/10 hash split (pure projection, no shuffle)
+    spl = SMP.hash_split(packed, "doc_id", SPLITS)
+
+    def stage_row(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(T.token_count(F.col("text"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        ).select(
+            F.lit(ord_).cast("long").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    bins_row = packed.agg(
+        F.countDistinct("source", "bin_id").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    ).select(
+        F.lit(5).cast("long").alias("stage_ord"),
+        F.lit("packed_bins").alias("stage"),
+        "n_docs",
+        "n_tokens",
+    )
+    split_rows = (
+        spl.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.when(F.col("split") == "train", 6)
+            .when(F.col("split") == "valid", 7)
+            .otherwise(8)
+            .cast("long")
+            .alias("stage_ord"),
+            F.concat(F.lit("split_"), F.col("split")).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    funnel = (
+        stage_row(base, 0, "raw")
+        .unionByName(stage_row(cleaned, 1, "scrubbed"))
+        .unionByName(stage_row(s2, 2, "near_dedup"))
+        .unionByName(stage_row(s3, 3, "decontaminated"))
+        .unionByName(stage_row(s4, 4, "classifier_kept"))
+        .unionByName(bins_row)
+        .unionByName(split_rows)
+    )
+    return funnel.orderBy("stage_ord")
