@@ -146,3 +146,39 @@ def test_pair_families_hold_at_256x(spark, scaled_dirs_256, qname):
         f"{BOUND_FACTOR}x-linear bound {bound:.2f}s — the pair family "
         "bends super-linear at depth"
     )
+
+
+# --- iterative families (round-9 VERDICT #2) --------------------------------
+# The graph/classifier loops do their per-round work EAGERLY at plan-build
+# time (materialize() checkpoints each round), so these probes time a FRESH
+# build + execution per run — re-running a built frame would time only the
+# final checkpoint read and hide a super-linear loop entirely (the same
+# blind spot that hid the checkpoint-stats auto-broadcast). 16x -> 256x
+# with the same at-or-below-data-growth criterion as the pair families.
+ITER_PROBED = [
+    "pagerank_doc_quality",
+    "label_propagation_communities",
+    "dedup_minhash_clusters",
+    "graph_triangle_counts",
+    "quality_classifier_scores",
+]
+
+
+@pytest.mark.parametrize("qname", ITER_PROBED)
+def test_iterative_families_hold_at_256x(spark, scaled_dirs_256, qname):
+    fn = registry.REGISTRY[qname].fn
+    times = {}
+    for s in SCALES_256:
+        run = lambda: fn(spark, scaled_dirs_256[s]).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        run()  # warm
+        times[s] = _best_of(run)
+    data_growth = SCALES_256[-1] / SCALES_256[0]
+    bound = BOUND_FACTOR * data_growth * max(times[SCALES_256[0]], FLOOR_S)
+    assert times[SCALES_256[-1]] <= bound, (
+        f"{qname}: {times[SCALES_256[0]]:.2f}s @16x -> "
+        f"{times[SCALES_256[-1]]:.2f}s @256x exceeds the "
+        f"{BOUND_FACTOR}x-linear bound {bound:.2f}s — the iterative "
+        "family bends super-linear at depth"
+    )

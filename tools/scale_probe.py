@@ -266,7 +266,11 @@ def main() -> None:
             "materialize() checkpoints — the exact place the",
             "checkpoint-stats auto-broadcast bug lived — so their growth",
             "is measured here like the pair families', not inferred from",
-            "plan shape. Fixed iteration counts mean cost should track",
+            "plan shape. Unlike the other tables, each timed run REBUILDS",
+            "the plan (best-of-2 of fn() + noop save): the loops",
+            "checkpoint eagerly at build time, so re-running a built",
+            "frame would time only the final checkpoint read. Fixed",
+            "iteration counts mean cost should track",
             "data at-or-below linearly once per-round job overhead",
             "amortizes; the CI bound (tests/test_scaling.py::",
             "test_iterative_families_hold_at_256x) pins 16x->256x.",
