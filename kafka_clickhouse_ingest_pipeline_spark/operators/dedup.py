@@ -957,13 +957,49 @@ def remove_boilerplate_spans(
     Returns (id, n_words, n_kept, text_deduped); every input doc exactly
     once, clean docs verbatim.
     """
+    return scrub_against_frozen(
+        df, frozen_hot_kgrams(df, text_col, id_col, k, min_docs),
+        text_col, id_col, k,
+    )
+
+
+def frozen_hot_kgrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_docs: int = 20,
+) -> DataFrame:
+    """The hot-template gram set :func:`remove_boilerplate_spans` elects,
+    as a standalone (dig) table — build once on the nightly corpus,
+    scrub every increment against it via :func:`scrub_against_frozen`
+    (the frozen-state discipline of ivf_assign / logreg_score_docs /
+    suffix_spans_against_corpus). Partial-aggregated groupBy over the
+    sliding k-gram index; the result is tiny by construction (few grams
+    clear a corpus-fraction DF bar)."""
     kg = suffix_kgrams(df, text_col, id_col, k)
-    hot = (
+    return (
         kg.groupBy("dig")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .where(F.col("n_docs") > min_docs)
         .select("dig")
     )
+
+
+def scrub_against_frozen(
+    df: DataFrame,
+    hot: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Scrub ``df`` with a FROZEN hot-gram set (dig): every word position
+    covered by a k-gram in ``hot`` is cut and each doc rebuilt. The
+    incremental path — increments don't re-elect templates, they cut
+    what the nightly election already flagged, so a streamed increment
+    scrubs identically to its batch twin (per-doc pure given ``hot``).
+    Returns (id, n_words, n_kept, text_deduped), every input doc once."""
+    kg = suffix_kgrams(df, text_col, id_col, k)
     cut = kg.join(hot.hint("shuffle_hash"), "dig").select(id_col, "pos")
     covered = cut.select(
         id_col,
@@ -972,6 +1008,69 @@ def remove_boilerplate_spans(
         ).alias("p"),
     ).distinct()
     return _rebuild_minus_covered(df, text_col, id_col, covered)
+
+
+def ngram_jaccard_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Incremental near-dup: Jaccard pairs between NEW documents and the
+    EXISTING corpus only — (new_id, corpus_id, jaccard), the
+    O(increment · index-probe) counterpart of :func:`ngram_jaccard_pairs`
+    (completing the incremental family beside
+    :func:`suffix_spans_against_corpus` and :func:`embedding_cross_hits`).
+
+    The DF cap is FROZEN on the corpus side: shingles with corpus
+    document frequency > ``max_df`` are dropped from the index AND from
+    the increment's shingle sets (sizes computed over the filtered
+    universe on both sides, keeping the Jaccard internally consistent
+    with the nightly index's own statistics — an increment shingle the
+    corpus never saw is kept). Each new doc's verdict depends only on
+    (its own text, the frozen index), so a streamed increment pairs
+    identically to a batched one. At scale the capped corpus index is
+    the materialized-once nightly table (plans/materialize seam)."""
+    csh = shingles(corpus, text_col, id_col, n)
+    cdf = csh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+    if max_df is not None:
+        hot_df = cdf.where(F.col("df_count") > max_df).select("shingle")
+        csh = csh.join(hot_df.hint("shuffle_hash"), "shingle", "left_anti")
+    csh = materialize(csh, "ngram_frozen_index")
+    nsh = shingles(new_docs, text_col, id_col, n)
+    if max_df is not None:
+        nsh = nsh.join(hot_df.hint("shuffle_hash"), "shingle", "left_anti")
+    nsh = materialize(nsh, "ngram_increment_shingles")
+    n_sz = nsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_n"))
+    c_sz = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_c"))
+    inter = (
+        nsh.select(F.col(id_col).alias("new_id"), "shingle")
+        .join(
+            csh.select(F.col(id_col).alias("corpus_id"), "shingle")
+            .hint("shuffle_hash"),
+            "shingle",
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_n") + F.col("sz_c") - F.col("inter"))
+    return (
+        inter.join(
+            n_sz.select(F.col(id_col).alias("new_id"), "sz_n")
+            .hint("shuffle_hash"),
+            "new_id",
+        )
+        .join(
+            c_sz.select(F.col(id_col).alias("corpus_id"), "sz_c")
+            .hint("shuffle_hash"),
+            "corpus_id",
+        )
+        .select("new_id", "corpus_id", round4(jac).alias("jaccard"))
+        .where(round4(jac) >= threshold)
+    )
 
 
 def ngram_containment_pairs(

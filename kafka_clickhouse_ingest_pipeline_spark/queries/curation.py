@@ -1909,3 +1909,305 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(split_rows)
     )
     return funnel.orderBy("stage_ord")
+
+
+# --- the incremental twin: a crawl increment vs FROZEN nightly state -----
+
+
+def _frozen_scrub_sql(src: str, hot: str, pfx: str, k: int) -> str:
+    """Scrub-with-GIVEN-hot-set CTEs (the DuckDB twin of
+    operators/dedup.scrub_against_frozen), prefixed so base and
+    increment can both be scrubbed in one WITH. Produces {pfx}clean =
+    (doc_id, n_words, n_kept, text)."""
+    return f"""
+    {pfx}kg AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(w[pos:pos+{k - 1}], ' ')) AS dig
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) - {k} + 2)) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
+        WHERE len(w) >= {k}
+      )
+    ),
+    {pfx}cut AS (SELECT doc_id, pos FROM {pfx}kg JOIN {hot} USING (dig)),
+    {pfx}cov AS (
+      SELECT DISTINCT doc_id, pos + j AS p
+      FROM {pfx}cut CROSS JOIN (SELECT unnest(range(0, {k})) AS j)
+    ),
+    {pfx}words AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS word
+      FROM (
+        SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
+      )
+    ),
+    {pfx}kept AS (
+      SELECT wd.doc_id, wd.p, wd.word FROM {pfx}words wd
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {pfx}cov cv
+        WHERE cv.doc_id = wd.doc_id AND cv.p = wd.p
+      )
+    ),
+    {pfx}clean AS MATERIALIZED (
+      SELECT b.doc_id,
+             CAST(COALESCE(t.n_words, 0) AS BIGINT) AS n_words,
+             CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+             COALESCE(kk.txt, '') AS text
+      FROM {src} b
+      LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_words FROM {pfx}words GROUP BY doc_id
+      ) t USING (doc_id)
+      LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(word, ' ' ORDER BY p) AS txt
+        FROM {pfx}kept GROUP BY doc_id
+      ) kk USING (doc_id)
+    )
+"""
+
+
+def _increment_oracle_sql() -> str:
+    from .dedup import (
+        _BOILER_SQL,
+        _SHINGLES_SQL,
+        BOILER_MIN_DOCS,
+        NGRAM_MAX_DF,
+        _SUFFIX_K,
+    )
+    from ..functions.hashing import hash60_sql
+    from ..operators.classifier import HT_DIM
+
+    r4 = round4_sql
+    jac = r4("inter / (si.sz + sb.sz - inter)")
+    return f"""
+    WITH corpus AS ({_BOILER_SQL}),
+    base0 AS (SELECT doc_id, text FROM corpus WHERE doc_id % 10 <> 0),
+    incr0 AS (SELECT doc_id, text FROM corpus WHERE doc_id % 10 = 0),
+    fkg AS (
+      SELECT doc_id,
+             md5(array_to_string(w[pos:pos+{_SUFFIX_K - 1}], ' ')) AS dig
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(1, len(w) - {_SUFFIX_K} + 2)) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base0)
+        WHERE len(w) >= {_SUFFIX_K}
+      )
+    ),
+    fhot AS (
+      SELECT dig FROM fkg GROUP BY dig
+      HAVING COUNT(DISTINCT doc_id) > {BOILER_MIN_DOCS}
+    ),
+    {_frozen_scrub_sql("base0", "fhot", "b", _SUFFIX_K)},
+    {_frozen_scrub_sql("incr0", "fhot", "i", _SUFFIX_K)},
+    bsh0 AS (
+      SELECT * FROM ({_SHINGLES_SQL.format(base="SELECT doc_id, text FROM bclean")})
+      WHERE length(shingle) > 0
+    ),
+    bdf AS (SELECT shingle, COUNT(*) AS c FROM bsh0 GROUP BY shingle),
+    bhotdf AS (SELECT shingle FROM bdf WHERE c > {NGRAM_MAX_DF}),
+    bcap AS (
+      SELECT bsh0.* FROM bsh0 JOIN bdf USING (shingle)
+      WHERE bdf.c <= {NGRAM_MAX_DF}
+    ),
+    bsz AS (SELECT doc_id, COUNT(*) AS sz FROM bcap GROUP BY doc_id),
+    ish0 AS (
+      SELECT * FROM ({_SHINGLES_SQL.format(base="SELECT doc_id, text FROM iclean")})
+      WHERE length(shingle) > 0
+    ),
+    ish AS (
+      SELECT * FROM ish0
+      WHERE NOT EXISTS (
+        SELECT 1 FROM bhotdf h WHERE h.shingle = ish0.shingle
+      )
+    ),
+    isz AS (SELECT doc_id, COUNT(*) AS sz FROM ish GROUP BY doc_id),
+    xin AS (
+      SELECT i.doc_id AS iid, b.doc_id AS bid, COUNT(*) AS inter
+      FROM ish i JOIN bcap b ON i.shingle = b.shingle
+      GROUP BY 1, 2
+    ),
+    ndup AS (
+      SELECT DISTINCT iid AS doc_id FROM xin
+      JOIN isz si ON si.doc_id = iid
+      JOIN bsz sb ON sb.doc_id = bid
+      WHERE {jac} >= 0.2
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM ({_GRAMS_SQL_T.format(src="documents")})
+      WHERE doc_id % 97 = 0
+    ),
+    igr AS ({_GRAMS_SQL_T.format(src="iclean")}),
+    contam AS (SELECT DISTINCT doc_id FROM igr JOIN bench USING (gram)),
+    {_logreg_sql(src="SELECT doc_id, text FROM bclean", pfx="f")},
+    itk AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM iclean
+      ) WHERE length(term) > 0
+    ),
+    ifeats AS (
+      SELECT doc_id, ({hash60_sql('term')}) % {HT_DIM} AS dim,
+             CAST(SUM(CASE WHEN ({hash60_sql("'s' || term")}) % 2 = 0
+                           THEN 1 ELSE -1 END) AS DOUBLE) AS val
+      FROM itk GROUP BY doc_id, dim
+      HAVING SUM(CASE WHEN ({hash60_sql("'s' || term")}) % 2 = 0
+                      THEN 1 ELSE -1 END) != 0
+      UNION ALL
+      SELECT doc_id, {HT_DIM} AS dim, 1.0 AS val FROM iclean
+    ),
+    im AS (
+      SELECT f.doc_id, {r4('SUM(w.wt * f.val)')} AS m
+      FROM ifeats f JOIN fw{_LOGREG_ITERS} w USING (dim)
+      GROUP BY f.doc_id
+    ),
+    iscore AS (
+      SELECT doc_id, {r4('1.0 / (1.0 + exp(-m))')} AS score FROM im
+    )
+    SELECT ic.doc_id,
+           ic.n_words AS n_tokens_raw,
+           ic.n_kept AS n_tokens_scrubbed,
+           CAST(nd.doc_id IS NOT NULL AS INT) AS near_dup,
+           CAST(ct.doc_id IS NOT NULL AS INT) AS contaminated,
+           s.score,
+           CAST(nd.doc_id IS NULL AND ct.doc_id IS NULL
+                AND s.score < 0.5 AS INT) AS kept
+    FROM iclean ic
+    LEFT JOIN ndup nd ON nd.doc_id = ic.doc_id
+    LEFT JOIN contam ct ON ct.doc_id = ic.doc_id
+    JOIN iscore s ON s.doc_id = ic.doc_id
+    ORDER BY ic.doc_id
+    """
+
+
+def _increment_verdicts(
+    spark: SparkSession, sf_dir: str, chunk: int | None = None, n_chunks: int = 3
+) -> DataFrame:
+    """Shared body of curation_increment_verdicts. ``chunk`` restricts
+    the INCREMENT to one of ``n_chunks`` deterministic slices while the
+    frozen state stays identical — every stage is per-doc pure given
+    that state, so the union of chunk runs must equal the full run
+    row-for-row (pinned by test_increment_chunks_equal_batch: the
+    micro-batch/streaming contract without needing a stream)."""
+    from .dedup import (
+        _docs_with_boilerplate,
+        BOILER_MIN_DOCS,
+        NGRAM_MAX_DF,
+        _SUFFIX_K,
+    )
+    from ..operators import classifier as C
+    from ..operators import dedup as D
+
+    corpus = _docs_with_boilerplate(spark, sf_dir)
+    base = corpus.where(F.col("doc_id") % 10 != 0)
+    incr = corpus.where(F.col("doc_id") % 10 == 0)
+    if chunk is not None:
+        incr = incr.where((F.col("doc_id") / 10) % n_chunks == chunk)
+
+    # frozen nightly state: hot template grams, scrubbed corpus, its
+    # capped shingle index, bench grams, trained classifier weights
+    hot = materialize(
+        D.frozen_hot_kgrams(
+            base, "text", "doc_id", k=_SUFFIX_K, min_docs=BOILER_MIN_DOCS
+        ),
+        "inc_hot",
+    )
+    bclean = materialize(
+        D.scrub_against_frozen(base, hot, "text", "doc_id", k=_SUFFIX_K)
+        .select("doc_id", F.col("text_deduped").alias("text")),
+        "inc_bclean",
+    )
+    iclean = materialize(
+        D.scrub_against_frozen(incr, hot, "text", "doc_id", k=_SUFFIX_K)
+        .select(
+            "doc_id", "n_words", "n_kept",
+            F.col("text_deduped").alias("text"),
+        ),
+        "inc_iclean",
+    )
+    ndup = (
+        D.ngram_jaccard_against_corpus(
+            iclean, bclean, "text", "doc_id",
+            threshold=0.2, max_df=NGRAM_MAX_DF,
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("near_dup"))
+    )
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def grams5(df: DataFrame) -> DataFrame:
+        w = F.split(F.col("text"), " ")
+        g = F.when(
+            F.size(w) >= 5,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 4),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
+                )
+            ),
+        )
+        return df.select("doc_id", F.explode(g).alias("gram"))
+
+    bench = (
+        grams5(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+    )
+    contam = (
+        grams5(iclean)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1).alias("contaminated"))
+    )
+    wts = C.logreg_train(
+        C.hashed_features(_with_spam_twins(bclean), "text", "doc_id"),
+        _with_spam_twins(bclean).select("doc_id", "y"),
+        "doc_id",
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+    )
+    scores = C.logreg_score_docs(iclean, wts)
+    nd = F.coalesce(F.col("near_dup"), F.lit(0)).cast("int")
+    ct = F.coalesce(F.col("contaminated"), F.lit(0)).cast("int")
+    return (
+        iclean.join(ndup.hint("shuffle_hash"), "doc_id", "left")
+        .join(contam.hint("shuffle_hash"), "doc_id", "left")
+        .join(scores.hint("shuffle_hash"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").alias("n_tokens_raw"),
+            F.col("n_kept").alias("n_tokens_scrubbed"),
+            nd.alias("near_dup"),
+            ct.alias("contaminated"),
+            "score",
+            ((nd == 0) & (ct == 0) & (F.col("score") < 0.5))
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "curation_increment_verdicts",
+    oracle=_increment_oracle_sql(),
+    description="The INCREMENTAL twin of curation_pipeline_report — what "
+    "a 100 TB pipeline runs between nightly rebuilds: a crawl increment "
+    "(every 10th doc of the planted/stamped corpus) processed against "
+    "FROZEN nightly state. Frozen pieces: the hot template-gram set "
+    "(scrub_against_frozen — increments don't re-elect templates), the "
+    "corpus's DF-capped shingle index (ngram_jaccard_against_corpus — "
+    "new-vs-corpus pairs only, frozen DF cap), the benchmark 5-gram set "
+    "(broadcast), and classifier weights trained on the scrubbed base "
+    "(logreg_score_docs). Per-doc verdict row: raw/scrubbed token "
+    "counts, near-dup and contamination flags, frozen-weight score, and "
+    "the composite kept bit. Every stage is per-doc pure given the "
+    "frozen state, so chunked/streamed processing equals the batch run "
+    "row-for-row (test_increment_chunks_equal_batch); the oracle "
+    "replays scrub x2, the frozen index probe, decontamination, and "
+    "the full training chain in one WITH.",
+)
+def curation_increment_verdicts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _increment_verdicts(spark, sf_dir)

@@ -795,3 +795,27 @@ def test_embedding_cross_hits_flags_planted_probe_twin(spark):
     assert set(out) == {100}  # the twin, never the probe id 900
     assert out[100].n_probe_hits == 1
     assert abs(out[100].max_probe_cosine - 1.0) < 1e-9
+
+
+def test_increment_chunks_equal_batch(spark, sf_dir):
+    """The incremental pipeline's streaming contract without a stream:
+    every stage of curation_increment_verdicts is per-doc pure given the
+    FROZEN nightly state (hot grams, capped shingle index, bench set,
+    trained weights), so processing the increment in 3 deterministic
+    chunks and unioning must equal the single batch run row-for-row —
+    the same stream-vs-batch equivalence discipline as
+    test_classifier_score_at_ingest_stream_equals_batch, applied to the
+    whole increment pipeline."""
+    from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
+        _increment_verdicts,
+    )
+
+    full = {r.doc_id: r for r in _increment_verdicts(spark, sf_dir).collect()}
+    chunked = {}
+    for c in range(3):
+        for r in _increment_verdicts(spark, sf_dir, chunk=c).collect():
+            assert r.doc_id not in chunked, "chunks must partition the increment"
+            chunked[r.doc_id] = r
+    assert set(chunked) == set(full)
+    for did, r in full.items():
+        assert chunked[did] == r, (did, r, chunked[did])
