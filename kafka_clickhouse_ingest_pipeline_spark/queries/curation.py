@@ -286,6 +286,45 @@ _BLOOM_BENCH_POS_SQL = "\nUNION ALL\n".join(
 )
 
 
+def _bloom_contam_sql(pfx: str, bench: str, probe: str) -> str:
+    """Bloom decontamination CTE chain — the scale-safe stage-3 path
+    (VERDICT r10 #1). Collapses ``{bench}``'s grams to a BLOOM_BITS Bloom
+    sketch and emits ``{pfx}contam`` = distinct doc_ids of ``{probe}``
+    rows (doc_id, gram) with any gram whose BLOOM_K positions are all
+    set. DuckDB twin of operators/dedup.bloom_gram_sketch +
+    bloom_contaminated_ids (representation differs — rows vs a 1-row
+    map — but the bit arithmetic is identical, so verdicts match)."""
+    bench_pos = "\nUNION ALL\n".join(
+        f"SELECT {_bloom_pos_sql(j)} AS pos FROM {bench}"
+        for j in range(H.BLOOM_K)
+    )
+    probe_pos = "\nUNION ALL\n".join(
+        f"SELECT doc_id, gram, {_bloom_pos_sql(j)} AS pos FROM {probe}"
+        for j in range(H.BLOOM_K)
+    )
+    return f"""
+    {pfx}bpos AS ({bench_pos}),
+    {pfx}bloom AS (
+      SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+      FROM {pfx}bpos GROUP BY 1
+    ),
+    {pfx}ppos AS ({probe_pos}),
+    {pfx}contam AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT p.doc_id, p.gram
+        FROM {pfx}ppos p
+        LEFT JOIN {pfx}bloom b ON CAST(p.pos // 32 AS BIGINT) = b.word_idx
+        GROUP BY p.doc_id, p.gram
+        HAVING COUNT(*) FILTER (
+          WHERE b.word IS NOT NULL AND
+            (b.word & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER)))
+              <> 0
+        ) = {H.BLOOM_K}
+      )
+    )"""
+
+
 @query(
     "decontaminate_bloom_eval",
     oracle=f"""
@@ -1660,11 +1699,11 @@ def _pipeline_oracle_sql() -> str:
       SELECT doc_id, gram FROM ({_GRAMS_SQL_T.format(src="s2")})
       WHERE doc_id % 97 <> 0
     ),
-    contam AS (SELECT DISTINCT doc_id FROM tgrams JOIN bgrams USING (gram)),
+    {_bloom_contam_sql("d", "bgrams", "tgrams")},
     s3 AS MATERIALIZED (
       SELECT s2.doc_id, s2.text FROM s2
       WHERE s2.doc_id % 97 <> 0
-        AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s2.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM dcontam c WHERE c.doc_id = s2.doc_id)
     ),
     {_logreg_sql(src="SELECT doc_id, text FROM s3", pfx="q")},
     s4 AS MATERIALIZED (
@@ -1738,7 +1777,9 @@ def _pipeline_oracle_sql() -> str:
     "r9 #5), one registered query: template-stamped planted corpus -> "
     "boilerplate scrub (hot-gram cut, no first owner) -> capped "
     "shingle-Jaccard near-dedup (keep-smallest-id) -> benchmark "
-    "decontamination (raw 1/97 slice's 5-grams, broadcast) -> in-engine "
+    "decontamination (raw 1/97 slice's 5-grams collapsed to the 8 KiB "
+    "Bloom sketch, probed map-side — O(m) regardless of benchmark size; "
+    "VERDICT r10 #1) -> in-engine "
     "logreg filter TRAINED ON THE SURVIVORS (score < 0.5 keeps) -> "
     "per-source sequence packing (2048-token bins) -> 80/10/10 hash "
     "split. Output is the integer funnel report (stage, n_docs, "
@@ -1787,7 +1828,11 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stage 3: benchmark decontamination — bench grams from the RAW 1/97
-    # slice (at production scale an external eval table), broadcast
+    # slice (at production scale an external eval table), collapsed to the
+    # 8 KiB Bloom sketch and probed map-side (VERDICT r10 #1: the exact
+    # gram broadcast grows with the eval corpus; the sketch is O(m)
+    # regardless — decontaminate_eval/_bloom_eval stay registered as the
+    # exact-vs-sketch references)
     def grams5(df: DataFrame) -> DataFrame:
         w = F.split(F.col("text"), " ")
         g = F.when(
@@ -1807,11 +1852,9 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         grams5(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
     )
-    contam = (
-        grams5(s2.where(F.col("doc_id") % 97 != 0))
-        .join(F.broadcast(bench), "gram")
-        .select("doc_id")
-        .distinct()
+    contam = D.bloom_contaminated_ids(
+        grams5(s2.where(F.col("doc_id") % 97 != 0)),
+        D.bloom_gram_sketch(bench),
     )
     s3 = materialize(
         s2.where(F.col("doc_id") % 97 != 0).join(
@@ -2037,7 +2080,7 @@ def _increment_oracle_sql() -> str:
       WHERE doc_id % 97 = 0
     ),
     igr AS ({_GRAMS_SQL_T.format(src="iclean")}),
-    contam AS (SELECT DISTINCT doc_id FROM igr JOIN bench USING (gram)),
+    {_bloom_contam_sql("x", "bench", "igr")},
     {_logreg_sql(src="SELECT doc_id, text FROM bclean", pfx="f")},
     itk AS (
       SELECT doc_id, term FROM (
@@ -2074,7 +2117,7 @@ def _increment_oracle_sql() -> str:
                 AND s.score < 0.5 AS INT) AS kept
     FROM iclean ic
     LEFT JOIN ndup nd ON nd.doc_id = ic.doc_id
-    LEFT JOIN contam ct ON ct.doc_id = ic.doc_id
+    LEFT JOIN xcontam ct ON ct.doc_id = ic.doc_id
     JOIN iscore s ON s.doc_id = ic.doc_id
     ORDER BY ic.doc_id
     """
@@ -2152,13 +2195,12 @@ def _increment_verdicts(
     bench = (
         grams5(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
     )
-    contam = (
-        grams5(iclean)
-        .join(F.broadcast(bench), "gram")
-        .select("doc_id")
-        .distinct()
-        .select("doc_id", F.lit(1).alias("contaminated"))
-    )
+    # frozen Bloom sketch of the bench grams (VERDICT r10 #1): the
+    # increment probes the same 8 KiB frozen state the nightly build
+    # made — O(m) broadcast regardless of benchmark size
+    contam = D.bloom_contaminated_ids(
+        grams5(iclean), D.bloom_gram_sketch(bench)
+    ).select("doc_id", F.lit(1).alias("contaminated"))
     wts = C.logreg_train(
         C.hashed_features(_with_spam_twins(bclean), "text", "doc_id"),
         _with_spam_twins(bclean).select("doc_id", "y"),
@@ -2197,8 +2239,9 @@ def _increment_verdicts(
     "FROZEN nightly state. Frozen pieces: the hot template-gram set "
     "(scrub_against_frozen — increments don't re-elect templates), the "
     "corpus's DF-capped shingle index (ngram_jaccard_against_corpus — "
-    "new-vs-corpus pairs only, frozen DF cap), the benchmark 5-gram set "
-    "(broadcast), and classifier weights trained on the scrubbed base "
+    "new-vs-corpus pairs only, frozen DF cap), the benchmark Bloom "
+    "sketch (8 KiB frozen state, map-side probe), and classifier "
+    "weights trained on the scrubbed base "
     "(logreg_score_docs). Per-doc verdict row: raw/scrubbed token "
     "counts, near-dup and contamination flags, frozen-weight score, and "
     "the composite kept bit. Every stage is per-doc pure given the "

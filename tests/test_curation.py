@@ -819,3 +819,49 @@ def test_increment_chunks_equal_batch(spark, sf_dir):
     assert set(chunked) == set(full)
     for did, r in full.items():
         assert chunked[did] == r, (did, r, chunked[did])
+
+
+def test_bloom_probe_bounded_broadcast_and_no_false_negatives(spark, sf_dir):
+    """VERDICT r10 #1 pin: the pipeline's decontamination stage probes an
+    8 KiB Bloom sketch map-side. Three invariants: (1) the sketch is ONE
+    row with <= BLOOM_BITS/32 map entries (genuinely bounded, so its
+    broadcast is sanctioned at any benchmark size); (2) the probe plan is
+    a BroadcastNestedLoopJoin with ZERO shuffled joins — the only shuffle
+    is the final distinct of contaminated ids; (3) no false negatives:
+    every exactly-contaminated doc is bloom-flagged (the sketch may only
+    over-drop, never leak a benchmark gram through)."""
+    from kafka_clickhouse_ingest_pipeline_spark.functions.hashing import (
+        BLOOM_BITS,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+    from kafka_clickhouse_ingest_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    g5 = F.when(
+        F.size(w) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 4),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
+            )
+        ),
+    )
+    grams = docs.select("doc_id", F.explode(g5).alias("gram"))
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    probe = grams.where(F.col("doc_id") % 97 != 0)
+
+    sketch = D.bloom_gram_sketch(bench)
+    srow = sketch.collect()
+    assert len(srow) == 1
+    assert len(srow[0].bloom_words) <= BLOOM_BITS // 32
+
+    flagged = D.bloom_contaminated_ids(probe, sketch)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+
+    exact = probe.join(bench, "gram").select("doc_id").distinct()
+    bloom_ids = {r.doc_id for r in flagged.collect()}
+    exact_ids = {r.doc_id for r in exact.collect()}
+    assert exact_ids <= bloom_ids
