@@ -42,6 +42,8 @@ clickhouse-jdbc driver (none of which change this module's options):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 # Parity constants (BASELINE.md)
@@ -186,17 +188,29 @@ def _jdbc_scalar(
 # DROP on missing object, 42Y07 schema not found. Standard: 42S02
 # (base table not found, used by MySQL-compatible dialects).
 _MISSING_TABLE_SQLSTATES = {"42X05", "42Y55", "42Y07", "42S02"}
+
+# 'table <name> doesn't/does not exist' with the name ADJACENT to the
+# keyword — substring checks alone would also match
+# "Column 'x' does not exist in table 't'" (a schema bug that must fail
+# loudly, VERDICT r10 #7).
+_MISSING_TABLE_RE = re.compile(
+    r"table\s+\S+\s+(?:does\s+not|doesn't)\s+exist"
+)
+
+
 def _msg_is_missing_table(msg: str) -> bool:
     """clickhouse-jdbc surfaces server error 60 by message, not a
     dedicated SQLState ('Table default.t doesn't exist. (UNKNOWN_TABLE)').
-    Require the table-ish marker so 'column X does not exist' (a schema
-    bug that must fail loudly) is never swallowed."""
+    The UNKNOWN_TABLE tag is authoritative; otherwise require the
+    table-name-adjacent phrase and NO column mention, so
+    'column X does not exist [in table t]' / NO_SUCH_COLUMN_IN_TABLE /
+    UNKNOWN_IDENTIFIER shapes are never swallowed."""
     low = msg.lower()
     if "unknown_table" in low:
         return True
-    return "table" in low and (
-        "does not exist" in low or "doesn't exist" in low
-    )
+    if "column" in low:
+        return False
+    return bool(_MISSING_TABLE_RE.search(low))
 
 
 def _is_missing_table(exc: Exception) -> bool:

@@ -206,6 +206,49 @@ def test_jdbc_missing_table_classifier(spark, tmp_path):
     )
 
 
+def test_clickhouse_message_classifier_matrix():
+    """VERDICT r10 #7: the ClickHouse branch of _msg_is_missing_table,
+    pinned on synthetic server messages — BOTH directions. Swallowable:
+    only genuine missing-TABLE shapes. Must-NOT-swallow near-misses:
+    column errors (even ones containing both 'table' and 'does not
+    exist'), unknown databases, access/auth failures, and transient
+    errors — any of these swallowed in the ledger's DELETE step would
+    turn a crashed attempt's rows into permanent duplicates."""
+    yes = [
+        # error 60, modern and older phrasings, with and without the tag
+        "Code: 60. DB::Exception: Table default.batch_ledger doesn't "
+        "exist. (UNKNOWN_TABLE) (version 24.3.1)",
+        "Code: 60. DB::Exception: Table analytics.events does not exist",
+        "DB::Exception: Table `db`.`t` doesn't exist. (UNKNOWN_TABLE)",
+        # the tag alone is authoritative even with unusual wording
+        "Code: 60, e.displayText() = DB::Exception: ... (UNKNOWN_TABLE)",
+    ]
+    no = [
+        # the trap: 'table' + 'does not exist' in one COLUMN message
+        "Code: 16. DB::Exception: Column 'batch_id' does not exist in "
+        "table default.events. (NO_SUCH_COLUMN_IN_TABLE)",
+        "Code: 47. DB::Exception: Missing columns: 'batch_id' while "
+        "processing query. (UNKNOWN_IDENTIFIER)",
+        "Code: 10. DB::Exception: Not found column batch_id in block. "
+        "(NOT_FOUND_COLUMN_IN_BLOCK)",
+        # other genuine failures that must abort the batch
+        "Code: 81. DB::Exception: Database foo does not exist. "
+        "(UNKNOWN_DATABASE)",
+        "Code: 241. DB::Exception: Memory limit (total) exceeded",
+        "Code: 516. DB::Exception: default: Authentication failed. "
+        "(AUTHENTICATION_FAILED)",
+        "Code: 497. DB::Exception: user1: Not enough privileges. "
+        "(ACCESS_DENIED)",
+        "Code: 209. DB::NetException: Timeout exceeded while reading "
+        "from socket. (SOCKET_TIMEOUT)",
+        "Connection refused: connect",
+    ]
+    for msg in yes:
+        assert J._msg_is_missing_table(msg), msg
+    for msg in no:
+        assert not J._msg_is_missing_table(msg), msg
+
+
 def test_jdbc_ledger_transient_delete_failure_aborts_batch(
     spark, tmp_path, rows
 ):
