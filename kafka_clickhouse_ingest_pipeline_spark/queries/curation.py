@@ -210,6 +210,23 @@ _GRAMS_SQL_T = """
 _GRAMS_SQL = _GRAMS_SQL_T.format(src="documents")
 
 
+def _grams5(df: DataFrame) -> DataFrame:
+    """Distinct word 5-grams per doc: (doc_id, gram) — the Spark twin of
+    _GRAMS_SQL_T (docs under 5 words emit nothing; explode drops the
+    null array, matching WHERE len(w) >= 5)."""
+    w = F.split(F.col("text"), " ")
+    g = F.when(
+        F.size(w) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 4),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
+            )
+        ),
+    )
+    return df.select("doc_id", F.explode(g).alias("gram"))
+
+
 @query(
     "decontaminate_train_docs",
     oracle=f"""
@@ -1833,27 +1850,14 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram broadcast grows with the eval corpus; the sketch is O(m)
     # regardless — decontaminate_eval/_bloom_eval stay registered as the
     # exact-vs-sketch references)
-    def grams5(df: DataFrame) -> DataFrame:
-        w = F.split(F.col("text"), " ")
-        g = F.when(
-            F.size(w) >= 5,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 4),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
-                )
-            ),
-        )
-        return df.select("doc_id", F.explode(g).alias("gram"))
-
     raw = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
     bench = (
-        grams5(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+        _grams5(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
     )
     contam = D.bloom_contaminated_ids(
-        grams5(s2.where(F.col("doc_id") % 97 != 0)),
+        _grams5(s2.where(F.col("doc_id") % 97 != 0)),
         D.bloom_gram_sketch(bench),
     )
     s3 = materialize(
@@ -2009,7 +2013,13 @@ def _frozen_scrub_sql(src: str, hot: str, pfx: str, k: int) -> str:
 """
 
 
-def _increment_oracle_sql() -> str:
+def _increment_chain_sql() -> str:
+    """The incremental-path CTE chain (no WITH keyword, no final select):
+    corpus/base0/incr0 -> frozen hot-gram election + scrub x2 -> frozen
+    capped shingle index probe (ndup) -> Bloom decontamination (xcontam)
+    -> frozen-weight scoring (iscore). Factored so BOTH the increment
+    oracle and the drift-report oracle (which additionally replays the
+    full REBUILD on the union corpus) run the same incremental replay."""
     from .dedup import (
         _BOILER_SQL,
         _SHINGLES_SQL,
@@ -2023,7 +2033,7 @@ def _increment_oracle_sql() -> str:
     r4 = round4_sql
     jac = r4("inter / (si.sz + sb.sz - inter)")
     return f"""
-    WITH corpus AS ({_BOILER_SQL}),
+    corpus AS ({_BOILER_SQL}),
     base0 AS (SELECT doc_id, text FROM corpus WHERE doc_id % 10 <> 0),
     incr0 AS (SELECT doc_id, text FROM corpus WHERE doc_id % 10 = 0),
     fkg AS (
@@ -2106,7 +2116,12 @@ def _increment_oracle_sql() -> str:
     ),
     iscore AS (
       SELECT doc_id, {r4('1.0 / (1.0 + exp(-m))')} AS score FROM im
-    )
+    )"""
+
+
+# The increment-path per-doc verdict select, shared verbatim by the
+# increment oracle (as its final select) and the drift oracle (as a CTE).
+_INCREMENT_VERDICT_SELECT = """
     SELECT ic.doc_id,
            ic.n_words AS n_tokens_raw,
            ic.n_kept AS n_tokens_scrubbed,
@@ -2119,6 +2134,13 @@ def _increment_oracle_sql() -> str:
     LEFT JOIN ndup nd ON nd.doc_id = ic.doc_id
     LEFT JOIN xcontam ct ON ct.doc_id = ic.doc_id
     JOIN iscore s ON s.doc_id = ic.doc_id
+"""
+
+
+def _increment_oracle_sql() -> str:
+    return f"""
+    WITH {_increment_chain_sql()}
+    {_INCREMENT_VERDICT_SELECT}
     ORDER BY ic.doc_id
     """
 
@@ -2178,28 +2200,14 @@ def _increment_verdicts(
         .select("doc_id", F.lit(1).alias("near_dup"))
     )
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def grams5(df: DataFrame) -> DataFrame:
-        w = F.split(F.col("text"), " ")
-        g = F.when(
-            F.size(w) >= 5,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 4),
-                    lambda i: F.concat_ws(" ", F.slice(w, i, 5)),
-                )
-            ),
-        )
-        return df.select("doc_id", F.explode(g).alias("gram"))
-
     bench = (
-        grams5(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+        _grams5(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
     )
     # frozen Bloom sketch of the bench grams (VERDICT r10 #1): the
     # increment probes the same 8 KiB frozen state the nightly build
     # made — O(m) broadcast regardless of benchmark size
     contam = D.bloom_contaminated_ids(
-        grams5(iclean), D.bloom_gram_sketch(bench)
+        _grams5(iclean), D.bloom_gram_sketch(bench)
     ).select("doc_id", F.lit(1).alias("contaminated"))
     wts = C.logreg_train(
         C.hashed_features(_with_spam_twins(bclean), "text", "doc_id"),
@@ -2254,3 +2262,285 @@ def curation_increment_verdicts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _increment_verdicts(spark, sf_dir)
+
+
+# --- incremental-vs-rebuild drift (VERDICT r10 #4) ------------------------
+
+
+def _drift_oracle_sql() -> str:
+    """Replay BOTH curation paths in one WITH and aggregate per-stage
+    disagreement counts over the increment docs: the incremental chain
+    (_increment_chain_sql — frozen nightly state) vs the full REBUILD on
+    the union corpus (hot grams re-elected, shingle index and DF cap
+    recomputed, classifier retrained on every doc). The integer report
+    is the number that sets rebuild cadence at 100 TB."""
+    from .dedup import (
+        _SHINGLES_SQL,
+        BOILER_MIN_DOCS,
+        NGRAM_MAX_DF,
+        _SUFFIX_K,
+    )
+
+    jac = round4_sql("inter / (sa.sz + sb.sz - inter)")
+    return f"""
+    WITH {_increment_chain_sql()},
+    iverd AS ({_INCREMENT_VERDICT_SELECT}),
+    rkg AS (
+      SELECT doc_id,
+             md5(array_to_string(w[pos:pos+{_SUFFIX_K - 1}], ' ')) AS dig
+      FROM (
+        SELECT doc_id, w,
+               unnest(range(1, len(w) - {_SUFFIX_K} + 2)) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        WHERE len(w) >= {_SUFFIX_K}
+      )
+    ),
+    rhot AS (
+      SELECT dig FROM rkg GROUP BY dig
+      HAVING COUNT(DISTINCT doc_id) > {BOILER_MIN_DOCS}
+    ),
+    {_frozen_scrub_sql("corpus", "rhot", "u", _SUFFIX_K)},
+    rsh0 AS (
+      SELECT * FROM (
+        {_SHINGLES_SQL.format(base="SELECT doc_id, text FROM uclean")}
+      ) WHERE length(shingle) > 0
+    ),
+    rkeep AS (
+      SELECT shingle FROM rsh0 GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_MAX_DF}
+    ),
+    rsh AS (SELECT rsh0.* FROM rsh0 JOIN rkeep USING (shingle)),
+    rsz AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY doc_id),
+    rinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    rdrop AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM rinter
+      JOIN rsz sa ON sa.doc_id = id_a
+      JOIN rsz sb ON sb.doc_id = id_b
+      WHERE {jac} >= 0.2
+    ),
+    rgr AS ({_GRAMS_SQL_T.format(src="uclean")}),
+    {_bloom_contam_sql("r2", "bench", "rgr")},
+    {_logreg_sql(src="SELECT doc_id, text FROM uclean", pfx="g")},
+    rverd AS (
+      SELECT rc.doc_id, rc.n_words, rc.n_kept,
+             CAST(rd.doc_id IS NOT NULL AS INT) AS near_dup,
+             CAST(c2.doc_id IS NOT NULL AS INT) AS contaminated,
+             g.score,
+             CAST(rd.doc_id IS NULL AND c2.doc_id IS NULL
+                  AND g.score < 0.5 AS INT) AS kept
+      FROM uclean rc
+      LEFT JOIN rdrop rd ON rd.doc_id = rc.doc_id
+      LEFT JOIN r2contam c2 ON c2.doc_id = rc.doc_id
+      JOIN gsc g ON g.doc_id = rc.doc_id
+      WHERE rc.doc_id % 10 = 0
+    ),
+    jd AS (
+      SELECT i.doc_id,
+             CAST(i.n_tokens_scrubbed < i.n_tokens_raw AS INT) AS i_scrub,
+             CAST(r.n_kept < r.n_words AS INT) AS r_scrub,
+             CAST(i.n_tokens_scrubbed <> r.n_kept AS INT) AS scrub_neq,
+             i.near_dup AS i_nd, r.near_dup AS r_nd,
+             i.contaminated AS i_ct, r.contaminated AS r_ct,
+             CAST(i.score < 0.5 AS INT) AS i_kv,
+             CAST(r.score < 0.5 AS INT) AS r_kv,
+             i.kept AS i_kept, r.kept AS r_kept
+      FROM iverd i JOIN rverd r USING (doc_id)
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS metric_ord, 'scrubbed' AS metric,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(i_scrub) AS BIGINT) AS n_pos_incremental,
+             CAST(SUM(r_scrub) AS BIGINT) AS n_pos_rebuild,
+             CAST(SUM(scrub_neq) AS BIGINT) AS n_disagree
+      FROM jd
+      UNION ALL
+      SELECT 1, 'near_dup', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(i_nd) AS BIGINT), CAST(SUM(r_nd) AS BIGINT),
+             CAST(SUM(CASE WHEN i_nd <> r_nd THEN 1 ELSE 0 END) AS BIGINT)
+      FROM jd
+      UNION ALL
+      SELECT 2, 'contaminated', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(i_ct) AS BIGINT), CAST(SUM(r_ct) AS BIGINT),
+             CAST(SUM(CASE WHEN i_ct <> r_ct THEN 1 ELSE 0 END) AS BIGINT)
+      FROM jd
+      UNION ALL
+      SELECT 3, 'classifier_keep_vote', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(i_kv) AS BIGINT), CAST(SUM(r_kv) AS BIGINT),
+             CAST(SUM(CASE WHEN i_kv <> r_kv THEN 1 ELSE 0 END) AS BIGINT)
+      FROM jd
+      UNION ALL
+      SELECT 4, 'kept', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(i_kept) AS BIGINT), CAST(SUM(r_kept) AS BIGINT),
+             CAST(SUM(CASE WHEN i_kept <> r_kept THEN 1 ELSE 0 END)
+               AS BIGINT)
+      FROM jd
+    ) ORDER BY metric_ord
+    """
+
+
+def _rebuild_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc verdicts for the INCREMENT docs (doc_id % 10 = 0) as the
+    nightly REBUILD on the union corpus judges them: hot template grams
+    re-elected over every doc, the shingle index and its DF cap
+    recomputed, contamination probed on rebuild-scrubbed text, and the
+    classifier retrained on the full scrubbed corpus. Same verdict
+    schema as _increment_verdicts modulo column names, so the drift
+    report is a straight doc_id join."""
+    from .dedup import (
+        _docs_with_boilerplate,
+        BOILER_MIN_DOCS,
+        NGRAM_MAX_DF,
+        _SUFFIX_K,
+    )
+    from ..operators import classifier as C
+    from ..operators import dedup as D
+
+    corpus = _docs_with_boilerplate(spark, sf_dir)
+    hot = materialize(
+        D.frozen_hot_kgrams(
+            corpus, "text", "doc_id", k=_SUFFIX_K, min_docs=BOILER_MIN_DOCS
+        ),
+        "drift_hot",
+    )
+    rclean = materialize(
+        D.scrub_against_frozen(corpus, hot, "text", "doc_id", k=_SUFFIX_K)
+        .select(
+            "doc_id", "n_words", "n_kept",
+            F.col("text_deduped").alias("text"),
+        ),
+        "drift_rclean",
+    )
+    pairs = D.ngram_jaccard_pairs(
+        rclean, "text", "doc_id", threshold=0.2, max_df=NGRAM_MAX_DF
+    )
+    drops = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("near_dup"))
+    )
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = (
+        _grams5(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
+    )
+    contam = D.bloom_contaminated_ids(
+        _grams5(rclean), D.bloom_gram_sketch(bench)
+    ).select("doc_id", F.lit(1).alias("contaminated"))
+    twins = _with_spam_twins(rclean.select("doc_id", "text"))
+    wts = C.logreg_train(
+        C.hashed_features(twins, "text", "doc_id"),
+        twins.select("doc_id", "y"),
+        "doc_id",
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+    )
+    incr = rclean.where(F.col("doc_id") % 10 == 0)
+    scores = C.logreg_score_docs(incr, wts)
+    nd = F.coalesce(F.col("near_dup"), F.lit(0)).cast("int")
+    ct = F.coalesce(F.col("contaminated"), F.lit(0)).cast("int")
+    return (
+        incr.join(drops.hint("shuffle_hash"), "doc_id", "left")
+        .join(contam.hint("shuffle_hash"), "doc_id", "left")
+        .join(scores.hint("shuffle_hash"), "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_kept",
+            nd.alias("near_dup"),
+            ct.alias("contaminated"),
+            "score",
+            ((nd == 0) & (ct == 0) & (F.col("score") < 0.5))
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+@query(
+    "curation_drift_report",
+    oracle=_drift_oracle_sql(),
+    description="VERDICT r10 #4: QUANTIFY incremental-vs-rebuild drift — "
+    "the number that sets rebuild cadence at 100 TB. The increment docs "
+    "are judged twice: by curation_increment_verdicts' frozen nightly "
+    "state (frozen hot grams / frozen DF-capped index / frozen Bloom "
+    "sketch / frozen weights) and by a full rebuild on the union corpus "
+    "(templates re-elected, index+cap recomputed, classifier retrained). "
+    "Output: one row per stage with per-path positive counts and the "
+    "disagreement count (scrub = token counts differ; near_dup / "
+    "contaminated / classifier keep-vote / composite kept = flag "
+    "differs). Drift in near_dup includes BOTH directions the frozen "
+    "index is structurally blind to: increment-increment duplicate "
+    "pairs, and keep-smallest-id reversals where the increment doc wins "
+    "the rebuild. The oracle replays both chains in one WITH.",
+)
+def curation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iverd = _increment_verdicts(spark, sf_dir)
+    rverd = _rebuild_verdicts(spark, sf_dir)
+    jd = materialize(
+        iverd.alias("i")
+        .join(rverd.alias("r"), "doc_id")
+        .select(
+            (F.col("i.n_tokens_scrubbed") < F.col("i.n_tokens_raw"))
+            .cast("int")
+            .alias("i_scrub"),
+            (F.col("r.n_kept") < F.col("r.n_words"))
+            .cast("int")
+            .alias("r_scrub"),
+            (F.col("i.n_tokens_scrubbed") != F.col("r.n_kept"))
+            .cast("int")
+            .alias("scrub_neq"),
+            F.col("i.near_dup").alias("i_nd"),
+            F.col("r.near_dup").alias("r_nd"),
+            F.col("i.contaminated").alias("i_ct"),
+            F.col("r.contaminated").alias("r_ct"),
+            (F.col("i.score") < 0.5).cast("int").alias("i_kv"),
+            (F.col("r.score") < 0.5).cast("int").alias("r_kv"),
+            F.col("i.kept").alias("i_kept"),
+            F.col("r.kept").alias("r_kept"),
+        ),
+        "drift_jd",
+    )
+
+    def row(ord_: int, name: str, i_col, r_col, d_col) -> DataFrame:
+        return jd.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(i_col).cast("long").alias("n_pos_incremental"),
+            F.sum(r_col).cast("long").alias("n_pos_rebuild"),
+            F.sum(d_col).cast("long").alias("n_disagree"),
+        ).select(
+            F.lit(ord_).cast("long").alias("metric_ord"),
+            F.lit(name).alias("metric"),
+            "n_docs",
+            "n_pos_incremental",
+            "n_pos_rebuild",
+            "n_disagree",
+        )
+
+    def neq(a: str, b: str):
+        return (F.col(a) != F.col(b)).cast("int")
+
+    out = (
+        row(0, "scrubbed", F.col("i_scrub"), F.col("r_scrub"),
+            F.col("scrub_neq"))
+        .unionByName(
+            row(1, "near_dup", F.col("i_nd"), F.col("r_nd"),
+                neq("i_nd", "r_nd"))
+        )
+        .unionByName(
+            row(2, "contaminated", F.col("i_ct"), F.col("r_ct"),
+                neq("i_ct", "r_ct"))
+        )
+        .unionByName(
+            row(3, "classifier_keep_vote", F.col("i_kv"), F.col("r_kv"),
+                neq("i_kv", "r_kv"))
+        )
+        .unionByName(
+            row(4, "kept", F.col("i_kept"), F.col("r_kept"),
+                neq("i_kept", "r_kept"))
+        )
+    )
+    return out.orderBy("metric_ord")

@@ -8,7 +8,7 @@ the registry:
 
     python tools/run_variant_gates.py [sf_dir] [variant ...] [-- query ...]
 
-Variants (default: all five):
+Variants (default: all six):
   default     pinned-UTC ANSI-on session (the driver contract)
   ansi_off    spark.sql.ansi.enabled=false
   tz_newyork  spark.sql.session.timeZone=America/New_York
@@ -44,6 +44,15 @@ VARIANTS: dict[str, dict[str, str]] = {
     "partitions": {
         "SPARK_GRAFT_CPUS": "4",
         "SPARK_GRAFT_EXTRA_CONF": "spark.sql.shuffle.partitions=7",
+    },
+    # VERDICT r10 #2: the CLAUDE.md AQE-recoverable broadcast exception
+    # (triangle_counts' degree joins, and any future site leaning on it)
+    # makes some plans' SCALE-safety contingent on AQE. Correctness must
+    # never be: this variant runs the full registry with AQE off so a
+    # query that silently depends on AQE's runtime re-planning for right
+    # ANSWERS (not just good plans) fails the gate.
+    "aqe_off": {
+        "SPARK_GRAFT_EXTRA_CONF": "spark.sql.adaptive.enabled=false"
     },
 }
 
