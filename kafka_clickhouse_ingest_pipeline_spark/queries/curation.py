@@ -2145,19 +2145,18 @@ def _increment_oracle_sql() -> str:
     """
 
 
-def _increment_verdicts(
-    spark: SparkSession, sf_dir: str, chunk: int | None = None, n_chunks: int = 3
-) -> DataFrame:
-    """Shared body of curation_increment_verdicts. ``chunk`` restricts
-    the INCREMENT to one of ``n_chunks`` deterministic slices while the
-    frozen state stays identical — every stage is per-doc pure given
-    that state, so the union of chunk runs must equal the full run
-    row-for-row (pinned by test_increment_chunks_equal_batch: the
-    micro-batch/streaming contract without needing a stream)."""
+def _frozen_nightly_state(spark: SparkSession, sf_dir: str) -> dict:
+    """Build the FROZEN nightly state every increment is judged against:
+    hot template grams, the scrubbed base corpus (source of the capped
+    shingle index), the benchmark's 8 KiB Bloom sketch, and trained
+    classifier weights. Each piece is a materialized/aggregate frame a
+    production build would persist as a table — building it ONCE and
+    passing it to :func:`_judge_increment` per micro-batch is exactly
+    the foreachBatch serving loop
+    (test_increment_verdicts_stream_equals_batch)."""
     from .dedup import (
         _docs_with_boilerplate,
         BOILER_MIN_DOCS,
-        NGRAM_MAX_DF,
         _SUFFIX_K,
     )
     from ..operators import classifier as C
@@ -2165,12 +2164,6 @@ def _increment_verdicts(
 
     corpus = _docs_with_boilerplate(spark, sf_dir)
     base = corpus.where(F.col("doc_id") % 10 != 0)
-    incr = corpus.where(F.col("doc_id") % 10 == 0)
-    if chunk is not None:
-        incr = incr.where((F.col("doc_id") / 10) % n_chunks == chunk)
-
-    # frozen nightly state: hot template grams, scrubbed corpus, its
-    # capped shingle index, bench grams, trained classifier weights
     hot = materialize(
         D.frozen_hot_kgrams(
             base, "text", "doc_id", k=_SUFFIX_K, min_docs=BOILER_MIN_DOCS
@@ -2182,23 +2175,6 @@ def _increment_verdicts(
         .select("doc_id", F.col("text_deduped").alias("text")),
         "inc_bclean",
     )
-    iclean = materialize(
-        D.scrub_against_frozen(incr, hot, "text", "doc_id", k=_SUFFIX_K)
-        .select(
-            "doc_id", "n_words", "n_kept",
-            F.col("text_deduped").alias("text"),
-        ),
-        "inc_iclean",
-    )
-    ndup = (
-        D.ngram_jaccard_against_corpus(
-            iclean, bclean, "text", "doc_id",
-            threshold=0.2, max_df=NGRAM_MAX_DF,
-        )
-        .select(F.col("new_id").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.lit(1).alias("near_dup"))
-    )
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = (
         _grams5(raw.where(F.col("doc_id") % 97 == 0)).select("gram").distinct()
@@ -2206,9 +2182,7 @@ def _increment_verdicts(
     # frozen Bloom sketch of the bench grams (VERDICT r10 #1): the
     # increment probes the same 8 KiB frozen state the nightly build
     # made — O(m) broadcast regardless of benchmark size
-    contam = D.bloom_contaminated_ids(
-        _grams5(iclean), D.bloom_gram_sketch(bench)
-    ).select("doc_id", F.lit(1).alias("contaminated"))
+    sketch = materialize(D.bloom_gram_sketch(bench), "inc_sketch")
     wts = C.logreg_train(
         C.hashed_features(_with_spam_twins(bclean), "text", "doc_id"),
         _with_spam_twins(bclean).select("doc_id", "y"),
@@ -2216,7 +2190,40 @@ def _increment_verdicts(
         iters=_LOGREG_ITERS,
         lr=_LOGREG_LR,
     )
-    scores = C.logreg_score_docs(iclean, wts)
+    return {"hot": hot, "bclean": bclean, "sketch": sketch, "wts": wts}
+
+
+def _judge_increment(incr: DataFrame, state: dict) -> DataFrame:
+    """Per-doc verdicts for an increment frame (doc_id, text) under the
+    FROZEN state from :func:`_frozen_nightly_state`. Every stage is
+    per-doc pure given that state, so calling this per micro-batch in a
+    foreachBatch sink produces exactly the one-shot verdicts."""
+    from .dedup import NGRAM_MAX_DF, _SUFFIX_K
+    from ..operators import classifier as C
+    from ..operators import dedup as D
+
+    iclean = materialize(
+        D.scrub_against_frozen(
+            incr, state["hot"], "text", "doc_id", k=_SUFFIX_K
+        ).select(
+            "doc_id", "n_words", "n_kept",
+            F.col("text_deduped").alias("text"),
+        ),
+        "inc_iclean",
+    )
+    ndup = (
+        D.ngram_jaccard_against_corpus(
+            iclean, state["bclean"], "text", "doc_id",
+            threshold=0.2, max_df=NGRAM_MAX_DF,
+        )
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("near_dup"))
+    )
+    contam = D.bloom_contaminated_ids(
+        _grams5(iclean), state["sketch"]
+    ).select("doc_id", F.lit(1).alias("contaminated"))
+    scores = C.logreg_score_docs(iclean, state["wts"])
     nd = F.coalesce(F.col("near_dup"), F.lit(0)).cast("int")
     ct = F.coalesce(F.col("contaminated"), F.lit(0)).cast("int")
     return (
@@ -2234,8 +2241,27 @@ def _increment_verdicts(
             .cast("int")
             .alias("kept"),
         )
-        .orderBy("doc_id")
     )
+
+
+def _increment_verdicts(
+    spark: SparkSession, sf_dir: str, chunk: int | None = None, n_chunks: int = 3
+) -> DataFrame:
+    """Shared body of curation_increment_verdicts. ``chunk`` restricts
+    the INCREMENT to one of ``n_chunks`` deterministic slices while the
+    frozen state stays identical — every stage is per-doc pure given
+    that state, so the union of chunk runs must equal the full run
+    row-for-row (pinned by test_increment_chunks_equal_batch: the
+    micro-batch/streaming contract without needing a stream — and by
+    test_increment_verdicts_stream_equals_batch WITH a stream)."""
+    from .dedup import _docs_with_boilerplate
+
+    corpus = _docs_with_boilerplate(spark, sf_dir)
+    incr = corpus.where(F.col("doc_id") % 10 == 0)
+    if chunk is not None:
+        incr = incr.where((F.col("doc_id") / 10) % n_chunks == chunk)
+    state = _frozen_nightly_state(spark, sf_dir)
+    return _judge_increment(incr, state).orderBy("doc_id")
 
 
 @query(

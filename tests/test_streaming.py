@@ -1141,3 +1141,70 @@ def test_bm25_incremental_merge_maintained_by_foreach_batch(spark, tmp_path):
     b = bm25_query_indexed(full, ("data", "stream"), k_top=10)
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
     reset_reuse_cache()
+
+
+def test_increment_verdicts_stream_equals_batch(spark, tmp_path):
+    """VERDICT r10 #5 'done' criterion: the incremental curation path
+    ACTUALLY runs as a stream. The frozen nightly state (hot grams,
+    scrubbed base corpus, bench Bloom sketch, trained weights) is built
+    once; the crawl increment arrives as a parquet stream in >= 3
+    micro-batches and every batch is judged through the SAME
+    _judge_increment the batch query uses in a foreachBatch sink. The
+    accumulated streamed verdicts must equal the one-shot batch run
+    row-for-row — the delivery-side proof on top of
+    test_increment_chunks_equal_batch's semantic one. At-least-once
+    safety rides on per-doc purity: a replayed batch overwrites its own
+    doc_ids with identical rows (upsert-by-key), checked by re-running
+    one batch through the sink."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
+        _frozen_nightly_state,
+        _judge_increment,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.queries.dedup import (
+        _docs_with_boilerplate,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    state = _frozen_nightly_state(spark, sf_dir)
+    incr = (
+        _docs_with_boilerplate(spark, sf_dir)
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    batch = {r.doc_id: r for r in _judge_increment(incr, state).collect()}
+    assert len(batch) > 0
+
+    src = str(tmp_path / "incr_stream")
+    ckpt = str(tmp_path / "incr_ckpt")
+    incr.repartition(3).write.parquet(src)
+    streamed: dict[int, object] = {}
+    batches: list = []
+
+    def sink(df, bid):
+        rows = _judge_increment(df, state).collect()
+        batches.append((bid, df))
+        for r in rows:
+            streamed[r.doc_id] = r
+
+    q = (
+        spark.readStream.schema(incr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(batches) >= 3, [b for b, _ in batches]
+    assert set(streamed) == set(batch)
+    for did, r in batch.items():
+        assert streamed[did] == r, (did, r, streamed[did])
+
+    # at-least-once replay: re-judging one delivered batch produces the
+    # identical rows, so an upsert-keyed sink converges exactly-once
+    _, replay_df = batches[0]
+    for r in _judge_increment(replay_df, state).collect():
+        assert streamed[r.doc_id] == r

@@ -220,6 +220,138 @@ def _start_jdbc_query(spark, spool, url, ckpt, trigger, ledger=False,
     )
 
 
+def _curation_soak(sf_dir: str) -> int:
+    """VERDICT r10 #5: the incremental curation path under soak
+    conditions. Frozen nightly state is built ONCE; the crawl increment
+    arrives as a PACED parquet stream (one chunk every 2 s); every
+    micro-batch is judged through the same _judge_increment the batch
+    query uses, inside a foreachBatch sink with a marker-file batch
+    ledger; and an injected sink-write-then-crash fires at ~40% of the
+    feed (verdicts + ledger marker persisted, checkpoint commit never
+    reached — the at-least-once window). The harness restarts the query
+    from its checkpoint; Spark re-delivers the crashed batch; the
+    ledger skips it. Pass bar: the verdict table converges to EXACT
+    parity with the one-shot batch run — same rows, zero duplicate
+    doc_ids — through the crash."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
+        _frozen_nightly_state,
+        _judge_increment,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.queries.dedup import (
+        _docs_with_boilerplate,
+    )
+
+    spark = build_session(app_name="soak_curation")
+    work = tempfile.mkdtemp(prefix="soak_cur_")
+    spool = os.path.join(work, "incr_spool")
+    staged = os.path.join(work, "staged")
+    data_dir = os.path.join(work, "verdicts", "data")
+    ledger = os.path.join(work, "verdicts", "_ledger")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(spool)
+    os.makedirs(ledger)
+
+    t0 = time.monotonic()
+    state = _frozen_nightly_state(spark, sf_dir)
+    incr = (
+        _docs_with_boilerplate(spark, sf_dir)
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    expected = {tuple(r) for r in _judge_increment(incr, state).collect()}
+    n_expected = len(expected)
+
+    n_chunks = 6
+    for c in range(n_chunks):
+        incr.where((F.col("doc_id") / 10) % n_chunks == c).coalesce(
+            1
+        ).write.parquet(os.path.join(staged, str(c)))
+
+    crash = {"armed": False, "fired": 0}
+
+    def sink(df, bid):
+        marker = os.path.join(ledger, f"{bid}.done")
+        if os.path.exists(marker):
+            return
+        n = df.count()
+        _judge_increment(df, state).write.mode("append").parquet(data_dir)
+        with open(marker, "w") as fh:
+            fh.write("")
+        if crash["armed"] and n:
+            crash["armed"] = False
+            crash["fired"] += 1
+            raise IOError(CRASH_MSG)
+
+    def start():
+        return (
+            spark.readStream.schema(incr.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    q = start()
+    restarts = 0
+    for c in range(n_chunks):
+        src = glob.glob(os.path.join(staged, str(c), "*.parquet"))[0]
+        shutil.copy(src, os.path.join(spool, f"chunk_{c}.parquet"))
+        if c + 1 == max(2, int(n_chunks * 0.4)):
+            crash["armed"] = True
+        time.sleep(2.0)
+        if not q.isActive:
+            # the injected crash killed the query: restart from ckpt
+            restarts += 1
+            q = start()
+
+    def _rows() -> int:
+        try:
+            return spark.read.parquet(data_dir).count()
+        except Exception:
+            return 0
+
+    t_wait = time.monotonic()
+    while _rows() < n_expected and time.monotonic() - t_wait < 180.0:
+        time.sleep(1.0)
+        if not q.isActive:
+            restarts += 1
+            q = start()
+    q.stop()
+
+    got = [tuple(r) for r in spark.read.parquet(data_dir).collect()]
+    dupes = len(got) - len({t[0] for t in got})
+    ok = (
+        set(got) == expected
+        and len(got) == n_expected
+        and dupes == 0
+        and crash["fired"] >= 1
+        and restarts >= 1
+    )
+    summary = {
+        "profile": "curation",
+        "sf_dir": sf_dir,
+        "wall_sec": round(time.monotonic() - t0, 1),
+        "n_increment_docs": n_expected,
+        "n_chunks_fed": n_chunks,
+        "verdict_rows": len(got),
+        "duplicate_doc_ids": dupes,
+        "rows_match_batch": set(got) == expected,
+        "crashes_fired": crash["fired"],
+        "restarts": restarts,
+        "pass": ok,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=5.0)
@@ -245,7 +377,21 @@ def main() -> int:
         "(>=2 crashes per sink). Pass requires EXACT row-count parity: "
         "parquet_rows == derby_rows == accepted, zero dupes on both",
     )
+    ap.add_argument(
+        "--curation", action="store_true",
+        help="round-10 VERDICT #5: soak the incremental curation path — "
+        "frozen nightly state, paced increment stream, per-batch "
+        "_judge_increment in a ledgered foreachBatch sink, injected "
+        "crash + checkpoint restart; pass bar is exact verdict parity "
+        "with the one-shot batch run",
+    )
+    ap.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001",
+        help="(--curation only) corpus scale for the curation soak",
+    )
     args = ap.parse_args()
+    if args.curation:
+        return _curation_soak(args.sf_dir)
     if args.short:
         args.minutes, args.rate, args.trigger = 25 / 60.0, 120.0, "2 seconds"
 
