@@ -182,3 +182,29 @@ def test_iterative_families_hold_at_256x(spark, scaled_dirs_256, qname):
         f"{BOUND_FACTOR}x-linear bound {bound:.2f}s — the iterative "
         "family bends super-linear at depth"
     )
+
+
+# --- composed pipeline (round-11 VERDICT #3) --------------------------------
+# The six-stage nightly pipeline, end to end: stage interactions (scrub
+# shrinking the dedup input, the classifier training on survivors,
+# packing over the survivor set) could bend at depth where each stage
+# alone stays linear — so the COMPOSITION gets its own 16x -> 256x
+# rebuild-per-run bound, same discipline as the iterative families
+# (stages checkpoint eagerly at plan-build time).
+def test_composed_pipeline_holds_at_256x(spark, scaled_dirs_256):
+    fn = registry.REGISTRY["curation_pipeline_report"].fn
+    times = {}
+    for s in SCALES_256:
+        run = lambda: fn(spark, scaled_dirs_256[s]).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        run()  # warm
+        times[s] = _best_of(run)
+    data_growth = SCALES_256[-1] / SCALES_256[0]
+    bound = BOUND_FACTOR * data_growth * max(times[SCALES_256[0]], FLOOR_S)
+    assert times[SCALES_256[-1]] <= bound, (
+        f"curation_pipeline_report: {times[SCALES_256[0]]:.2f}s @16x -> "
+        f"{times[SCALES_256[-1]]:.2f}s @256x exceeds the "
+        f"{BOUND_FACTOR}x-linear bound {bound:.2f}s — the composed "
+        "pipeline bends super-linear at depth"
+    )

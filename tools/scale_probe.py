@@ -171,6 +171,20 @@ ITER_PROBES = [
 ]
 
 
+# The COMPOSED pipeline (round-11, VERDICT r10 #3): the nightly artifact
+# whose stage interactions (scrub shrinking the dedup input, the
+# classifier training on survivors) could bend at depth where each
+# stage alone stays linear. Probed past round 10's 16x with the same
+# rebuild-per-run discipline as the iterative families (stages
+# checkpoint eagerly at plan-build time). Run as
+# `python tools/scale_probe.py 256 pipe` (appends a section).
+PIPE_PROBES = [
+    ("curation_pipeline_report",
+     "six-stage nightly pipeline (scrub->dedup->decontam->classifier"
+     "->pack->split)", None),
+]
+
+
 def _write_chunked(build_fn, src, s: int, path: str, chunk: int = 64):
     """Write an s-copy scaled table in <=chunk-copy appends: one 256-way
     union plan OOMs the probe JVM during shuffle write; four 64-way
@@ -190,12 +204,13 @@ def main() -> None:
     mode = sys.argv[2] if len(sys.argv) > 2 else "all"
     pairs_only = mode == "pairs"
     iter_only = mode == "iter"
-    if pairs_only or iter_only:
+    pipe_only = mode == "pipe"
+    if pairs_only or iter_only or pipe_only:
         scales = [s for s in (1, 16, 64, 256) if s <= max_scale]
         probe_list = (
             [p for p in PROBES if p[0] in PAIR_PROBES]
             if pairs_only
-            else ITER_PROBES
+            else ITER_PROBES if iter_only else PIPE_PROBES
         )
     else:
         scales = [s for s in (1, 4, 16, 64) if s <= max_scale]
@@ -227,7 +242,7 @@ def main() -> None:
                 if max_s is not None and s > max_s:
                     continue
                 fn = registry.REGISTRY[name].fn
-                if iter_only:
+                if iter_only or pipe_only:
                     # iterative operators do their per-round work EAGERLY
                     # at plan-build time (materialize() checkpoints), so
                     # re-executing a built frame times only the final
@@ -307,6 +322,56 @@ def main() -> None:
         with open("docs/SCALEPROBE.md", "a") as fh:
             fh.write("\n".join(lines) + "\n")
         print("appended iterative-family section to docs/SCALEPROBE.md")
+        return
+
+    if pipe_only:
+        lines = [
+            "",
+            "## Composed pipeline — 64x/256x extension (round-11 VERDICT #3)",
+            "",
+            "Generated by `tools/scale_probe.py 256 pipe`: the six-stage",
+            "nightly pipeline measured END TO END past round 10's 16x —",
+            "the place stage interactions (scrub shrinking the dedup",
+            "input, the classifier training on survivors, packing over",
+            "the survivor set) could bend where each stage alone stays",
+            "linear. Rebuild-per-run timing (stages checkpoint eagerly at",
+            "plan-build time), best-of-2 after a warm run, same perturbed-",
+            "copy corpora as every other table. CI bound:",
+            "tests/test_scaling.py::test_composed_pipeline_holds_at_256x",
+            "pins 16x->256x of sf0.01 at the families' 1.5x-linear bar.",
+            "",
+            "| query | "
+            + " | ".join(f"{s}x ({rows[s]} docs)" for s in scales)
+            + " | 64x->256x | overall |",
+            "|---|" + "---|" * (len(scales) + 2),
+        ]
+        for name, story, _max_s in PIPE_PROBES:
+            probed = [s for s in scales if name in results[s]]
+            ts = [results[s][name] for s in probed]
+            cells = [
+                f"{results[s][name]:.2f}s" if name in results[s] else "—"
+                for s in scales
+            ]
+            last = (
+                f"{results[256][name] / results[64][name]:.1f}x time for 4x data"
+                if 256 in results and 64 in results
+                and name in results.get(256, {}) and name in results.get(64, {})
+                else "—"
+            )
+            overall = (
+                f"{ts[-1] / ts[0]:.1f}x time for "
+                f"{probed[-1] / probed[0]:.0f}x data"
+                if len(probed) >= 2 and ts[0] > 0
+                else "—"
+            )
+            lines.append(
+                f"| `{name}` ({story}) | " + " | ".join(cells)
+                + f" | {last} | {overall} |"
+            )
+        lines.append("")
+        with open("docs/SCALEPROBE.md", "a") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print("appended composed-pipeline section to docs/SCALEPROBE.md")
         return
 
     if pairs_only:
