@@ -120,7 +120,9 @@ HEADLINE = [
     # -> decontaminate -> classifier -> pack -> split) as one query; the
     # timed number is the funnel report over the stage checkpoints (the
     # stage builds run once at plan time, like bm25_indexed_topk's
-    # index). SUBSUMES round-9's dedup_boilerplate_first_pairs headline
+    # index) — the TRUE end-to-end rebuild cost is the SCALEPROBE
+    # "Composed pipeline" row (17.7 s @1x sf0.1, rebuild-per-run), not
+    # this line. SUBSUMES round-9's dedup_boilerplate_first_pairs headline
     # key — the pipeline's stages 1-2 are exactly that scrub -> capped
     # Jaccard composition — which had to yield its slot to keep the
     # 2-decimal line inside the driver's 2000-char tail budget (the
