@@ -2351,6 +2351,29 @@ def _drift_oracle_sql() -> str:
     ),
     rgr AS ({_GRAMS_SQL_T.format(src="uclean")}),
     {_bloom_contam_sql("r2", "bench", "rgr")},
+    msh0 AS (
+      SELECT * FROM (
+        {_SHINGLES_SQL.format(base="SELECT doc_id, text FROM iclean")}
+      ) WHERE length(shingle) > 0
+    ),
+    mkeep AS (
+      SELECT shingle FROM msh0 GROUP BY shingle
+      HAVING COUNT(*) <= {NGRAM_MAX_DF}
+    ),
+    msh AS (SELECT msh0.* FROM msh0 JOIN mkeep USING (shingle)),
+    msz AS (SELECT doc_id, COUNT(*) AS sz FROM msh GROUP BY doc_id),
+    minter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM msh a JOIN msh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    mdrop AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM minter
+      JOIN msz sa ON sa.doc_id = id_a
+      JOIN msz sb ON sb.doc_id = id_b
+      WHERE {jac} >= 0.2
+    ),
     {_logreg_sql(src="SELECT doc_id, text FROM uclean", pfx="g")},
     rverd AS (
       SELECT rc.doc_id, rc.n_words, rc.n_kept,
@@ -2374,8 +2397,15 @@ def _drift_oracle_sql() -> str:
              i.contaminated AS i_ct, r.contaminated AS r_ct,
              CAST(i.score < 0.5 AS INT) AS i_kv,
              CAST(r.score < 0.5 AS INT) AS r_kv,
-             i.kept AS i_kept, r.kept AS r_kept
-      FROM iverd i JOIN rverd r USING (doc_id)
+             i.kept AS i_kept, r.kept AS r_kept,
+             CAST(i.near_dup = 1 OR md.doc_id IS NOT NULL AS INT)
+               AS i_nd_m,
+             CAST(i.near_dup = 0 AND md.doc_id IS NULL
+                  AND i.contaminated = 0 AND i.score < 0.5 AS INT)
+               AS i_kept_m
+      FROM iverd i
+      JOIN rverd r USING (doc_id)
+      LEFT JOIN mdrop md ON md.doc_id = i.doc_id
     )
     SELECT * FROM (
       SELECT CAST(0 AS BIGINT) AS metric_ord, 'scrubbed' AS metric,
@@ -2403,6 +2433,18 @@ def _drift_oracle_sql() -> str:
       SELECT 4, 'kept', CAST(COUNT(*) AS BIGINT),
              CAST(SUM(i_kept) AS BIGINT), CAST(SUM(r_kept) AS BIGINT),
              CAST(SUM(CASE WHEN i_kept <> r_kept THEN 1 ELSE 0 END)
+               AS BIGINT)
+      FROM jd
+      UNION ALL
+      SELECT 5, 'near_dup_with_merge', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(i_nd_m) AS BIGINT), CAST(SUM(r_nd) AS BIGINT),
+             CAST(SUM(CASE WHEN i_nd_m <> r_nd THEN 1 ELSE 0 END)
+               AS BIGINT)
+      FROM jd
+      UNION ALL
+      SELECT 6, 'kept_with_merge', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(i_kept_m) AS BIGINT), CAST(SUM(r_kept) AS BIGINT),
+             CAST(SUM(CASE WHEN i_kept_m <> r_kept THEN 1 ELSE 0 END)
                AS BIGINT)
       FROM jd
     ) ORDER BY metric_ord
@@ -2501,15 +2543,56 @@ def _rebuild_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "differs). Drift in near_dup includes BOTH directions the frozen "
     "index is structurally blind to: increment-increment duplicate "
     "pairs, and keep-smallest-id reversals where the increment doc wins "
-    "the rebuild. The oracle replays both chains in one WITH.",
+    "the rebuild. Rows 5-6 price the RECOVERY: a merge-time "
+    "intra-increment capped-Jaccard pass (no corpus touch) is OR-ed "
+    "into the frozen flags, showing how much rebuild parity the cheap "
+    "batch pass buys back before a full rebuild is actually needed. "
+    "The oracle replays all three chains in one WITH.",
 )
 def curation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    iverd = _increment_verdicts(spark, sf_dir)
+    from .dedup import _docs_with_boilerplate, NGRAM_MAX_DF, _SUFFIX_K
+    from ..operators import dedup as D
+
+    state = _frozen_nightly_state(spark, sf_dir)
+    incr = _docs_with_boilerplate(spark, sf_dir).where(
+        F.col("doc_id") % 10 == 0
+    )
+    iverd = _judge_increment(incr, state)
+    # the merge-time batch pass: intra-increment capped-Jaccard dedup —
+    # the cheap O(increment^2-bounded-by-cap) operation that restores
+    # the rebuild's incr-incr pair flags without touching the corpus.
+    # Rows 5/6 measure how much rebuild parity it buys back.
+    iclean = materialize(
+        D.scrub_against_frozen(
+            incr, state["hot"], "text", "doc_id", k=_SUFFIX_K
+        ).select("doc_id", F.col("text_deduped").alias("text")),
+        "drift_iclean",
+    )
+    mdrop = (
+        D.ngram_jaccard_pairs(
+            iclean, "text", "doc_id", threshold=0.2, max_df=NGRAM_MAX_DF
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("m_nd"))
+    )
     rverd = _rebuild_verdicts(spark, sf_dir)
+    ndm = F.greatest(
+        F.col("i.near_dup"), F.coalesce(F.col("m.m_nd"), F.lit(0))
+    ).cast("int")
+    keptm = (
+        (F.col("i.near_dup") == 0)
+        & F.col("m.m_nd").isNull()
+        & (F.col("i.contaminated") == 0)
+        & (F.col("i.score") < 0.5)
+    ).cast("int")
     jd = materialize(
         iverd.alias("i")
         .join(rverd.alias("r"), "doc_id")
+        .join(mdrop.alias("m").hint("shuffle_hash"), "doc_id", "left")
         .select(
+            ndm.alias("i_nd_m"),
+            keptm.alias("i_kept_m"),
             (F.col("i.n_tokens_scrubbed") < F.col("i.n_tokens_raw"))
             .cast("int")
             .alias("i_scrub"),
@@ -2567,6 +2650,14 @@ def curation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             row(4, "kept", F.col("i_kept"), F.col("r_kept"),
                 neq("i_kept", "r_kept"))
+        )
+        .unionByName(
+            row(5, "near_dup_with_merge", F.col("i_nd_m"), F.col("r_nd"),
+                neq("i_nd_m", "r_nd"))
+        )
+        .unionByName(
+            row(6, "kept_with_merge", F.col("i_kept_m"), F.col("r_kept"),
+                neq("i_kept_m", "r_kept"))
         )
     )
     return out.orderBy("metric_ord")
