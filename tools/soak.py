@@ -633,8 +633,17 @@ def main() -> int:
         if v.get("status") == "failed"
     ]
     summary["injected_crash_fired"] = CRASH_MSG in crash_evidence
+    # Benign stop race (flaky in ~1/3 of short runs): q.stop() while a
+    # micro-batch is mid-flight surfaces as a "failed" listener event
+    # whose cause is the stop itself (SQLSTATE XXKDA "... was stopped")
+    # — a graceful-drain artifact, not a pipeline error. Only genuinely
+    # unexpected failures may flip the verdict.
     summary["stream_errors_unexpected"] = [
-        e[:400] for e in errors if CRASH_MSG not in e
+        e[:400]
+        for e in errors
+        if CRASH_MSG not in e
+        and "XXKDA" not in e
+        and "was stopped" not in e
     ]
     if args.ledger_parity:
         summary["profile"] += "+ledger-parity"
