@@ -2145,7 +2145,9 @@ def _increment_oracle_sql() -> str:
     """
 
 
-def _frozen_nightly_state(spark: SparkSession, sf_dir: str) -> dict:
+def _frozen_nightly_state(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> dict:
     """Build the FROZEN nightly state every increment is judged against:
     hot template grams, the scrubbed base corpus (source of the capped
     shingle index), the benchmark's 8 KiB Bloom sketch, and trained
@@ -2153,7 +2155,10 @@ def _frozen_nightly_state(spark: SparkSession, sf_dir: str) -> dict:
     production build would persist as a table — building it ONCE and
     passing it to :func:`_judge_increment` per micro-batch is exactly
     the foreachBatch serving loop
-    (test_increment_verdicts_stream_equals_batch)."""
+    (test_increment_verdicts_stream_equals_batch). The stamped corpus
+    frame it was built from rides along as ``state["corpus"]`` so
+    callers slice their increment from the SAME frame instead of
+    re-stamping the templates (round-11 ADVICE low)."""
     from .dedup import (
         _docs_with_boilerplate,
         BOILER_MIN_DOCS,
@@ -2162,7 +2167,8 @@ def _frozen_nightly_state(spark: SparkSession, sf_dir: str) -> dict:
     from ..operators import classifier as C
     from ..operators import dedup as D
 
-    corpus = _docs_with_boilerplate(spark, sf_dir)
+    if corpus is None:
+        corpus = _docs_with_boilerplate(spark, sf_dir)
     base = corpus.where(F.col("doc_id") % 10 != 0)
     hot = materialize(
         D.frozen_hot_kgrams(
@@ -2190,7 +2196,13 @@ def _frozen_nightly_state(spark: SparkSession, sf_dir: str) -> dict:
         iters=_LOGREG_ITERS,
         lr=_LOGREG_LR,
     )
-    return {"hot": hot, "bclean": bclean, "sketch": sketch, "wts": wts}
+    return {
+        "corpus": corpus,
+        "hot": hot,
+        "bclean": bclean,
+        "sketch": sketch,
+        "wts": wts,
+    }
 
 
 def _judge_increment(incr: DataFrame, state: dict) -> DataFrame:
@@ -2254,13 +2266,10 @@ def _increment_verdicts(
     row-for-row (pinned by test_increment_chunks_equal_batch: the
     micro-batch/streaming contract without needing a stream — and by
     test_increment_verdicts_stream_equals_batch WITH a stream)."""
-    from .dedup import _docs_with_boilerplate
-
-    corpus = _docs_with_boilerplate(spark, sf_dir)
-    incr = corpus.where(F.col("doc_id") % 10 == 0)
+    state = _frozen_nightly_state(spark, sf_dir)
+    incr = state["corpus"].where(F.col("doc_id") % 10 == 0)
     if chunk is not None:
         incr = incr.where((F.col("doc_id") / 10) % n_chunks == chunk)
-    state = _frozen_nightly_state(spark, sf_dir)
     return _judge_increment(incr, state).orderBy("doc_id")
 
 
@@ -2451,7 +2460,9 @@ def _drift_oracle_sql() -> str:
     """
 
 
-def _rebuild_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rebuild_verdicts(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     """Per-doc verdicts for the INCREMENT docs (doc_id % 10 = 0) as the
     nightly REBUILD on the union corpus judges them: hot template grams
     re-elected over every doc, the shingle index and its DF cap
@@ -2468,7 +2479,8 @@ def _rebuild_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import classifier as C
     from ..operators import dedup as D
 
-    corpus = _docs_with_boilerplate(spark, sf_dir)
+    if corpus is None:
+        corpus = _docs_with_boilerplate(spark, sf_dir)
     hot = materialize(
         D.frozen_hot_kgrams(
             corpus, "text", "doc_id", k=_SUFFIX_K, min_docs=BOILER_MIN_DOCS
@@ -2550,13 +2562,11 @@ def _rebuild_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The oracle replays all three chains in one WITH.",
 )
 def curation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _docs_with_boilerplate, NGRAM_MAX_DF, _SUFFIX_K
+    from .dedup import NGRAM_MAX_DF, _SUFFIX_K
     from ..operators import dedup as D
 
     state = _frozen_nightly_state(spark, sf_dir)
-    incr = _docs_with_boilerplate(spark, sf_dir).where(
-        F.col("doc_id") % 10 == 0
-    )
+    incr = state["corpus"].where(F.col("doc_id") % 10 == 0)
     iverd = _judge_increment(incr, state)
     # the merge-time batch pass: intra-increment capped-Jaccard dedup —
     # the cheap O(increment^2-bounded-by-cap) operation that restores
@@ -2576,7 +2586,7 @@ def curation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("doc_id", F.lit(1).alias("m_nd"))
     )
-    rverd = _rebuild_verdicts(spark, sf_dir)
+    rverd = _rebuild_verdicts(spark, sf_dir, corpus=state["corpus"])
     ndm = F.greatest(
         F.col("i.near_dup"), F.coalesce(F.col("m.m_nd"), F.lit(0))
     ).cast("int")
