@@ -151,6 +151,97 @@ def minhash_signatures(
     )
 
 
+def lsh_band_table(sig: DataFrame, id_col: str) -> DataFrame:
+    """The banded LSH index as a standalone long table — (id, band,
+    k0..k{LSH_ROWS-1}), one row per (doc, band). Band key = the LSH_ROWS
+    signature longs THEMSELVES (plus the band ordinal), not a concat
+    string: joins shuffle 4 longs (32 B) per row instead of a
+    ~60-80-char decimal string, with exact equality semantics (no
+    hashing, no collisions, no string build/compare in the hot path).
+    At 100 TB the band index IS the shuffle, so the key representation
+    is the cost. Exposed standalone so a nightly build can persist it
+    once (plans/layout.write_bucketed on (band, k0..k{LSH_ROWS-1}))
+    and every increment probes the stored table instead of re-banding
+    the corpus (ROUND11_NOTES #5 — band writes pay only on cross-run
+    reuse)."""
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [f"sig{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                *[F.col(c).alias(f"k{j}") for j, c in enumerate(cols)],
+            )
+        )
+    long = bands[0]
+    for other in bands[1:]:
+        long = long.unionAll(other)
+    return long
+
+
+def lsh_pairs_against_corpus(
+    new_sig: DataFrame,
+    corpus_band: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Incremental MinHash near-dup: LSH pairs between NEW documents and
+    a FROZEN corpus index only — (new_id, corpus_id, est_jaccard), the
+    O(increment · bucket-probe) counterpart of
+    :func:`lsh_candidate_pairs`, completing the frozen-state incremental
+    family beside :func:`ngram_jaccard_against_corpus` /
+    :func:`suffix_spans_against_corpus` / :func:`embedding_cross_hits`.
+
+    ``corpus_band`` / ``corpus_sig`` are the nightly tables a production
+    build persists (at scale: :func:`..plans.layout.write_bucketed` on
+    the band key / the id — the bucketed scan then arrives
+    pre-partitioned and the corpus side of the probe join needs NO
+    exchange). Each new doc's pairs depend only on (its own signature,
+    the frozen index), so a streamed increment pairs identically to a
+    batched one.
+
+    The probe join hints shuffle_hash on the NEW side: the increment is
+    the smaller side (probe-sized hash map of 48-byte band rows,
+    streaming the corpus), and one hinted side forces the SHJ — so a
+    session-built corpus index (checkpoint-derived, underestimated
+    stats) can never auto-broadcast either (CLAUDE.md hint rule)."""
+    nband = lsh_band_table(new_sig, id_col)
+    keys = ["band"] + [f"k{j}" for j in range(LSH_ROWS)]
+    cand = (
+        corpus_band.select(F.col(id_col).alias("corpus_id"), *keys)
+        .join(
+            nband.select(F.col(id_col).alias("new_id"), *keys).hint(
+                "shuffle_hash"
+            ),
+            keys,
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = new_sig.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"sig{i:02d}").alias(f"a{i:02d}") for i in range(N_MINHASH)],
+    )
+    sb = corpus_sig.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"sig{i:02d}").alias(f"b{i:02d}") for i in range(N_MINHASH)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i:02d}") == F.col(f"b{i:02d}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(sa.hint("shuffle_hash"), "new_id")
+        .join(sb.hint("shuffle_hash"), "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(agree / F.lit(N_MINHASH), 4).alias("est_jaccard"),
+        )
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a pair.
 
@@ -169,25 +260,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     signature table once" (materialize mode="storage").
     """
     sig = materialize(sig, "minhash_sigs")
-    # Band key = the LSH_ROWS signature longs THEMSELVES (plus the band
-    # ordinal), not a concat string: the self-join shuffles 4 longs
-    # (32 B) per row instead of a ~60-80-char decimal string, with
-    # exact equality semantics (no hashing, no collisions, no string
-    # build/compare in the hot path). At 100 TB the band index IS the
-    # shuffle, so the key representation is the cost.
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [f"sig{b * LSH_ROWS + r:02d}" for r in range(LSH_ROWS)]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                *[F.col(c).alias(f"k{j}") for j, c in enumerate(cols)],
-            )
-        )
-    long = bands[0]
-    for other in bands[1:]:
-        long = long.unionAll(other)
+    long = lsh_band_table(sig, id_col)
 
     left = long.alias("l")
     right = long.alias("r")
@@ -357,27 +430,37 @@ def _shingle_pair_index(
     """
     sh = shingles(df, text_col, id_col, n)
     if max_df is not None:
-        keep = (
+        # DF cap as a HOT-shingle anti join, not a keep semi/inner join:
+        # the kept set is per-DISTINCT-shingle (corpus-sized strings — a
+        # hash-map build of it OOMed the round-12 256x pipeline run,
+        # where live checkpoint blocks shrink the execution pool), while
+        # the hot set is bounded by construction at n_shingle_rows /
+        # max_df (each hot shingle needs > max_df occurrences), ~100x
+        # smaller — a narrow SHJ build at any scale.
+        hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_count"))
-            .where(F.col("df_count") <= max_df)
+            .where(F.col("df_count") > max_df)
             .select("shingle")
         )
-        sh = sh.join(keep.hint("shuffle_hash"), "shingle")  # keep is per-DISTINCT-shingle: corpus-sized
+        sh = sh.join(hot.hint("shuffle_hash"), "shingle", "left_anti")
     sh = materialize(sh, "ngram_inverted_index")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    # shuffle_hash hint, found at the 256x probe: in LOCAL materialize
-    # mode the checkpointed index is a LogicalRDD with no size stats, so
-    # Catalyst auto-broadcast the ENTIRE inverted index as the self-join
-    # build side (silently fine in one local JVM; a >1 GB driver collect
-    # at 256x, catastrophic on a cluster — and no shuffle boundary
-    # exists for AQE to demote it). Hash-partitioning both sides on the
-    # shingle is the correct plan at every scale; storage mode never hit
-    # this (parquet reads carry real size stats).
+    # merge hint (round-12; was shuffle_hash since the r9 256x probe):
+    # the hint must force a shuffle join — in LOCAL materialize mode the
+    # checkpointed index is a LogicalRDD with no size stats, so an
+    # un-hinted Catalyst auto-broadcast the ENTIRE inverted index
+    # (catastrophic on a cluster, no shuffle boundary for AQE to demote)
+    # — but the SHJ flavor builds a hash map of the WHOLE (shingle, id)
+    # index per task, which is exactly the wide-build OOM the 256x
+    # pipeline run hit once stage-1 checkpoint blocks squeezed the
+    # execution pool. SortMergeJoin spills by construction; the self-
+    # join's two sides still reuse ONE exchange (measured round 11), so
+    # merge adds sorts, never a second shuffle.
     inter = (
-        a.join(b.hint("shuffle_hash"), "shingle")
+        a.join(b.hint("merge"), "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -1141,11 +1224,17 @@ def ngram_jaccard_against_corpus(
     nsh = materialize(nsh, "ngram_increment_shingles")
     n_sz = nsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_n"))
     c_sz = csh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz_c"))
+    # hint the INCREMENT side (round-12): the forced SHJ still shields
+    # the checkpointed corpus index from auto-broadcast, but the hash
+    # map now holds increment shingles (probe-sized), streaming the
+    # corpus — the serving shape at any corpus scale. Was: build on the
+    # corpus index, the wide-build OOM class.
     inter = (
-        nsh.select(F.col(id_col).alias("new_id"), "shingle")
+        csh.select(F.col(id_col).alias("corpus_id"), "shingle")
         .join(
-            csh.select(F.col(id_col).alias("corpus_id"), "shingle")
-            .hint("shuffle_hash"),
+            nsh.select(F.col(id_col).alias("new_id"), "shingle").hint(
+                "shuffle_hash"
+            ),
             "shingle",
         )
         .groupBy("new_id", "corpus_id")
