@@ -2309,13 +2309,15 @@ def curation_increment_verdicts(
 # --- incremental-vs-rebuild drift (VERDICT r10 #4) ------------------------
 
 
-def _drift_oracle_sql() -> str:
+def _drift_oracle_sql(keep_policy: str = "smallest_id") -> str:
     """Replay BOTH curation paths in one WITH and aggregate per-stage
     disagreement counts over the increment docs: the incremental chain
     (_increment_chain_sql — frozen nightly state) vs the full REBUILD on
     the union corpus (hot grams re-elected, shingle index and DF cap
     recomputed, classifier retrained on every doc). The integer report
-    is the number that sets rebuild cadence at 100 TB."""
+    is the number that sets rebuild cadence at 100 TB. ``keep_policy``
+    mirrors _rebuild_verdicts: ``incumbent`` drops the increment side
+    of every cross (corpus x increment) pair instead of the larger id."""
     from .dedup import (
         _SHINGLES_SQL,
         BOILER_MIN_DOCS,
@@ -2324,6 +2326,13 @@ def _drift_oracle_sql() -> str:
     )
 
     jac = round4_sql("inter / (sa.sz + sb.sz - inter)")
+    if keep_policy == "incumbent":
+        loser = (
+            "CASE WHEN id_a % 10 = 0 AND id_b % 10 <> 0"
+            " THEN id_a ELSE id_b END"
+        )
+    else:
+        loser = "id_b"
     return f"""
     WITH {_increment_chain_sql()},
     iverd AS ({_INCREMENT_VERDICT_SELECT}),
@@ -2359,7 +2368,7 @@ def _drift_oracle_sql() -> str:
       GROUP BY 1, 2
     ),
     rdrop AS (
-      SELECT DISTINCT id_b AS doc_id
+      SELECT DISTINCT {loser} AS doc_id
       FROM rinter
       JOIN rsz sa ON sa.doc_id = id_a
       JOIN rsz sb ON sb.doc_id = id_b
@@ -2468,7 +2477,10 @@ def _drift_oracle_sql() -> str:
 
 
 def _rebuild_verdicts(
-    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame | None = None,
+    keep_policy: str = "smallest_id",
 ) -> DataFrame:
     """Per-doc verdicts for the INCREMENT docs (doc_id % 10 = 0) as the
     nightly REBUILD on the union corpus judges them: hot template grams
@@ -2476,7 +2488,17 @@ def _rebuild_verdicts(
     recomputed, contamination probed on rebuild-scrubbed text, and the
     classifier retrained on the full scrubbed corpus. Same verdict
     schema as _increment_verdicts modulo column names, so the drift
-    report is a straight doc_id join."""
+    report is a straight doc_id join.
+
+    ``keep_policy`` picks the near-dup keeper within each qualifying
+    pair. ``smallest_id`` (the default, matching ngram_jaccard-family
+    semantics) always drops the larger id — which lets a NEW crawl doc
+    evict its already-served corpus twin on rebuild (the
+    keep-smallest-id reversal class, the entire 4.3% residual of
+    SCALE.md §8). ``incumbent`` makes corpus docs outrank increment
+    docs (ties broken by smallest id): the production rule that a
+    rebuild never un-serves a doc the pipeline already shipped, at the
+    price of a permanent first-crawl bias (VERDICT r11 #2)."""
     from .dedup import (
         _docs_with_boilerplate,
         BOILER_MIN_DOCS,
@@ -2505,8 +2527,19 @@ def _rebuild_verdicts(
     pairs = D.ngram_jaccard_pairs(
         rclean, "text", "doc_id", threshold=0.2, max_df=NGRAM_MAX_DF
     )
+    if keep_policy == "incumbent":
+        # pairs come id_a < id_b; an increment doc (id % 10 = 0) never
+        # outranks a corpus doc, so when a is the increment and b the
+        # corpus member, the INCREMENT side drops. All other pairings
+        # (corpus-corpus, incr-incr, corpus(a)-incr(b)) keep smallest id.
+        loser = F.when(
+            (F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 != 0),
+            F.col("id_a"),
+        ).otherwise(F.col("id_b"))
+    else:
+        loser = F.col("id_b")
     drops = (
-        pairs.select(F.col("id_b").alias("doc_id"))
+        pairs.select(loser.alias("doc_id"))
         .distinct()
         .select("doc_id", F.lit(1).alias("near_dup"))
     )
@@ -2569,6 +2602,12 @@ def _rebuild_verdicts(
     "The oracle replays all three chains in one WITH.",
 )
 def curation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drift_report_body(spark, sf_dir, keep_policy="smallest_id")
+
+
+def _drift_report_body(
+    spark: SparkSession, sf_dir: str, keep_policy: str
+) -> DataFrame:
     from .dedup import NGRAM_MAX_DF, _SUFFIX_K
     from ..operators import dedup as D
 
@@ -2593,7 +2632,9 @@ def curation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("doc_id", F.lit(1).alias("m_nd"))
     )
-    rverd = _rebuild_verdicts(spark, sf_dir, corpus=state["corpus"])
+    rverd = _rebuild_verdicts(
+        spark, sf_dir, corpus=state["corpus"], keep_policy=keep_policy
+    )
     ndm = F.greatest(
         F.col("i.near_dup"), F.coalesce(F.col("m.m_nd"), F.lit(0))
     ).cast("int")
@@ -2603,9 +2644,16 @@ def curation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("i.contaminated") == 0)
         & (F.col("i.score") < 0.5)
     ).cast("int")
+    # merge hint (round-11 ADVICE low): both verdict sides are
+    # increment-scaled and checkpoint-derived; without a hint the SMJ
+    # shape the r11 plan audit pinned held only because default-config
+    # stats happened to exceed the broadcast threshold — under aqe_off a
+    # stats shift could statically broadcast a data-scaling side with no
+    # AQE demotion. The explicit hint makes the spillable choice
+    # deterministic under every variant config.
     jd = materialize(
         iverd.alias("i")
-        .join(rverd.alias("r"), "doc_id")
+        .join(rverd.alias("r").hint("merge"), "doc_id")
         .join(mdrop.alias("m").hint("shuffle_hash"), "doc_id", "left")
         .select(
             ndm.alias("i_nd_m"),
@@ -2678,3 +2726,26 @@ def curation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("metric_ord")
+
+
+@query(
+    "curation_drift_report_incumbent",
+    oracle=_drift_oracle_sql(keep_policy="incumbent"),
+    description="VERDICT r11 #2: the drift report under a "
+    "SENIORITY-AWARE keep policy — on rebuild, corpus docs outrank "
+    "increment docs in every near-dup pair (ties by smallest id), so a "
+    "new crawl doc can never evict its already-served corpus twin (the "
+    "keep-smallest-id reversal class that was the ENTIRE 4.3% residual "
+    "mis-keep after the merge pass, SCALE.md §8). Same 7-row schema as "
+    "curation_drift_report; rows 5-6 should show kept_with_merge "
+    "disagreement collapsing to ~the classifier-retrain flips. What the "
+    "policy trades away: a permanent first-crawl bias — the corpus copy "
+    "wins forever even when the newer doc is the better (longer, "
+    "cleaner) representative, so quality-ranked keepers need an explicit "
+    "re-election pass, never a rebuild side effect. The oracle replays "
+    "the same three chains with the seniority CASE in rdrop.",
+)
+def curation_drift_report_incumbent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _drift_report_body(spark, sf_dir, keep_policy="incumbent")

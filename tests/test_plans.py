@@ -615,16 +615,18 @@ def test_ivf_budgeted_corpus_join_not_broadcast(spark):
 
 
 def test_drift_verdict_join_never_broadcasts_verdict_sides(spark, sf_dir):
-    """Round-11 operator-level pin: curation_drift_report's iverd x
-    rverd verdict join. Both sides are increment-scaled and derive from
-    materialize()d frames (underestimated LogicalRDD stats — the
-    auto-broadcast bug class), and the final query plan can't be
-    audited because jd is itself eagerly checkpointed. Built at the
-    operator: the only BroadcastHashJoins allowed in the composite plan
-    are dim-keyed (the HT_DIM+1-row weight tables, bounded by
-    construction); the doc_id verdict join must be a shuffle join
-    (SortMergeJoin here — after the 256x probe's hash-map OOM, a
-    spillable join on two unbounded sides is the safe shape)."""
+    """Round-11 operator-level pin, hardened in round 12 (r11 ADVICE
+    low): curation_drift_report's iverd x rverd verdict join. Both
+    sides are increment-scaled and derive from materialize()d frames
+    (underestimated LogicalRDD stats — the auto-broadcast bug class),
+    and the final query plan can't be audited because jd is itself
+    eagerly checkpointed. Built at the operator, and asserted under
+    BOTH the default config AND spark.sql.adaptive.enabled=false —
+    the rverd side now carries an explicit merge hint, so the
+    spillable SortMergeJoin shape no longer depends on stats clearing
+    the broadcast threshold or on AQE demotion. The only
+    BroadcastHashJoins allowed are dim-keyed (the HT_DIM+1-row weight
+    tables, bounded by construction)."""
     from pyspark.sql import functions as F
 
     from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
@@ -632,29 +634,32 @@ def test_drift_verdict_join_never_broadcasts_verdict_sides(spark, sf_dir):
         _judge_increment,
         _rebuild_verdicts,
     )
-    from kafka_clickhouse_ingest_pipeline_spark.queries.dedup import (
-        _docs_with_boilerplate,
-    )
 
-    state = _frozen_nightly_state(spark, sf_dir)
-    incr = _docs_with_boilerplate(spark, sf_dir).where(
-        F.col("doc_id") % 10 == 0
-    )
-    j = (
-        _judge_increment(incr, state)
-        .alias("i")
-        .join(_rebuild_verdicts(spark, sf_dir).alias("r"), "doc_id")
-    )
-    plan = _executed_plan(j)
-    for ln in _join_lines(plan, "BroadcastHashJoin"):
-        assert "dim#" in ln, (ln, plan[:3000])
-    doc_joins = [
-        ln
-        for ln in plan.splitlines()
-        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
-        and "doc_id#" in ln
-    ]
-    assert doc_joins, plan[:3000]
+    for aqe in ("true", "false"):
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        try:
+            state = _frozen_nightly_state(spark, sf_dir)
+            incr = state["corpus"].where(F.col("doc_id") % 10 == 0)
+            j = (
+                _judge_increment(incr, state)
+                .alias("i")
+                .join(
+                    _rebuild_verdicts(spark, sf_dir).alias("r").hint("merge"),
+                    "doc_id",
+                )
+            )
+            plan = _executed_plan(j)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old)
+        for ln in _join_lines(plan, "BroadcastHashJoin"):
+            assert "dim#" in ln, (aqe, ln, plan[:3000])
+        doc_joins = [
+            ln
+            for ln in _join_lines(plan, "SortMergeJoin")
+            if "doc_id#" in ln
+        ]
+        assert doc_joins, (aqe, plan[:3000])
 
 
 def test_rewrite_tail_is_spillable_merge_join(spark):
