@@ -194,6 +194,91 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sig, "doc_id")
 
 
+def _lsh_incremental_sql() -> str:
+    def bands_sql(src: str) -> str:
+        selects = []
+        for b in range(LSH_BANDS):
+            key = " || '_' || ".join(
+                f"CAST(sig{b * LSH_ROWS + r:02d} AS VARCHAR)"
+                for r in range(LSH_ROWS)
+            )
+            selects.append(
+                f"SELECT doc_id, {b} AS band, {key} AS band_key FROM {src}"
+            )
+        return "\n      UNION ALL\n      ".join(selects)
+
+    agree = " + ".join(
+        f"CASE WHEN a.sig{i:02d} = b.sig{i:02d} THEN 1 ELSE 0 END"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH nbase AS (
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+             array_to_string(w[1:len(w)-3], ' ') AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE doc_id % {PLANT_EVERY} = 0 AND len(w) > 6
+    ),
+    csig AS ({_sig_sql("SELECT doc_id, text FROM documents")}),
+    nsig AS ({_sig_sql("SELECT doc_id, text FROM nbase")}),
+    cbands AS (
+      {bands_sql("csig")}
+    ),
+    nbands AS (
+      {bands_sql("nsig")}
+    ),
+    pairs AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM nbands n JOIN cbands c
+        ON n.band = c.band AND n.band_key = c.band_key
+    )
+    SELECT p.new_id, p.corpus_id,
+           ROUND(({agree}) / {N_MINHASH}.0, 4) AS est_jaccard
+    FROM pairs p
+    JOIN nsig a ON a.doc_id = p.new_id
+    JOIN csig b ON b.doc_id = p.corpus_id
+    """
+
+
+@query(
+    "dedup_minhash_pairs_incremental",
+    oracle=_lsh_incremental_sql(),
+    description="C9 incremental near-dup, MinHash flavor (completes the "
+    "frozen-state family beside the ngram/suffix/embedding incrementals): "
+    "a re-crawl increment (the planted truncated variants) probed against "
+    "the FROZEN corpus LSH index — new-vs-corpus pairs only, "
+    "O(increment · bucket-probe), never re-banding the corpus. The corpus "
+    "signature + band tables are built once and materialized (at scale: "
+    "the nightly bucketed band table, plans/layout.write_bucketed on the "
+    "band key — see tools/band_probe.py for the measured stored-vs-"
+    "rebuilt probe cost); each variant should catch its original. Probe "
+    "join hints shuffle_hash on the increment side (48-byte band rows "
+    "build, corpus streams).",
+)
+def dedup_minhash_pairs_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    variants = docs.where(
+        (F.col("doc_id") % PLANT_EVERY == 0) & (F.size(words) > 6)
+    ).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 3)).alias("text"),
+    )
+    csig = materialize(
+        D.minhash_signatures(docs, "text", "doc_id"), "minhash_inc_csig"
+    )
+    cband = materialize(
+        D.lsh_band_table(csig, "doc_id"), "minhash_inc_cband"
+    )
+    nsig = materialize(
+        D.minhash_signatures(variants, "text", "doc_id"), "minhash_inc_nsig"
+    )
+    return D.lsh_pairs_against_corpus(nsig, cband, csig, "doc_id").orderBy(
+        "new_id", "corpus_id"
+    )
+
+
 def _simhash_sql() -> str:
     h = "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
     votes = ",\n      ".join(
