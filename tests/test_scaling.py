@@ -208,3 +208,65 @@ def test_composed_pipeline_holds_at_256x(spark, scaled_dirs_256):
         f"{BOUND_FACTOR}x-linear bound {bound:.2f}s — the composed "
         "pipeline bends super-linear at depth"
     )
+
+
+# --- events-based families (round-12, VERDICT r11 #3) ------------------------
+# The one family with no growth data until round 12: funnel,
+# sessionization, asof join, rolling median, HLL all read events (and
+# orders), which every other probe mode pins at 1x. Scaled by id-offset
+# copies (user_id/event_id/o_custkey/o_orderkey per-copy disjoint, ts
+# untouched) so per-copy temporal structure is identical and the bound
+# measures the engine, not merged sessions.
+EVENTS_PROBED = [
+    "funnel_view_click_purchase",
+    "session_window_agg",
+    "asof_join_latest_order",
+    "window_rolling_median",
+    "hll_distinct_portable",
+]
+
+
+@pytest.fixture(scope="module")
+def scaled_event_dirs(spark, tmp_path_factory):
+    from pathlib import Path
+
+    from tools.scale_probe import scaled_events, scaled_orders
+
+    base = tmp_path_factory.mktemp("scaleprobe_events")
+    ev = load_table(spark, SF, "events")
+    orders = spark.read.parquet(str(Path(SF) / "orders.parquet"))
+    dirs = {}
+    for s in SCALES:
+        d = base / f"x{s}"
+        d.mkdir()
+        scaled_events(ev, s).repartition(8).write.parquet(
+            str(d / "events.parquet")
+        )
+        scaled_orders(orders, s).repartition(8).write.parquet(
+            str(d / "orders.parquet")
+        )
+        for p in Path(SF).glob("*.parquet"):
+            if p.stem not in ("events", "orders"):
+                (d / p.name).symlink_to(p)
+        dirs[s] = str(d)
+    return dirs
+
+
+@pytest.mark.parametrize("qname", EVENTS_PROBED)
+def test_events_families_growth_is_at_most_linear(
+    spark, scaled_event_dirs, qname
+):
+    times = {}
+    for s in SCALES:
+        df = registry.REGISTRY[qname].fn(spark, scaled_event_dirs[s])
+        run = lambda: df.write.mode("overwrite").format("noop").save()
+        run()  # warm
+        times[s] = _best_of(run)
+    data_growth = SCALES[-1] / SCALES[0]
+    bound = BOUND_FACTOR * data_growth * max(times[SCALES[0]], FLOOR_S)
+    assert times[SCALES[-1]] <= bound, (
+        f"{qname}: {times[SCALES[0]]:.2f}s @1x -> "
+        f"{times[SCALES[-1]]:.2f}s @{SCALES[-1]}x exceeds the "
+        f"{BOUND_FACTOR}x-linear bound {bound:.2f}s — a super-linear "
+        "events plan crept in"
+    )

@@ -171,6 +171,76 @@ ITER_PROBES = [
 ]
 
 
+# The EVENTS-based families (round-12, VERDICT r11 #3): the only family
+# that had NO growth data — the documents/embeddings modes deliberately
+# keep events at 1x, so funnel/session/asof/HLL growth was inferred from
+# plan shape, never measured. Scaled by id-offset copies (same
+# discipline): user_id/event_id offset per copy so sessions, funnels and
+# per-user asof groups NEVER merge across copies — per-copy structure is
+# identical and the probe measures the engine. orders scales WITH events
+# (o_custkey offset by the same user stride, o_orderkey disjoint) so the
+# asof join's per-user match structure replicates exactly; rolling
+# median reads the scaled orders. Run as
+# `python tools/scale_probe.py 64 events` (appends a section).
+EVENT_PROBES = [
+    ("funnel_view_click_purchase",
+     "3-step conditional-min funnel (3 shuffles on user_id)", None),
+    ("session_window_agg",
+     "native session_window gap sessionization", None),
+    ("asof_join_latest_order",
+     "union-sentinel asof join (one shuffle, no join node)", None),
+    ("window_rolling_median",
+     "trailing-7 exact median window over orders", None),
+    ("hll_distinct_portable",
+     "HLL register aggregation (fixed-size state)", None),
+]
+
+_EV_USER_STRIDE = 1_000_000  # > max(user_id, o_custkey) at sf0.1
+_EV_ID_STRIDE = 100_000_000  # > max(event_id, o_orderkey) at sf0.1
+
+
+def scaled_events(ev, n_copies: int, offset: int = 0):
+    """Union of id-offset event copies: user_id and event_id move to a
+    copy-private range, ts/event_type/value/props stay — so each copy's
+    per-user temporal structure (sessions, funnel step order, asof
+    probe instants) is byte-identical to the original and cross-copy
+    interactions are impossible by key disjointness."""
+    out = None
+    for c in range(offset, offset + n_copies):
+        copy = ev.select(
+            (F.col("event_id") + F.lit(c * _EV_ID_STRIDE)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(c * _EV_USER_STRIDE)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        out = copy if out is None else out.unionByName(copy)
+    return out
+
+
+def scaled_orders(orders, n_copies: int, offset: int = 0):
+    """orders companion to :func:`scaled_events`: o_custkey rides the
+    SAME user stride so copy c's events asof-join copy c's orders and
+    nothing else; o_orderkey stays globally unique."""
+    out = None
+    for c in range(offset, offset + n_copies):
+        copy = orders.select(
+            (F.col("o_orderkey") + F.lit(c * _EV_ID_STRIDE)).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.lit(c * _EV_USER_STRIDE)).alias(
+                "o_custkey"
+            ),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        out = copy if out is None else out.unionByName(copy)
+    return out
+
+
 # The COMPOSED pipeline (round-11, VERDICT r10 #3): the nightly artifact
 # whose stage interactions (scrub shrinking the dedup input, the
 # classifier training on survivors) could bend at depth where each
@@ -205,6 +275,7 @@ def main() -> None:
     pairs_only = mode == "pairs"
     iter_only = mode == "iter"
     pipe_only = mode == "pipe"
+    events_only = mode == "events"
     if pairs_only or iter_only or pipe_only:
         scales = [s for s in (1, 16, 64, 256) if s <= max_scale]
         probe_list = (
@@ -212,6 +283,9 @@ def main() -> None:
             if pairs_only
             else ITER_PROBES if iter_only else PIPE_PROBES
         )
+    elif events_only:
+        scales = [s for s in (1, 4, 16, 64) if s <= max_scale]
+        probe_list = EVENT_PROBES
     else:
         scales = [s for s in (1, 4, 16, 64) if s <= max_scale]
         probe_list = PROBES
@@ -229,14 +303,34 @@ def main() -> None:
         for s in scales:
             d = base / f"x{s}"
             d.mkdir()
-            _write_chunked(scaled_docs, docs, s,
-                           str(d / "documents.parquet"))
-            _write_chunked(scaled_emb, emb, s,
-                           str(d / "embeddings.parquet"))
-            # events table: hll probe reads it; reuse the original via copy
-            # reference (symlink keeps the probe honest for the 1x row)
-            (d / "events.parquet").symlink_to(Path(SF_DIR) / "events.parquet")
-            rows[s] = spark.read.parquet(str(d / "documents.parquet")).count()
+            if events_only:
+                ev = load_table(spark, SF_DIR, "events")
+                orders = spark.read.parquet(
+                    str(Path(SF_DIR) / "orders.parquet")
+                )
+                _write_chunked(scaled_events, ev, s,
+                               str(d / "events.parquet"))
+                _write_chunked(scaled_orders, orders, s,
+                               str(d / "orders.parquet"))
+                for p in Path(SF_DIR).glob("*.parquet"):
+                    if p.stem not in ("events", "orders"):
+                        (d / p.name).symlink_to(p)
+                rows[s] = spark.read.parquet(
+                    str(d / "events.parquet")
+                ).count()
+            else:
+                _write_chunked(scaled_docs, docs, s,
+                               str(d / "documents.parquet"))
+                _write_chunked(scaled_emb, emb, s,
+                               str(d / "embeddings.parquet"))
+                # events table: hll probe reads it; reuse the original via
+                # copy reference (symlink keeps the probe honest at 1x)
+                (d / "events.parquet").symlink_to(
+                    Path(SF_DIR) / "events.parquet"
+                )
+                rows[s] = spark.read.parquet(
+                    str(d / "documents.parquet")
+                ).count()
             results[s] = {}
             for name, _story, max_s in probe_list:
                 if max_s is not None and s > max_s:
@@ -322,6 +416,51 @@ def main() -> None:
         with open("docs/SCALEPROBE.md", "a") as fh:
             fh.write("\n".join(lines) + "\n")
         print("appended iterative-family section to docs/SCALEPROBE.md")
+        return
+
+    if events_only:
+        lines = [
+            "",
+            "## Events-based families — 64x (round-12, VERDICT r11 #3)",
+            "",
+            "Generated by `tools/scale_probe.py 64 events`: the one family",
+            "with no growth data until round 12 — the documents/embeddings",
+            "modes pin events at 1x by design. Scaled corpora are id-offset",
+            "copies of sf0.1 events (user_id/event_id per-copy disjoint, ts",
+            "untouched, so sessions/funnels/asof groups never merge across",
+            "copies) with orders riding the same user stride so the asof",
+            "join's per-user match structure replicates exactly. Best-of-2",
+            "noop-sink after a warm run, same discipline as the main table.",
+            "CI bound: tests/test_scaling.py::",
+            "test_events_families_growth_is_at_most_linear pins 1x->16x of",
+            "sf0.01 at the families' 1.5x-linear bar.",
+            "",
+            "| query | "
+            + " | ".join(f"{s}x ({rows[s]} events)" for s in scales)
+            + " | growth vs data |",
+            "|---|" + "---|" * (len(scales) + 1),
+        ]
+        for name, story, _max_s in EVENT_PROBES:
+            probed = [s for s in scales if name in results[s]]
+            ts = [results[s][name] for s in probed]
+            cells = [
+                f"{results[s][name]:.2f}s" if name in results[s] else "—"
+                for s in scales
+            ]
+            overall = (
+                f"{ts[-1] / ts[0]:.1f}x time for "
+                f"{probed[-1] / probed[0]:.0f}x data"
+                if len(probed) >= 2 and ts[0] > 0
+                else "—"
+            )
+            lines.append(
+                f"| `{name}` ({story}) | " + " | ".join(cells)
+                + f" | {overall} |"
+            )
+        lines.append("")
+        with open("docs/SCALEPROBE.md", "a") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print("appended events-family section to docs/SCALEPROBE.md")
         return
 
     if pipe_only:

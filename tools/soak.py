@@ -221,18 +221,26 @@ def _start_jdbc_query(spark, spool, url, ckpt, trigger, ledger=False,
 
 
 def _curation_soak(sf_dir: str) -> int:
-    """VERDICT r10 #5: the incremental curation path under soak
-    conditions. Frozen nightly state is built ONCE; the crawl increment
-    arrives as a PACED parquet stream (one chunk every 2 s); every
-    micro-batch is judged through the same _judge_increment the batch
-    query uses, inside a foreachBatch sink with a marker-file batch
-    ledger; and an injected sink-write-then-crash fires at ~40% of the
-    feed (verdicts + ledger marker persisted, checkpoint commit never
-    reached — the at-least-once window). The harness restarts the query
-    from its checkpoint; Spark re-delivers the crashed batch; the
-    ledger skips it. Pass bar: the verdict table converges to EXACT
-    parity with the one-shot batch run — same rows, zero duplicate
-    doc_ids — through the crash."""
+    """VERDICT r10 #5 / r11 #4: the incremental curation path under
+    soak conditions. Frozen nightly state is built ONCE; the crawl
+    increment arrives as a PACED parquet stream (one chunk every 2 s);
+    every micro-batch is judged through the same _judge_increment the
+    batch query uses, inside a foreachBatch sink whose publish is
+    IDEMPOTENT per batch (verdicts land in a batch-keyed directory
+    with overwrite semantics) plus a marker-file batch ledger. TWO
+    injected crashes exercise BOTH at-least-once windows (round-11
+    ADVICE low — the old single crash fired only after the marker, the
+    easy replay path):
+    - MID-WINDOW (~40% of the feed): crash between the verdict write
+      and the marker write — replay finds no marker, re-judges the
+      batch, and the overwrite REPLACES the orphaned output instead of
+      appending duplicates.
+    - POST-MARKER (~70%): crash after the marker but before the
+      checkpoint commit — replay finds the marker and skips.
+    The harness restarts the query from its checkpoint after each
+    crash. Pass bar: the verdict table converges to EXACT parity with
+    the one-shot batch run — same rows, zero duplicate doc_ids —
+    through BOTH crashes."""
     import glob
     import shutil
 
@@ -241,9 +249,6 @@ def _curation_soak(sf_dir: str) -> int:
     from kafka_clickhouse_ingest_pipeline_spark.queries.curation import (
         _frozen_nightly_state,
         _judge_increment,
-    )
-    from kafka_clickhouse_ingest_pipeline_spark.queries.dedup import (
-        _docs_with_boilerplate,
     )
 
     spark = build_session(app_name="soak_curation")
@@ -259,7 +264,7 @@ def _curation_soak(sf_dir: str) -> int:
     t0 = time.monotonic()
     state = _frozen_nightly_state(spark, sf_dir)
     incr = (
-        _docs_with_boilerplate(spark, sf_dir)
+        state["corpus"]
         .where(F.col("doc_id") % 10 == 0)
         .select("doc_id", "text")
     )
@@ -272,20 +277,29 @@ def _curation_soak(sf_dir: str) -> int:
             1
         ).write.parquet(os.path.join(staged, str(c)))
 
-    crash = {"armed": False, "fired": 0}
+    crash = {"arm_mid": False, "arm_post": False, "mid": 0, "post": 0}
 
     def sink(df, bid):
         marker = os.path.join(ledger, f"{bid}.done")
         if os.path.exists(marker):
             return
         n = df.count()
-        _judge_increment(df, state).write.mode("append").parquet(data_dir)
+        # batch-keyed overwrite, not a bare append: a re-delivered batch
+        # REPLACES its own orphaned output, which is what makes the
+        # mid-window crash (below) converge instead of duplicating
+        _judge_increment(df, state).write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"batch={bid}")
+        )
+        if crash["arm_mid"] and n:
+            crash["arm_mid"] = False
+            crash["mid"] += 1
+            raise IOError(CRASH_MSG)  # data published, marker NOT written
         with open(marker, "w") as fh:
             fh.write("")
-        if crash["armed"] and n:
-            crash["armed"] = False
-            crash["fired"] += 1
-            raise IOError(CRASH_MSG)
+        if crash["arm_post"] and n:
+            crash["arm_post"] = False
+            crash["post"] += 1
+            raise IOError(CRASH_MSG)  # marker written, commit not reached
 
     def start():
         return (
@@ -304,7 +318,9 @@ def _curation_soak(sf_dir: str) -> int:
         src = glob.glob(os.path.join(staged, str(c), "*.parquet"))[0]
         shutil.copy(src, os.path.join(spool, f"chunk_{c}.parquet"))
         if c + 1 == max(2, int(n_chunks * 0.4)):
-            crash["armed"] = True
+            crash["arm_mid"] = True
+        if c + 1 == max(3, int(n_chunks * 0.7)):
+            crash["arm_post"] = True
         time.sleep(2.0)
         if not q.isActive:
             # the injected crash killed the query: restart from ckpt
@@ -325,14 +341,18 @@ def _curation_soak(sf_dir: str) -> int:
             q = start()
     q.stop()
 
-    got = [tuple(r) for r in spark.read.parquet(data_dir).collect()]
+    got = [
+        tuple(r)
+        for r in spark.read.parquet(data_dir).drop("batch").collect()
+    ]
     dupes = len(got) - len({t[0] for t in got})
     ok = (
         set(got) == expected
         and len(got) == n_expected
         and dupes == 0
-        and crash["fired"] >= 1
-        and restarts >= 1
+        and crash["mid"] >= 1
+        and crash["post"] >= 1
+        and restarts >= 2
     )
     summary = {
         "profile": "curation",
@@ -343,7 +363,8 @@ def _curation_soak(sf_dir: str) -> int:
         "verdict_rows": len(got),
         "duplicate_doc_ids": dupes,
         "rows_match_batch": set(got) == expected,
-        "crashes_fired": crash["fired"],
+        "crashes_fired_mid_window": crash["mid"],
+        "crashes_fired_post_marker": crash["post"],
         "restarts": restarts,
         "pass": ok,
     }
@@ -636,14 +657,16 @@ def main() -> int:
     # Benign stop race (flaky in ~1/3 of short runs): q.stop() while a
     # micro-batch is mid-flight surfaces as a "failed" listener event
     # whose cause is the stop itself (SQLSTATE XXKDA "... was stopped")
-    # — a graceful-drain artifact, not a pipeline error. Only genuinely
-    # unexpected failures may flip the verdict.
+    # — a graceful-drain artifact, not a pipeline error. The exclusion
+    # requires BOTH the SQLSTATE tag and the stopped phrase (round-11
+    # ADVICE low: a genuine failure whose message merely contains
+    # "was stopped" must still flip the verdict). Only genuinely
+    # unexpected failures count.
     summary["stream_errors_unexpected"] = [
         e[:400]
         for e in errors
         if CRASH_MSG not in e
-        and "XXKDA" not in e
-        and "was stopped" not in e
+        and not ("XXKDA" in e and "was stopped" in e)
     ]
     if args.ledger_parity:
         summary["profile"] += "+ledger-parity"
