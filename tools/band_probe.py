@@ -132,14 +132,18 @@ def main() -> None:
         .executedPlan()
         .toString()
     )
-    corpus_exchanges = [
+    band_exchanges = [
         ln
         for ln in plan.splitlines()
         if "Exchange hashpartitioning" in ln and "band" in ln
     ]
+    # exactly ONE band-key exchange is the good state: the increment
+    # side must shuffle to meet the bucketed corpus scan, which itself
+    # arrives pre-partitioned (no exchange above the bpl_band FileScan —
+    # pinned by tests/test_plans.py::test_bucketed_band_table_scan_needs_no_exchange)
     print(
-        f"corpus-side band exchanges in stored plan: "
-        f"{len(corpus_exchanges)} (0 = bucketing dropped the shuffle)",
+        f"band-key exchanges in stored plan: {len(band_exchanges)} "
+        f"(1 = increment side only; corpus scan pre-partitioned)",
         flush=True,
     )
     print(
