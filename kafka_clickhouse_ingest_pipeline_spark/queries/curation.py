@@ -833,12 +833,18 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "novelty_grams",
     )
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    # shuffle_hash: first_seen is one row per DISTINCT GRAM (corpus-
-    # sized); the checkpointed grams table carries underestimated child
-    # stats, so Catalyst auto-broadcast it (found by the 256x probe —
-    # contradicting the documented two-shuffles-on-the-gram-key plan)
+    # merge (round 12; shuffle_hash since the r9 256x probe): the hint
+    # must force a shuffle join — first_seen is one row per DISTINCT
+    # GRAM (corpus-sized) and the checkpointed grams table carries
+    # underestimated child stats, so un-hinted Catalyst auto-broadcast
+    # it — but an SHJ hash map of the whole distinct-8-gram string
+    # table is the wide-build OOM class (it failed the round-12 256x
+    # diagnostic once neighboring checkpoint blocks squeezed the
+    # execution pool; borderline builds flip with GC timing).
+    # SortMergeJoin spills by construction; both sides already
+    # hash-partition on the gram key, so merge adds sorts, no shuffle.
     return (
-        grams.join(first_seen.hint("shuffle_hash"), "gram")
+        grams.join(first_seen.hint("merge"), "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
