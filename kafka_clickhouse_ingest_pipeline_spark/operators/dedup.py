@@ -1628,3 +1628,67 @@ def embedding_cross_hits(
         F.count(F.lit(1)).cast("long").alias("n_probe_hits"),
         F.max("cosine").alias("max_probe_cosine"),
     )
+
+
+def keeper_election(
+    cc: DataFrame,
+    features: DataFrame,
+    id_col: str,
+    rank_cols: list[str],
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-ranked keeper re-election over duplicate clusters.
+
+    :func:`connected_components` (and the incumbent rebuild policy)
+    keep a cluster representative by ARRIVAL order — min id / corpus
+    seniority — which is the right serving-stability rule but a
+    permanent first-crawl bias: the kept copy is whatever was crawled
+    first, not the best one (SCALE.md §8). This is the explicit
+    re-election pass those policies defer to: rank every cluster's
+    members by content QUALITY (``rank_cols`` descending, ties by
+    ascending id — a total order) and report, per multi-member
+    cluster, the quality-elected keeper next to the min-id default.
+
+    `cc` is (id_col, cluster_col) from connected_components — a
+    checkpoint-derived, data-scaling, NARROW frame, so its join with
+    the (projected, equally narrow) feature frame carries the
+    CLAUDE.md shuffle_hash hint; election itself is one window over
+    the cluster key. Two narrow shuffles total, nothing corpus-sized
+    ever builds a broadcast. Run on the rebuild's own schedule, never
+    as a rebuild side effect — re-electing keepers un-serves docs, so
+    it is priced and scheduled like a rebuild, not an increment.
+
+    Returns (cluster_col, n_members, keeper_id, keeper_changed,
+    keeper_<rank_cols[0]>, default_<rank_cols[0]>) for clusters with
+    >= 2 members; ``keeper_changed`` = 1 where election disagrees with
+    the min-id default (cluster_col IS the min member id).
+    """
+    feats = features.select(F.col(id_col), *[F.col(c) for c in rank_cols])
+    j = cc.hint("shuffle_hash").join(feats, id_col)
+    w = Window.partitionBy(cluster_col)
+    order = [F.col(c).desc() for c in rank_cols] + [F.col(id_col).asc()]
+    top = w.orderBy(*order)
+    lead = rank_cols[0]
+    ranked = j.select(
+        F.col(cluster_col),
+        F.col(id_col),
+        F.col(lead),
+        F.row_number().over(top).alias("_rn"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+        F.max(
+            F.when(F.col(id_col) == F.col(cluster_col), F.col(lead))
+        ).over(w).alias(f"default_{lead}"),
+    )
+    return (
+        ranked.where((F.col("_rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            cluster_col,
+            "n_members",
+            F.col(id_col).alias("keeper_id"),
+            (F.col(id_col) != F.col(cluster_col)).cast("int").alias(
+                "keeper_changed"
+            ),
+            F.col(lead).alias(f"keeper_{lead}"),
+            f"default_{lead}",
+        )
+    )

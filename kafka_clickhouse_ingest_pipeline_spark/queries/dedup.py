@@ -27,10 +27,12 @@ from ..functions.hashing import (
 )
 from ..functions.rounding import round4
 from ..operators import dedup as D
+from ..operators import text as TX
 from ..plans.materialize import materialize
 from ..operators.similarity import lsh_bucket_sql
 from ..registry import query
 from ..tables import load_table
+from .text import quality_scores_sql
 
 PLANT_EVERY = 20
 PLANT_OFFSET = 1_000_000
@@ -579,6 +581,71 @@ def dedup_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+@query(
+    "dedup_keeper_election",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_lsh_pairs_sql()}),
+    nodes AS (SELECT doc_id FROM ({_PLANTED_SQL})),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.d, w.root FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    cc AS (
+      SELECT node AS doc_id, MIN(root) AS cluster_id
+      FROM walk GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id, quality_score, n_chars
+      FROM ({quality_scores_sql(f"({_PLANTED_SQL})")})
+    ),
+    m AS (
+      SELECT cc.cluster_id, cc.doc_id, q.quality_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY q.quality_score DESC, q.n_chars DESC, cc.doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY cc.cluster_id) AS n_members,
+             MAX(CASE WHEN cc.doc_id = cc.cluster_id
+                      THEN q.quality_score END)
+               OVER (PARTITION BY cc.cluster_id) AS default_quality_score
+      FROM cc JOIN q USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS keeper_id,
+           CAST(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END
+                AS INTEGER) AS keeper_changed,
+           quality_score AS keeper_quality_score,
+           default_quality_score
+    FROM m WHERE rn = 1 AND n_members >= 2
+    """,
+    description="C9 keeper QUALITY re-election (the explicit pass "
+    "SCALE.md §8's incumbent policy defers to): per multi-member "
+    "duplicate cluster, re-elect the keeper by content quality "
+    "(quality_score desc, n_chars desc, id asc — a total order) and "
+    "report it next to the min-id default the CC representative / "
+    "incumbent rebuild policy would keep. keeper_changed counts the "
+    "first-crawl-bias corrections a scheduled re-election buys. "
+    "Narrow checkpoint-derived cc frame joins the projected feature "
+    "frame under the CLAUDE.md shuffle_hash hint; election is one "
+    "window over the cluster key (operators/dedup.keeper_election).",
+)
+def dedup_keeper_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted(spark, sf_dir)
+    sig = D.minhash_signatures(docs, "text", "doc_id")
+    pairs = D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+    cc = D.connected_components(pairs, docs.select("doc_id"), "doc_id")
+    feats = TX.quality_features(docs, "text", "doc_id")
+    return D.keeper_election(cc, feats, "doc_id", ["quality_score", "n_chars"])
 
 
 def _band_keys_sql(sig_rel: str) -> str:

@@ -3519,6 +3519,63 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH qual AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           (FLOOR(o.o_totalprice * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS o_totalprice,
+           (FLOOR(q.total_qty * 10000.0 + 0.5 + 0.000001) / 10000.0)
+             AS total_qty
+    FROM orders o
+    JOIN qual q ON q.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+    description="C3/TPC-H Q18 (large volume customers): the top-100 "
+    "orders whose total quantity exceeds 300, with their customers — "
+    "the order-grain HAVING aggregate joined back to orders, so the "
+    "expensive fact⨝fact rejoin of textbook Q18 collapses into one "
+    "lineitem aggregate reused for both the filter and the output "
+    "quantity. The aggregate side sits behind its own shuffle exchange "
+    "(in-plan aggregate, AQE-recoverable per CLAUDE.md), quantities "
+    "are integer-valued doubles so the > 300 cut and the sums are "
+    "exact, and dates export as strings. Completes the q2-q22 TPC-H "
+    "sweep.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(qual, orders.o_orderkey == qual.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            round4(F.col("o_totalprice")).alias("o_totalprice"),
+            round4(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
     "q20_promotion_supplier_candidates",
     oracle="""
     WITH shipped AS (

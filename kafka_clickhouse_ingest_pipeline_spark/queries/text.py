@@ -92,9 +92,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_quality_scores",
-    oracle=f"""
+def quality_scores_sql(src: str) -> str:
+    """DuckDB twin of operators.text.quality_features over any (doc_id,
+    text) relation `src` — the text_quality_scores oracle, reused by the
+    keeper-election oracle in queries/dedup.py over the planted corpus."""
+    return f"""
     SELECT
       doc_id,
       length(text) AS n_chars,
@@ -120,8 +122,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (1 - LEAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                      / GREATEST(length(text), 1) * 5, 1.0)) * 0.1
       ) * 10000.0 + 0.5 + 0.000001) / 10000.0) AS quality_score
-    FROM documents
-    """,
+    FROM {src}
+    """
+
+
+@query(
+    "text_quality_scores",
+    oracle=quality_scores_sql("documents"),
     description="C11: web-corpus quality features (length, alpha/digit/"
     "punct ratios, stopword presence) + transparent linear score.",
 )

@@ -792,3 +792,17 @@ def test_bucketed_band_table_scan_needs_no_exchange(spark, sf_dir):
                     if "Join" in up:
                         break
                     indent = up_indent
+
+
+def test_keeper_election_join_is_narrow_shuffle_hash(spark, sf_dir):
+    """Round-12 pin: keeper_election joins the checkpoint-derived CC
+    label frame (LogicalRDD with underestimated stats — the CLAUDE.md
+    auto-broadcast trap) against the projected quality features. Both
+    sides are corpus-scaled and NARROW, so the plan must be a
+    ShuffledHashJoin with no BroadcastExchange anywhere; the election
+    window runs over the cluster key after the join."""
+    df = registry.REGISTRY["dedup_keeper_election"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" in plan
+    assert "Window" in plan

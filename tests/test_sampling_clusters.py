@@ -176,3 +176,59 @@ def test_hash_split_total_stable_proportional(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_keeper_election_known_clusters(spark):
+    """Quality re-election on a known graph: the keeper is the max-
+    (quality, n_chars, -id) member, keeper_changed marks disagreement
+    with the min-id default, singletons never appear."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20]], ["doc_id"]
+    )
+    cc = D.connected_components(pairs, nodes, "doc_id")
+    feats = spark.createDataFrame(
+        [
+            (1, 0.5, 5),
+            (2, 0.9, 7),
+            (3, 0.9, 9),  # quality tie with 2 -> n_chars breaks it
+            (10, 0.2, 4),
+            (11, 0.1, 4),
+            (20, 1.0, 99),  # singleton: best quality overall, excluded
+        ],
+        ["doc_id", "quality_score", "n_chars"],
+    )
+    out = {
+        r.cluster_id: r
+        for r in D.keeper_election(
+            cc, feats, "doc_id", ["quality_score", "n_chars"]
+        ).collect()
+    }
+    assert set(out) == {1, 10}
+    assert out[1].keeper_id == 3 and out[1].keeper_changed == 1
+    assert out[1].n_members == 3
+    assert out[1].keeper_quality_score == 0.9
+    assert out[1].default_quality_score == 0.5
+    assert out[10].keeper_id == 10 and out[10].keeper_changed == 0
+    assert out[10].keeper_quality_score == out[10].default_quality_score
+
+
+def test_keeper_election_invariants_on_planted_corpus(spark, sf_dir):
+    """On the planted corpus: every elected keeper is a member of its
+    cluster, never beats the default on (quality, n_chars, id) order,
+    and at least one cluster elects a non-default keeper (the planted
+    truncations shift alpha/digit/punct ratios both ways)."""
+    from kafka_clickhouse_ingest_pipeline_spark import registry
+
+    registry.load_all()
+    rows = registry.REGISTRY["dedup_keeper_election"].fn(spark, sf_dir).collect()
+    assert rows, "planted corpus must form multi-member clusters"
+    assert all(r.n_members >= 2 for r in rows)
+    for r in rows:
+        assert r.keeper_quality_score >= r.default_quality_score
+        assert r.keeper_changed == int(r.keeper_id != r.cluster_id)
+        if r.keeper_changed:
+            # strict improvement is not required (n_chars can break the
+            # tie) but quality must never regress past the default
+            assert r.keeper_quality_score >= r.default_quality_score
+    assert any(r.keeper_changed for r in rows)
