@@ -161,6 +161,10 @@ ITER_PROBED = [
     "dedup_minhash_clusters",
     "graph_triangle_counts",
     "quality_classifier_scores",
+    # round 12: keeper re-election = CC + one narrow hinted join + one
+    # cluster-key window; rides the same fixture and rebuild-per-run
+    # discipline so a super-linear election plan fails CI like any loop
+    "dedup_keeper_election",
 ]
 
 

@@ -199,6 +199,19 @@ _EV_USER_STRIDE = 1_000_000  # > max(user_id, o_custkey) at sf0.1
 _EV_ID_STRIDE = 100_000_000  # > max(event_id, o_orderkey) at sf0.1
 
 
+# The keeper re-election pass (round-12, SCALE.md §8): CC labels join
+# quality features under the narrow shuffle_hash hint, then one window
+# over the cluster key. Probed next to the CC pass it extends so the
+# election's marginal cost at depth is explicit. Rebuild-per-run (CC
+# checkpoints eagerly). Run as `python tools/scale_probe.py 256 keeper`.
+KEEPER_PROBES = [
+    ("dedup_minhash_clusters",
+     "alternating-star CC over LSH pair edges (the input pass)", None),
+    ("dedup_keeper_election",
+     "CC + quality join (shuffle_hash) + cluster-key window", None),
+]
+
+
 def scaled_events(ev, n_copies: int, offset: int = 0):
     """Union of id-offset event copies: user_id and event_id move to a
     copy-private range, ts/event_type/value/props stay — so each copy's
@@ -276,15 +289,18 @@ def main() -> None:
     iter_only = mode == "iter"
     pipe_only = mode == "pipe"
     events_only = mode == "events"
-    if pairs_only or iter_only or pipe_only:
+    keeper_only = mode == "keeper"
+    if pairs_only or iter_only or pipe_only or keeper_only:
         scales = [s for s in (1, 16, 64, 256) if s <= max_scale]
         probe_list = (
             [p for p in PROBES if p[0] in PAIR_PROBES]
             if pairs_only
-            else ITER_PROBES if iter_only else PIPE_PROBES
+            else ITER_PROBES if iter_only
+            else KEEPER_PROBES if keeper_only
+            else PIPE_PROBES
         )
     elif events_only:
-        scales = [s for s in (1, 4, 16, 64) if s <= max_scale]
+        scales = [s for s in (1, 4, 16, 64, 256) if s <= max_scale]
         probe_list = EVENT_PROBES
     else:
         scales = [s for s in (1, 4, 16, 64) if s <= max_scale]
@@ -336,7 +352,7 @@ def main() -> None:
                 if max_s is not None and s > max_s:
                     continue
                 fn = registry.REGISTRY[name].fn
-                if iter_only or pipe_only:
+                if iter_only or pipe_only or keeper_only:
                     # iterative operators do their per-round work EAGERLY
                     # at plan-build time (materialize() checkpoints), so
                     # re-executing a built frame times only the final
@@ -418,10 +434,58 @@ def main() -> None:
         print("appended iterative-family section to docs/SCALEPROBE.md")
         return
 
+    if keeper_only:
+        lines = [
+            "",
+            "## Keeper re-election — growth next to its CC input (round 12)",
+            "",
+            "Generated by `tools/scale_probe.py 256 keeper`: the quality",
+            "re-election pass (SCALE.md §8) measured against the CC pass it",
+            "extends, so the election's MARGINAL cost is explicit — the",
+            "delta is one narrow shuffle_hash join (16-byte labels x",
+            "projected features) plus one cluster-key window. Rebuild-per-",
+            "run timing (CC checkpoints eagerly), best-of-2 after a warm",
+            "run, same perturbed-copy corpora as the iterative table.",
+            "",
+            "| query | "
+            + " | ".join(f"{s}x ({rows[s]} docs)" for s in scales)
+            + " | 64x->256x | overall |",
+            "|---|" + "---|" * (len(scales) + 2),
+        ]
+        for name, story, _max_s in KEEPER_PROBES:
+            probed = [s for s in scales if name in results[s]]
+            ts = [results[s][name] for s in probed]
+            cells = [
+                f"{results[s][name]:.2f}s" if name in results[s] else "—"
+                for s in scales
+            ]
+            last = (
+                f"{results[256][name] / results[64][name]:.1f}x time for 4x data"
+                if 256 in results and 64 in results
+                and name in results.get(256, {}) and name in results.get(64, {})
+                else "—"
+            )
+            overall = (
+                f"{ts[-1] / ts[0]:.1f}x time for "
+                f"{probed[-1] / probed[0]:.0f}x data"
+                if len(probed) >= 2 and ts[0] > 0
+                else "—"
+            )
+            lines.append(
+                f"| `{name}` ({story}) | " + " | ".join(cells)
+                + f" | {last} | {overall} |"
+            )
+        lines.append("")
+        with open("docs/SCALEPROBE.md", "a") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print("appended keeper-election section to docs/SCALEPROBE.md")
+        return
+
     if events_only:
         lines = [
             "",
-            "## Events-based families — 64x (round-12, VERDICT r11 #3)",
+            f"## Events-based families — {max(scales)}x "
+            "(round-12, VERDICT r11 #3)",
             "",
             "Generated by `tools/scale_probe.py 64 events`: the one family",
             "with no growth data until round 12 — the documents/embeddings",
