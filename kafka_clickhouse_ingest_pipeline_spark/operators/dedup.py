@@ -1636,6 +1636,7 @@ def keeper_election(
     id_col: str,
     rank_cols: list[str],
     cluster_col: str = "cluster_id",
+    min_members: int = 2,
 ) -> DataFrame:
     """Quality-ranked keeper re-election over duplicate clusters.
 
@@ -1660,8 +1661,10 @@ def keeper_election(
 
     Returns (cluster_col, n_members, keeper_id, keeper_changed,
     keeper_<rank_cols[0]>, default_<rank_cols[0]>) for clusters with
-    >= 2 members; ``keeper_changed`` = 1 where election disagrees with
-    the min-id default (cluster_col IS the min member id).
+    >= ``min_members`` members (default 2 — the report shape; pass 1
+    to elect a keeper for EVERY cluster, the corpus-rebuild shape);
+    ``keeper_changed`` = 1 where election disagrees with the min-id
+    default (cluster_col IS the min member id).
     """
     feats = features.select(F.col(id_col), *[F.col(c) for c in rank_cols])
     j = cc.hint("shuffle_hash").join(feats, id_col)
@@ -1680,7 +1683,7 @@ def keeper_election(
         ).over(w).alias(f"default_{lead}"),
     )
     return (
-        ranked.where((F.col("_rn") == 1) & (F.col("n_members") >= 2))
+        ranked.where((F.col("_rn") == 1) & (F.col("n_members") >= min_members))
         .select(
             cluster_col,
             "n_members",

@@ -863,6 +863,110 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens", "sample_rank")
 
 
+@query(
+    "curate_training_corpus_best_keeper",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS ({_lsh_pairs_sql()}),
+    nodes AS (SELECT doc_id FROM ({_PLANTED_SQL})),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    walk(node, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.d, w.root FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(root) AS cluster_id FROM walk GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id, quality_score, n_chars
+      FROM ({quality_scores_sql(f"({_PLANTED_SQL})")})
+    ),
+    elected AS (
+      SELECT doc_id FROM (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.cluster_id
+                 ORDER BY q.quality_score DESC, q.n_chars DESC, c.doc_id
+               ) AS rn
+        FROM clusters c JOIN q ON q.doc_id = c.doc_id
+      ) WHERE rn = 1
+    ),
+    reps AS (
+      SELECT p.doc_id, d.lang,
+             len(string_split(p.text, ' ')) AS n_tokens
+      FROM ({_PLANTED_SQL}) p
+      JOIN elected e ON e.doc_id = p.doc_id
+      JOIN documents d
+        ON d.doc_id = CASE WHEN p.doc_id >= {PLANT_OFFSET}
+                           THEN p.doc_id - {PLANT_OFFSET}
+                           ELSE p.doc_id END
+    )
+    SELECT doc_id, lang, n_tokens, sample_rank
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY
+                 {hash60_sql(f"'{CURATE_SALT}' || CAST(doc_id AS VARCHAR)")},
+                 doc_id
+             ) AS sample_rank
+      FROM reps
+      WHERE n_tokens >= {TOKEN_MIN}
+    )
+    WHERE sample_rank <= {CURATE_PER_LANG}
+    """,
+    description="Curation composite, quality-keeper variant: the same "
+    "cluster -> representative -> gate -> stratified-sample chain as "
+    "curate_training_corpus, but EVERY cluster's representative is the "
+    "quality-ELECTED member (keeper_election with min_members=1) "
+    "instead of the min-id arrival default — the rebuild shape SCALE.md "
+    "§8 prescribes when the re-election pass runs on its own schedule. "
+    "Elected keepers that are planted variants stay in the corpus "
+    "(language resolved from their source doc), so no cluster loses "
+    "representation. Both checkpoint-derived narrow sides carry "
+    "shuffle_hash hints; the text-carrying planted frame is only ever "
+    "a semi-join STREAM side, never a build side.",
+)
+def curate_training_corpus_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SMP
+
+    planted = _docs_with_planted(spark, sf_dir)
+    sig = D.minhash_signatures(planted, "text", "doc_id")
+    pairs = D.lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+    clusters = D.connected_components(pairs, planted.select("doc_id"), "doc_id")
+    feats = TX.quality_features(planted, "text", "doc_id")
+    elected = D.keeper_election(
+        clusters, feats, "doc_id", ["quality_score", "n_chars"], min_members=1
+    )
+    reps = elected.select(F.col("keeper_id").alias("doc_id"))
+    kept = planted.join(reps.hint("shuffle_hash"), "doc_id", "left_semi")
+    src_id = F.when(
+        F.col("doc_id") >= PLANT_OFFSET, F.col("doc_id") - PLANT_OFFSET
+    ).otherwise(F.col("doc_id"))
+    kept_narrow = kept.select(
+        "doc_id",
+        src_id.alias("src_id"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    lang = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("src_id"), "lang"
+    )
+    corpus = (
+        kept_narrow.hint("shuffle_hash")
+        .join(lang, "src_id")
+        .select("doc_id", "lang", "n_tokens")
+        .where(F.col("n_tokens") >= TOKEN_MIN)
+    )
+    return SMP.stratified_fixed_n(
+        corpus, "lang", CURATE_PER_LANG, "doc_id", CURATE_SALT
+    ).select("doc_id", "lang", "n_tokens", "sample_rank")
+
+
 # DuckDB twin of operators.dedup.doc_chunks (non-overlapping 5-word chunks,
 # duplicates kept, trailing partial chunk dropped; 1-indexed inclusive slice)
 _CHUNKS_SQL = """

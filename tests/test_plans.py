@@ -806,3 +806,20 @@ def test_keeper_election_join_is_narrow_shuffle_hash(spark, sf_dir):
     assert "BroadcastExchange" not in plan, plan[:2000]
     assert "ShuffledHashJoin" in plan
     assert "Window" in plan
+
+
+def test_best_keeper_curation_never_broadcasts_and_builds_narrow(spark, sf_dir):
+    """Round-12 pin for the quality-keeper curation composite: every
+    post-CC join (keeper join, reps semi-join, lang join) is a
+    ShuffledHashJoin; the text-carrying planted frame is only ever a
+    semi-join STREAM side (the LeftSemi builds the narrow reps side),
+    and no BroadcastExchange appears anywhere in the executed plan."""
+    df = registry.REGISTRY["curate_training_corpus_best_keeper"].fn(
+        spark, sf_dir
+    )
+    df.collect()  # AQE finalizes the physical plan at execution
+    plan = _executed_plan(df)
+    assert "BroadcastExchange" not in plan, plan[:2000]
+    semis = _join_lines(plan, "LeftSemi")
+    assert semis and all("BuildRight" in ln for ln in semis), semis
+    assert "ShuffledHashJoin" in plan
