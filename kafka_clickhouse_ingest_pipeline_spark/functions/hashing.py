@@ -72,8 +72,39 @@ def hash60b_sql(expr: str) -> str:
 
 
 def double_hash_pos(col: Column, j: int, m: int) -> Column:
-    """j-th double-hash position of a string key, in [0, m)."""
+    """j-th double-hash position of a string key, in [0, m).
+
+    PERF NOTE (round 12): this inlines TWO md5 evaluations per call, so
+    building k positions inline costs 2k md5s per row. Whole-stage
+    codegen CSE collapses duplicates inside a single Project, but NOT
+    inside a Generate (explode): CollapseProject inlines single-use
+    aliases into the generator and the md5s are re-duplicated (measured
+    3.9x slower on a 2M-row explode). Hot paths that explode k positions
+    must pre-project the two windows ONCE via ``md5_window1/2(F.md5(c))``
+    in their own select (multi-referenced aliases are protected from
+    inlining by the SPARK-36718 cheap-expression guard) and then build
+    positions with :func:`double_hash_pos_from`. Values are identical by
+    construction: ``hash60(c) == md5_window1(F.md5(c))``.
+    """
     return (hash60(col) + F.lit(j) * hash60b(col)) % F.lit(m)
+
+
+def md5_window1(md5_hex: Column) -> Column:
+    """First 60-bit window of an already-computed md5 hex column
+    (== :func:`hash60` of the original key)."""
+    return F.conv(F.substring(md5_hex, 1, 15), 16, 10).cast("long")
+
+
+def md5_window2(md5_hex: Column) -> Column:
+    """Second 60-bit window of an already-computed md5 hex column
+    (== :func:`hash60b` of the original key)."""
+    return F.conv(F.substring(md5_hex, 16, 15), 16, 10).cast("long")
+
+
+def double_hash_pos_from(h1: Column, h2: Column, j: int, m: int) -> Column:
+    """j-th double-hash position from pre-projected hash windows —
+    value-identical to :func:`double_hash_pos` on the original key."""
+    return (h1 + F.lit(j) * h2) % F.lit(m)
 
 
 def double_hash_pos_sql(expr: str, j: int, m: int) -> str:

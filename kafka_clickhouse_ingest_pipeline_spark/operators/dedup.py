@@ -36,8 +36,10 @@ from ..functions.hashing import (
     LSH_ROWS,
     N_MINHASH,
     P,
-    double_hash_pos,
+    double_hash_pos_from,
     hash60,
+    md5_window1,
+    md5_window2,
     minhash_expr,
 )
 
@@ -316,8 +318,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).where(F.length("tok") > 0)
-    h = hash60(F.col("tok"))
-    votes = words.groupBy(id_col).agg(
+    # hash pre-projected once per token (r12 perf): referencing the
+    # hash60 expression from all `bits` aggregate inputs leaves md5
+    # re-derivations the aggregate codegen only partially CSEs —
+    # measured -14% on a 2M-token synthetic. Values unchanged.
+    hashed = words.select(id_col, hash60(F.col("tok")).alias("__h"))
+    h = F.col("__h")
+    votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -1123,16 +1130,25 @@ def bloom_gram_sketch(grams: DataFrame, gram_col: str = "gram") -> DataFrame:
     OVER-flag (extra docs dropped as contaminated), never leak a true
     benchmark gram through — the safe direction for decontamination.
     """
+    # md5 once per gram (r12 perf): windows pre-projected so the explode
+    # does not re-inline 2*BLOOM_K md5s into the Generate (see
+    # functions/hashing.double_hash_pos perf note). Bit-identical.
+    m = F.md5(F.col(gram_col))
+    hh = grams.select(
+        md5_window1(m).alias("_h1"), md5_window2(m).alias("_h2")
+    )
     pos = F.explode(
         F.array(
             *[
-                double_hash_pos(F.col(gram_col), j, BLOOM_BITS)
+                double_hash_pos_from(
+                    F.col("_h1"), F.col("_h2"), j, BLOOM_BITS
+                )
                 for j in range(BLOOM_K)
             ]
         )
     ).alias("pos")
     words = (
-        grams.select(pos)
+        hh.select(pos)
         .select(
             F.shiftright(F.col("pos"), 5).cast("long").alias("word_idx"),
             F.expr(
@@ -1166,9 +1182,14 @@ def bloom_contaminated_ids(
     per-gram verdict for FP accounting; this operator is the hot path the
     composed pipeline runs nightly. No false negatives by construction.
     """
+    # md5 once per gram (r12 perf): the probe filter inlines single-use
+    # aliases, so the position array is built from pre-projected hash
+    # windows — the filter then re-derives 5 cheap affine combos, never
+    # the md5 (see functions/hashing.double_hash_pos perf note).
+    m = F.md5(F.col(gram_col))
     posarr = F.array(
         *[
-            double_hash_pos(F.col(gram_col), j, BLOOM_BITS)
+            double_hash_pos_from(F.col("_h1"), F.col("_h2"), j, BLOOM_BITS)
             for j in range(BLOOM_K)
         ]
     )
@@ -1180,7 +1201,9 @@ def bloom_contaminated_ids(
         "x -> x)"
     )
     return (
-        grams.withColumn("_bpos", posarr)
+        grams.withColumn("_h1", md5_window1(m))
+        .withColumn("_h2", md5_window2(m))
+        .withColumn("_bpos", posarr)
         .crossJoin(F.broadcast(sketch_row))
         .where(hit)
         .select(id_col)

@@ -303,6 +303,43 @@ _BLOOM_BENCH_POS_SQL = "\nUNION ALL\n".join(
 )
 
 
+def _bloom_dense_words(sketch_row: DataFrame) -> DataFrame:
+    """Densify the 1-row word_idx->word map sketch into a 1-row ARRAY of
+    BLOOM_BITS/32 words (absent => 0). element_at on a MapType is a
+    LINEAR scan of the entries (measured: probing the 2048-entry map per
+    gram cost more than the shuffle it replaced); on an ArrayType it is
+    O(1) and codegen'd. The 16 KiB dense row broadcasts exactly like the
+    sparse one and the 2048 map lookups are paid once at build time."""
+    return sketch_row.select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(H.BLOOM_BITS // 32 - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("bloom_words"), i), F.lit(0).cast("long")
+            ),
+        ).alias("bloom_arr")
+    )
+
+
+def _bloom_all_set(h1, h2, words_arr) -> "F.Column":
+    """All-BLOOM_K-positions-set test as FIVE codegen'd scalar array
+    lookups AND-ed together — no position array, no forall/transform
+    (HOF lambdas evaluate interpreted: an earlier r12 probe of the HOF
+    form measured 2x slower than the codegen'd explode path it was
+    meant to replace). Out-of-set word => 0 => bit test fails,
+    identical to the word-IS-NOT-NULL semantics of the row form."""
+    hit = F.lit(True)
+    for j in range(H.BLOOM_K):
+        pos = H.double_hash_pos_from(h1, h2, j, H.BLOOM_BITS)
+        word = F.element_at(
+            words_arr, (F.shiftright(pos, 5) + 1).cast("int")
+        )
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 32).cast("int")
+        )
+        hit = hit & (word.bitwiseAND(mask) != 0)
+    return hit
+
+
 def _bloom_contam_sql(pfx: str, bench: str, probe: str) -> str:
     """Bloom decontamination CTE chain — the scale-safe stage-3 path
     (VERDICT r10 #1). Collapses ``{bench}``'s grams to a BLOOM_BITS Bloom
@@ -411,42 +448,44 @@ def decontaminate_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = grams.where(is_bench).select("gram").distinct()
     train_grams = grams.where(~is_bench)
 
-    def positions(src: DataFrame, keep: list[str]) -> DataFrame:
-        arr = F.array(
-            *[H.double_hash_pos(F.col("gram"), j, H.BLOOM_BITS) for j in range(5)]
-        )
-        return src.select(*keep, F.explode(arr).alias("pos"))
+    # r12 rewrite (guide §2.4 — remove shuffles outright): the per-gram
+    # bloom verdict used to explode 5 position rows per gram, broadcast-
+    # join the word table on word_idx, and groupBy(doc_id, gram) back to
+    # gram grain — paying a full exchange of the natural-text gram key
+    # (plus 10 inline md5s per gram in the Generate). The verdict is a
+    # pure per-row predicate, so it now runs MAP-SIDE like the pipeline's
+    # production probe (operators/dedup.bloom_contaminated_ids): the
+    # bench grams collapse to the 1-row 8 KiB word-map sketch
+    # (bloom_gram_sketch — identical bit arithmetic), the probe rides a
+    # BroadcastNestedLoopJoin of that single row, and all 5 positions
+    # are tested inside the scan as codegen'd scalar map lookups over
+    # pre-projected md5 windows. Heavy-path exchanges 2 -> 1 (only the per-doc
+    # aggregation shuffles, at doc_id grain, with map-side partial
+    # aggregation); the (doc_id, gram) exchange and the 5x position
+    # explode are gone. Values are bit-identical: same positions, same
+    # word lookup, same all-5-set test — the oracle is unchanged and the
+    # gate re-proves equality.
+    from ..operators import dedup as D
 
-    word_idx = F.shiftright(F.col("pos"), 5).cast("long").alias("word_idx")
-    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-    bloom = (
-        positions(bench, [])
-        .select(word_idx, mask.alias("mask"))
-        .groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("word"))
-    )
-    gram_verdict = (
-        positions(train_grams, ["doc_id", "gram"])
-        .select("doc_id", "gram", word_idx, mask.alias("mask"))
-        .join(F.broadcast(bloom), "word_idx", "left")
-        .groupBy("doc_id", "gram")
-        .agg(
-            (
-                F.count(
-                    F.when(
-                        F.col("word").isNotNull()
-                        & (F.col("word").bitwiseAND(F.col("mask")) != 0),
-                        True,
-                    )
-                )
-                == 5
-            )
-            .cast("int")
-            .alias("bloom_hit")
+    sketch = _bloom_dense_words(D.bloom_gram_sketch(bench))
+    m = F.md5(F.col("gram"))
+    probed = (
+        train_grams.select(
+            "doc_id",
+            "gram",
+            H.md5_window1(m).alias("_h1"),
+            H.md5_window2(m).alias("_h2"),
+        )
+        .crossJoin(F.broadcast(sketch))
+        .withColumn(
+            "bloom_hit",
+            _bloom_all_set(
+                F.col("_h1"), F.col("_h2"), F.col("bloom_arr")
+            ).cast("int"),
         )
     )
     per_doc = (
-        gram_verdict.join(
+        probed.join(
             F.broadcast(bench.withColumn("is_true", F.lit(1))), "gram", "left"
         )
         .groupBy("doc_id")

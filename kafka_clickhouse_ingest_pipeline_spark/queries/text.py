@@ -698,19 +698,34 @@ _CMS_PROBE_ROWS_SQL = "\nUNION ALL\n".join(
 def cms_heavy_hitters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tf = T.term_frequencies(docs, "text")
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(r).alias("r"),
-                    H.double_hash_pos(F.col("term"), r, _CMS_W).alias("bucket"),
-                )
-                for r in range(_CMS_D)
-            ]
+
+    # md5 once per term (r12 perf): windows pre-projected so the
+    # (r, bucket) explode does not inline 2*_CMS_D md5s into the
+    # Generate (see functions/hashing.double_hash_pos perf note).
+    def pos_rows(src: DataFrame, keep: list[str]) -> DataFrame:
+        m = F.md5(F.col("term"))
+        hh = src.select(
+            *keep,
+            H.md5_window1(m).alias("_h1"),
+            H.md5_window2(m).alias("_h2"),
         )
-    ).alias("rb")
+        rows = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        H.double_hash_pos_from(
+                            F.col("_h1"), F.col("_h2"), r, _CMS_W
+                        ).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+        return hh.select(*keep, rows)
+
     sketch = (
-        tf.select(rows, "freq")
+        pos_rows(tf, ["freq"])
         .select("rb.r", "rb.bucket", "freq")
         .groupBy("r", "bucket")
         .agg(F.sum("freq").cast("long").alias("counter"))
@@ -720,7 +735,7 @@ def cms_heavy_hitters_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("term", F.col("freq").cast("long").alias("exact_freq"))
     )
-    probe_pos = probe.select("term", "exact_freq", rows).select(
+    probe_pos = pos_rows(probe, ["term", "exact_freq"]).select(
         "term", "exact_freq", "rb.r", "rb.bucket"
     )
     return (
