@@ -1165,6 +1165,42 @@ def bloom_gram_sketch(grams: DataFrame, gram_col: str = "gram") -> DataFrame:
     )
 
 
+def bloom_dense_words(sketch_row: DataFrame) -> DataFrame:
+    """Densify the 1-row word_idx->word map sketch into a 1-row ARRAY of
+    BLOOM_BITS/32 words (absent => 0). element_at on a MapType is a
+    LINEAR scan of the entries (r12 measurement: probing the 2048-entry
+    map per gram cost more than the shuffle it replaced in the eval
+    query), while on an ArrayType it is O(1) and codegen'd. The 16 KiB
+    dense row broadcasts exactly like the sparse one; the 2048 map
+    lookups are paid once at build time."""
+    return sketch_row.select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(BLOOM_BITS // 32 - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("bloom_words"), i), F.lit(0).cast("long")
+            ),
+        ).alias("bloom_arr")
+    )
+
+
+def bloom_all_set(h1, h2, words_arr):
+    """All-BLOOM_K-positions-set test as BLOOM_K codegen'd scalar array
+    lookups AND-ed together — no position array, no forall/transform
+    (HOF lambdas evaluate interpreted; an r12 probe of the HOF form
+    measured 2x slower than the codegen'd row form it was meant to
+    replace). Out-of-set word => 0 => bit test fails, identical to the
+    word-IS-NOT-NULL semantics of the row form."""
+    hit = F.lit(True)
+    for j in range(BLOOM_K):
+        pos = double_hash_pos_from(h1, h2, j, BLOOM_BITS)
+        word = F.element_at(words_arr, (F.shiftright(pos, 5) + 1).cast("int"))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 32).cast("int")
+        )
+        hit = hit & (word.bitwiseAND(mask) != 0)
+    return hit
+
+
 def bloom_contaminated_ids(
     grams: DataFrame,
     sketch_row: DataFrame,
@@ -1182,29 +1218,22 @@ def bloom_contaminated_ids(
     per-gram verdict for FP accounting; this operator is the hot path the
     composed pipeline runs nightly. No false negatives by construction.
     """
-    # md5 once per gram (r12 perf): the probe filter inlines single-use
-    # aliases, so the position array is built from pre-projected hash
-    # windows — the filter then re-derives 5 cheap affine combos, never
-    # the md5 (see functions/hashing.double_hash_pos perf note).
+    # r12 probe-kernel rewrite, measured (tools/perf_probe + synthetic
+    # A/B): md5 once per gram via pre-projected hash windows (the old
+    # position array inlined 2*BLOOM_K md5s — see
+    # functions/hashing.double_hash_pos perf note), the sparse word map
+    # densified ONCE to an O(1)-indexable array, and the all-K test run
+    # as codegen'd scalar lookups instead of an interpreted
+    # forall/transform HOF over a linear-scanned map. Same verdicts, same
+    # plan class: 1-row broadcast BNLJ, zero shuffled joins, the final
+    # distinct is still the stage's only exchange (pin test
+    # test_bloom_probe_bounded_broadcast_and_no_false_negatives).
     m = F.md5(F.col(gram_col))
-    posarr = F.array(
-        *[
-            double_hash_pos_from(F.col("_h1"), F.col("_h2"), j, BLOOM_BITS)
-            for j in range(BLOOM_K)
-        ]
-    )
-    hit = F.expr(
-        "forall(transform(_bpos, p -> "
-        "(coalesce(element_at(bloom_words, CAST(p div 32 AS BIGINT)), "
-        "CAST(0 AS BIGINT)) "
-        "& shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) <> 0), "
-        "x -> x)"
-    )
+    hit = bloom_all_set(F.col("_h1"), F.col("_h2"), F.col("bloom_arr"))
     return (
         grams.withColumn("_h1", md5_window1(m))
         .withColumn("_h2", md5_window2(m))
-        .withColumn("_bpos", posarr)
-        .crossJoin(F.broadcast(sketch_row))
+        .crossJoin(F.broadcast(bloom_dense_words(sketch_row)))
         .where(hit)
         .select(id_col)
         .distinct()

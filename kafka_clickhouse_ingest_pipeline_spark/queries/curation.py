@@ -303,41 +303,6 @@ _BLOOM_BENCH_POS_SQL = "\nUNION ALL\n".join(
 )
 
 
-def _bloom_dense_words(sketch_row: DataFrame) -> DataFrame:
-    """Densify the 1-row word_idx->word map sketch into a 1-row ARRAY of
-    BLOOM_BITS/32 words (absent => 0). element_at on a MapType is a
-    LINEAR scan of the entries (measured: probing the 2048-entry map per
-    gram cost more than the shuffle it replaced); on an ArrayType it is
-    O(1) and codegen'd. The 16 KiB dense row broadcasts exactly like the
-    sparse one and the 2048 map lookups are paid once at build time."""
-    return sketch_row.select(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(H.BLOOM_BITS // 32 - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("bloom_words"), i), F.lit(0).cast("long")
-            ),
-        ).alias("bloom_arr")
-    )
-
-
-def _bloom_all_set(h1, h2, words_arr) -> "F.Column":
-    """All-BLOOM_K-positions-set test as FIVE codegen'd scalar array
-    lookups AND-ed together — no position array, no forall/transform
-    (HOF lambdas evaluate interpreted: an earlier r12 probe of the HOF
-    form measured 2x slower than the codegen'd explode path it was
-    meant to replace). Out-of-set word => 0 => bit test fails,
-    identical to the word-IS-NOT-NULL semantics of the row form."""
-    hit = F.lit(True)
-    for j in range(H.BLOOM_K):
-        pos = H.double_hash_pos_from(h1, h2, j, H.BLOOM_BITS)
-        word = F.element_at(
-            words_arr, (F.shiftright(pos, 5) + 1).cast("int")
-        )
-        mask = F.call_function(
-            "shiftleft", F.lit(1).cast("long"), (pos % 32).cast("int")
-        )
-        hit = hit & (word.bitwiseAND(mask) != 0)
-    return hit
 
 
 def _bloom_contam_sql(pfx: str, bench: str, probe: str) -> str:
@@ -467,7 +432,7 @@ def decontaminate_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate re-proves equality.
     from ..operators import dedup as D
 
-    sketch = _bloom_dense_words(D.bloom_gram_sketch(bench))
+    sketch = D.bloom_dense_words(D.bloom_gram_sketch(bench))
     m = F.md5(F.col("gram"))
     probed = (
         train_grams.select(
@@ -479,7 +444,7 @@ def decontaminate_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(sketch))
         .withColumn(
             "bloom_hit",
-            _bloom_all_set(
+            D.bloom_all_set(
                 F.col("_h1"), F.col("_h2"), F.col("bloom_arr")
             ).cast("int"),
         )
