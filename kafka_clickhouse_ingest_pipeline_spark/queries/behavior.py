@@ -94,38 +94,51 @@ def argmax_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="ClickHouse windowFunnel analog: deepest step of "
     "view -> click -> purchase reached in strict order within 24 h of "
-    "the first view, per user. Built as three conditional min-aggregates "
-    "chained by joins (each one shuffle on user_id) — no per-user event "
-    "array is ever materialized, so step skew can't blow memory.",
+    "the first view, per user. r12 shape: three stacked whole-partition "
+    "window aggregates over ONE user_id exchange (each step's min sees "
+    "the previous step's timestamp as a plain column), then a same-key "
+    "groupBy that reuses the partitioning — one events scan and one "
+    "shuffle total. The r11 join-chain form re-planned its t1/t2 "
+    "subtrees per reference (8 parquet scans, 15 exchanges at sf0.1 "
+    "because filter pushdown makes each step's scan a distinct subtree "
+    "ReuseExchange can't dedupe); measured 1.6x slower locally and 5 "
+    "full event scans at any scale. Skew note: WindowExec buffers one "
+    "user's rows in a spillable array (ExternalAppendOnlyUnsafeRowArray) "
+    "— a hot user degrades to disk, not OOM.",
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     win = F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTE")
-    t1 = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    t2 = (
-        ev.where(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    t3 = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(t1, "user_id")
-        .join(t2, "user_id")
-        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    users = ev.select("user_id").distinct()
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + win),
+            F.col("ts"),
+        )
+    ).over(w)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + win),
+            F.col("ts"),
+        )
+    ).over(w)
     return (
-        users.join(t1, "user_id", "left")
-        .join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
+        ev.withColumn("t1", t1)
+        .withColumn("t2", t2)
+        .withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            # constant per user (whole-partition windows); min is used
+            # over first() only so every aggregate is order-insensitive
+            F.min("t1").alias("t1"),
+            F.min("t2").alias("t2"),
+            F.min("t3").alias("t3"),
+        )
         .select(
             "user_id",
             F.when(F.col("t3").isNotNull(), 3)
