@@ -82,10 +82,22 @@ def lsh_bucket(vec: Column) -> Column:
     and dominated every bucket-side ANN query (2.3 s of a 2.6 s
     `ann_batch_topk`). Parity between the three forms (expr, Arrow,
     SQL oracle) is pinned in tests/test_ml_lsh.py.
+
+    The coalesce(-1) wrapper exists for the PLAN, not the value: a
+    nullable bucket used as an inner-join key gets an inferred
+    isnotnull(bucket) filter, and ExtractPythonUDFs then evaluates the
+    kernel TWICE per side (once for the filter, once for the
+    projection — observed in every bucket-join plan). Coalescing with a
+    literal makes the column non-nullable, so no filter is inferred and
+    each side pays exactly one ArrowEvalPython. The kernel returns a
+    non-null long for every non-null vector (sums of floats; NaNs
+    compare false and still yield a bucket), and no corpus ships null
+    vectors, so the -1 arm is dead — it exists so the type system
+    proves it.
     """
     from .udfs import lsh_bucket_udf
 
-    return lsh_bucket_udf(vec)
+    return F.coalesce(lsh_bucket_udf(vec), F.lit(-1))
 
 
 def lsh_bucket_expr(vec: Column) -> Column:

@@ -351,11 +351,17 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The profile table is tiny (|users| rows) but its lineage is the full
     # events aggregation; it feeds BOTH sides of the self-join, so
     # materialize it once (same rationale + measurement as the ngram
-    # inverted index in operators/dedup.py). Checkpointing BEFORE the
-    # bucket expression also stops Catalyst inlining the centering
-    # transform into each of lsh_bucket's ~384 element references.
-    normed = materialize(normed, "activity_profiles")
-    bucketed = normed.withColumn("bucket", S.lsh_bucket(F.col("vc"))).drop("vc")
+    # inverted index in operators/dedup.py). The bucket is computed
+    # INSIDE the checkpoint: lsh_bucket is an Arrow kernel, and placing
+    # it after the checkpoint re-ran it per join side (6 Python stages
+    # in the probe plan); inside, it runs once and the probe plan is
+    # pure JVM. vc exists only to feed it, so the stored frame also
+    # drops 24 doubles/row.
+    normed = materialize(
+        normed.withColumn("bucket", S.lsh_bucket(F.col("vc"))).drop("vc"),
+        "activity_profiles",
+    )
+    bucketed = normed
     # Multi-probe Hamming<=1: probe the own bucket plus each one-bit
     # neighbor. Pairing becomes a bucket EQUI-join (hash, not nested
     # loop); at cluster scale the bucket is the shuffle key and the
