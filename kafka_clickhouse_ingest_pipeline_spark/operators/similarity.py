@@ -971,7 +971,18 @@ def pq_train_encode(
         cvec = member_mean(assign)
 
     codebooks = materialize(member_mean(assign_nearest(cvec)), "pq_codebooks")
-    enc = assign_nearest(codebooks).select("m", id_col, "cell", "err").withColumnRenamed("cell", "code")
+    # The final argmin re-encode is INDEX BUILD (the stored code table —
+    # this function's contract says "each vector stored as n_sub codes"),
+    # so materialize it like every other index artifact: left lazy, the
+    # full corpus assignment pass (broadcast 64 codebook rows, groupBy
+    # (m, id) over n_sub*k candidates/vector) replayed inside every
+    # downstream ADC query's timed probe.
+    enc = materialize(
+        assign_nearest(codebooks)
+        .select("m", id_col, "cell", "err")
+        .withColumnRenamed("cell", "code"),
+        "pq_codes",
+    )
     return enc, codebooks
 
 
@@ -1106,7 +1117,16 @@ def ivfadc_topk(
     enc, codebooks = pq_train_encode(
         resid, n_sub=n_sub, sub_dim=sub_dim, vec_col="resid", id_col=id_col
     )
-    enc_cells = enc.join(resid.select(id_col, "cell"), id_col)
+    # The inverted file — (cell, m, code) per vector — is the index
+    # IVFADC serves from (partitioned by cell at 100 TB), so its build
+    # join runs at build time inside the checkpoint, not per query.
+    # Both sides are corpus-sized checkpoint-derived frames, so per the
+    # CLAUDE.md hint rule the join must not be allowed to broadcast:
+    # shuffle_hash on the narrower (id, cell) side.
+    enc_cells = materialize(
+        enc.join(resid.select(id_col, "cell").hint("shuffle_hash"), id_col),
+        "ivfadc_invfile",
+    )
 
     q = query.select(
         F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qv")
