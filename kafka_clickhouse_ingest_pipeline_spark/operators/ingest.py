@@ -53,7 +53,9 @@ def filter_nonempty(df: DataFrame, payload_col: str = "value") -> DataFrame:
     return df.filter(c.isNotNull() & (F.length(c) > 0))
 
 
-def json_validity_gate(df: DataFrame, payload_col: str = "value") -> DataFrame:
+def json_validity_gate(
+    df: DataFrame, payload_col: str = "value", variant_col: str | None = None
+) -> DataFrame:
     """A3: keep only payloads that parse as JSON (handler.go:74-78).
 
     ``json.Valid`` accepts any JSON value; we use try-parse-as-variant so
@@ -66,6 +68,12 @@ def json_validity_gate(df: DataFrame, payload_col: str = "value") -> DataFrame:
     strictness via their own span fold ('"x"junk' drops, matching
     json.Valid) — with that, the gate is whole-string strict for every
     JSON value shape.
+
+    ``variant_col``: when set, the parsed variant the gate already paid
+    for is kept under that name so downstream field extraction reuses it
+    (one JSON parse per row instead of one per consumer — measured on
+    pipeline_flagship, whose get_json_object re-parse was its third
+    full parse of the payload).
     """
     from .udfs import json_strict_span_udf
 
@@ -76,8 +84,12 @@ def json_validity_gate(df: DataFrame, payload_col: str = "value") -> DataFrame:
     # test_ingest.test_strict_span_kernel_matches_jvm_folds) but cost
     # ~10 struct ops per CHARACTER per row and doubled the flagship
     # ingest query's runtime when they sat in the hot filter path
-    return df.filter(
-        F.try_parse_json(raw).isNotNull() & json_strict_span_udf(raw)
+    if variant_col is None:
+        return df.filter(
+            F.try_parse_json(raw).isNotNull() & json_strict_span_udf(raw)
+        )
+    return df.withColumn(variant_col, F.try_parse_json(raw)).filter(
+        F.col(variant_col).isNotNull() & json_strict_span_udf(raw)
     )
 
 

@@ -42,9 +42,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     ev = ingest.filter_nonempty(ev, "props")  # A2
-    ev = ingest.json_validity_gate(ev, "props")  # A3
-    # A9-lenient parse + A11 projection of the one real payload field
-    ev = ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+    ev = ingest.json_validity_gate(ev, "props", variant_col="_vj")  # A3
+    # A9-lenient parse + A11 projection of the one real payload field,
+    # extracted from the variant the gate already parsed (was a third
+    # full get_json_object parse of props; value-identical — both paths
+    # yield the field's text then cast)
+    ev = ev.withColumn("k", F.try_variant_get("_vj", "$.k", "string").cast("int"))
     return (
         ev.groupBy("event_type")
         .agg(
