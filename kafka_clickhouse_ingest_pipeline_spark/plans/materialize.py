@@ -83,6 +83,19 @@ def _resolve_base(spark, path: str | None) -> str:
     )
 
 
+def _already_local_checkpoint(df: DataFrame) -> bool:
+    """True iff ``df``'s analyzed plan is a bare LogicalRDD — the shape
+    ``localCheckpoint`` returns. Derived frames (even a select on top)
+    report False and are checkpointed normally."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:  # pragma: no cover - py4j API drift
+        return False
+
+
 def materialize(
     df: DataFrame,
     name: str | None = None,
@@ -103,6 +116,15 @@ def materialize(
     resolved = _resolve_mode(spark, mode)
     if reuse and not name:
         raise ValueError("materialize(reuse=True) requires a stable name")
+    if resolved == "local" and _already_local_checkpoint(df):
+        # Idempotent in local mode: a bare LogicalRDD IS a checkpoint —
+        # re-checkpointing it would copy every row once more for no
+        # lineage benefit (callers like logreg_train defensively
+        # materialize their inputs; callers that pre-materialize to
+        # share the scan with a sibling consumer shouldn't pay twice).
+        # Storage mode is exempt: there the call's contract is a durable
+        # write, which a local checkpoint does not satisfy.
+        return df
     if resolved == "local":
         if reuse:
             key = (session_key(spark), name)

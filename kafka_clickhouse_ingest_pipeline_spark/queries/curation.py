@@ -1130,8 +1130,14 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import classifier as C
 
     corpus = _quality_training_corpus(spark, sf_dir)
-    feats = C.hashed_features(corpus, "text", "doc_id")
-    labels = corpus.select("doc_id", "y")
+    # materialize feats/labels HERE so training and the final scoring
+    # pass share one checkpointed table (materialize is idempotent on
+    # checkpoints, so logreg_train's defensive materialize is a no-op);
+    # previously the score/label consumers replayed the full
+    # featurization lineage — two extra parquet scans + tokenize +
+    # groupBy at query time
+    feats = materialize(C.hashed_features(corpus, "text", "doc_id"), "clf_feats")
+    labels = materialize(corpus.select("doc_id", "y"), "clf_labels")
     wts = C.logreg_train(
         feats, labels, "doc_id", iters=_LOGREG_ITERS, lr=_LOGREG_LR
     )
