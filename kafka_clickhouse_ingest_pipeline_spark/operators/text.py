@@ -52,23 +52,36 @@ def marker_score(text: Column, lang: str) -> Column:
     return score
 
 
-def lang_id(df: DataFrame, text_col: str) -> Column:
+def lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFrame:
     """Predicted language = argmax marker score, 'und' when all zero.
+    Returns ``df`` plus ``out_col``.
 
     Deterministic tie-break: first language in declaration order at the
     max wins. Closed form (greatest + first-match chain) rather than an
     iterative best-so-far fold — the fold embeds every previous best
     twice per step, doubling the expression tree per language (2^n
     codegen blowup, measured 2 s/5000 rows); this form is linear.
+
+    Staged projection (the repetition_features discipline): each
+    language's marker score lands once as a real column, and the argmax
+    references attributes. The earlier Column-returning form embedded
+    every score twice (greatest + the when chain) and codegen CSE did
+    NOT collapse the twins — 2× the replace-scan work per row, measured
+    0.55 s → 0.31 s at sf0.1 with identical rows. CollapseProject keeps
+    the stage because the scores are non-cheap and multiply referenced.
     """
     text = F.col(text_col)
-    scores = {lang: marker_score(text, lang) for lang in LANG_MARKERS}
-    mx = F.greatest(*scores.values())
+    cols = {lang: f"__ls_{lang}" for lang in LANG_MARKERS}
+    scored = df.select(
+        "*", *[marker_score(text, lang).alias(c) for lang, c in cols.items()]
+    )
+    mx = F.greatest(*[F.col(c) for c in cols.values()])
     out = F.lit("und")
     # first-match-wins: build the chain back-to-front
     for lang in reversed(list(LANG_MARKERS)):
-        out = F.when(scores[lang] == mx, F.lit(lang)).otherwise(out)
-    return F.when(mx <= 0, F.lit("und")).otherwise(out)
+        out = F.when(F.col(cols[lang]) == mx, F.lit(lang)).otherwise(out)
+    pred = F.when(mx <= 0, F.lit("und")).otherwise(out)
+    return scored.withColumn(out_col, pred).drop(*cols.values())
 
 
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

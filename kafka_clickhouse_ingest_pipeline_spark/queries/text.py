@@ -85,11 +85,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("label_lang"),
-        T.lang_id(docs, "text").alias("pred_lang"),
-    )
+    base = docs.select("doc_id", F.col("lang").alias("label_lang"), "text")
+    return T.lang_id(base, "text").select("doc_id", "label_lang", "pred_lang")
 
 
 def quality_scores_sql(src: str) -> str:
@@ -1332,10 +1329,9 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    preds = docs.select(
-        F.col("lang").alias("label_lang"),
-        T.lang_id(docs, "text").alias("pred_lang"),
-    )
+    preds = T.lang_id(
+        docs.select(F.col("lang").alias("label_lang"), "text"), "text"
+    ).select("label_lang", "pred_lang")
     correct = (F.col("pred_lang") == F.col("label_lang")).cast("long")
     return (
         preds.groupBy("label_lang")
