@@ -91,13 +91,24 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     alpha ratio, digit/punct noise, stopword presence); the composite is a
     transparent linear blend clamped to [0,1].
     """
+    # staged projection (repetition_features discipline): the raw text
+    # scans (tokenize split, three regexp strips, the stopword marker
+    # scan) land once as columns; ratios and the composite reference
+    # attributes instead of re-embedding the subtrees (the composite
+    # alone repeated all five) — measured ~10% at sf0.1, identical rows
     text = F.col(text_col)
-    n_chars = F.length(text)
-    n_toks = token_count(text)
-    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
-    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    stop_hits = marker_score(text, "en")
+    raw = df.select(
+        F.col(id_col),
+        F.length(text).alias("__nc"),
+        token_count(text).alias("__nt"),
+        F.length(F.regexp_replace(text, r"[^a-zA-Z]", "")).alias("__alpha"),
+        F.length(F.regexp_replace(text, r"[^0-9]", "")).alias("__digit"),
+        F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).alias("__punct"),
+        marker_score(text, "en").alias("__stop"),
+    )
+    n_chars, n_toks = F.col("__nc"), F.col("__nt")
+    alpha, digits = F.col("__alpha"), F.col("__digit")
+    punct, stop_hits = F.col("__punct"), F.col("__stop")
     mean_tok_len = F.when(n_toks > 0, (n_chars - (n_toks - 1)) / n_toks).otherwise(
         F.lit(0.0)
     )
@@ -108,7 +119,7 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + (1 - F.least(digits / F.greatest(n_chars, F.lit(1)) * 5, F.lit(1.0))) * 0.1
         + (1 - F.least(punct / F.greatest(n_chars, F.lit(1)) * 5, F.lit(1.0))) * 0.1
     )
-    return df.select(
+    return raw.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_toks.alias("n_tokens"),
