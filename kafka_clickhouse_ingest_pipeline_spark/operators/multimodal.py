@@ -534,19 +534,31 @@ def decode_image(payload: bytes | None, fake: bool | None = None) -> np.ndarray:
     """
     if fake:
         return _fake_decode(payload)
-    if _is_bmp(payload) and _bmp_gray(payload) is not None:
-        return _bmp_decode(payload)
-    if _is_png(payload) and _png_gray(payload) is not None:
+    # each stdlib parser runs ONCE: the can-this-path-handle-it probe IS
+    # the decode, so keep the grayscale and feature it directly (the
+    # previous `_x_gray(p) is not None ... return _x_decode(p)` shape
+    # decoded every payload twice — measured 2x on the jpeg kernel)
+    if _is_bmp(payload):
+        g = _bmp_gray(payload)
+        if g is not None:
+            return _gray_feature(g)
+        # BMP variants the parser can't handle (palette, 16/32-bit,
+        # RLE) fall through to PIL like any other format
+    if _is_png(payload):
         # stdlib zlib + unfilter: real pixels, engine-pinned arithmetic
         # (same grid-mean/unit-norm kernel as BMP). PNG variants the
         # parser can't handle (16-bit, palette, interlaced) fall through
         # to PIL like any other format.
-        return _png_decode(payload)
-    if _is_jpeg(payload) and _jpeg_gray(payload) is not None:
+        g = _png_gray(payload)
+        if g is not None:
+            return _gray_feature(g)
+    if _is_jpeg(payload):
         # baseline JPEG: stdlib+numpy Huffman/IDCT decode, real pixels
         # (operators/jpeg.py). Progressive/arithmetic/12-bit fall
         # through to PIL like any other format.
-        return _jpeg_decode(payload)
+        g = _jpeg_gray(payload)
+        if g is not None:
+            return _gray_feature(g)
     if HAVE_PIL:
         return _pil_decode(payload)
     if fake is None:
