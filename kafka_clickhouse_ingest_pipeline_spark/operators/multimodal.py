@@ -651,11 +651,14 @@ def make_wav(freq_hz: float, n_samples: int = 800, rate: int = 8000) -> bytes:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(rate)
-        frames = bytearray()
-        for t in range(n_samples):
-            v = int(20000 * math.sin(2 * math.pi * freq_hz * t / rate))
-            frames += int(v).to_bytes(2, "little", signed=True)
-        w.writeframes(bytes(frames))
+        # sample VALUES stay per-sample libm math.sin (np.sin's SIMD libm
+        # can differ by ulps — the oracle replays these exact doubles);
+        # only the int16 little-endian serialization is vectorized
+        vals = [
+            int(20000 * math.sin(2 * math.pi * freq_hz * t / rate))
+            for t in range(n_samples)
+        ]
+        w.writeframes(np.array(vals, dtype="<i2").tobytes())
     return buf.getvalue()
 
 
@@ -739,26 +742,44 @@ def wav_spectral_features(
         import io
         import wave
 
+        # per-batch memo: synth+decode is a pure function of the freq (and
+        # the fixed n_samples/rate), so identical tones in one Arrow batch
+        # decode once — NOT a cross-run cache (rebuilt every task); the
+        # tone table here has 4 distinct frequencies across the corpus
+        memo: dict[float, np.ndarray] = {}
+
         for pdf in it:
             ids = pdf[id_col].tolist()
             freqs = pdf[freq_col].tolist()
             X = np.empty((len(ids), n_samples), dtype=np.float64)
             for j, f in enumerate(freqs):
-                payload = make_wav(float(f), n_samples, rate)
-                with wave.open(io.BytesIO(payload)) as w:
-                    raw = w.readframes(w.getnframes())
-                X[j] = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                key = float(f)
+                samples = memo.get(key)
+                if samples is None:
+                    payload = make_wav(key, n_samples, rate)
+                    with wave.open(io.BytesIO(payload)) as w:
+                        raw = w.readframes(w.getnframes())
+                    samples = np.frombuffer(raw, dtype=np.int16).astype(
+                        np.float64
+                    )
+                    memo[key] = samples
+                X[j] = samples
             cols: dict[str, object] = {
                 id_col: ids,
                 "n_samples": [n_samples] * len(ids),
             }
+            # transpose once: the fold walks t, and XT[t] is a contiguous
+            # row (the X[:, t] stride walk measured 5x slower); the
+            # accumulation order per (k, row) is unchanged — bit-identical
+            XT = np.ascontiguousarray(X.T)
             for k in bins:
                 re = np.zeros(len(ids))
                 im = np.zeros(len(ids))
                 ck, sk = cosf[k], sinf[k]
                 for t in range(n_samples):  # sequential fold, rows vectorized
-                    re += X[:, t] * ck[t]
-                    im += X[:, t] * sk[t]
+                    xt = XT[t]
+                    re += xt * ck[t]
+                    im += xt * sk[t]
                 cols[f"m{k}"] = np.sqrt(re * re + im * im)
             yield pd_.DataFrame(cols)
 
