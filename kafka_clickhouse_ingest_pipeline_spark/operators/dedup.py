@@ -433,7 +433,16 @@ def _shingle_pair_index(
     are computed over the filtered universe so the similarity stays
     internally consistent).
 
-    Returns (sizes, inter): sizes = (id, sz), inter = (id_a, id_b, inter).
+    Returns inter = (id_a, id_b, inter, sz_a, sz_b): the per-doc set
+    sizes ride the index rows through the self-join instead of joining
+    in afterwards. r12 measurement: the old (sizes, inter) contract made
+    each consumer re-aggregate the checkpointed index twice (once per
+    side) and shuffle the candidate-PAIR table twice more for the two
+    shuffle_hash size joins; carrying sz costs one window exchange at
+    index-build time plus 8 bytes/row/side through the shingle shuffle,
+    and removes all four probe-time exchanges — best-of-4 noop at sf0.1
+    1.28 s → 0.74 s on dedup_ngram_jaccard_pairs, identical rows. sz is
+    constant per doc, so the pair aggregate reads it with min().
     """
     sh = shingles(df, text_col, id_col, n)
     if max_df is not None:
@@ -451,10 +460,20 @@ def _shingle_pair_index(
             .select("shingle")
         )
         sh = sh.join(hot.hint("shuffle_hash"), "shingle", "left_anti")
+    # per-doc set size computed ONCE at build time (sizes are defined
+    # over the DF-capped universe, as before) and stored on every index
+    # row; the window is partition-local after one doc_id exchange and
+    # spills via ExternalAppendOnlyUnsafeRowArray if a doc is enormous
+    sh = sh.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
     sh = materialize(sh, "ngram_inverted_index")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "shingle"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "shingle"
+    )
     # merge hint (round-12; was shuffle_hash since the r9 256x probe):
     # the hint must force a shuffle join — in LOCAL materialize mode the
     # checkpointed index is a LogicalRDD with no size stats, so an
@@ -470,9 +489,13 @@ def _shingle_pair_index(
         a.join(b.hint("merge"), "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
     )
-    return sizes, inter
+    return inter
 
 
 def ngram_jaccard_pairs(
@@ -498,16 +521,12 @@ def ngram_jaccard_pairs(
     corpus-common shingles scores 0 — acceptable, since shingles shared
     by >max_df docs carry no near-duplicate signal by definition.
     """
-    sizes, inter = _shingle_pair_index(df, text_col, id_col, n, max_df)
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    inter = _shingle_pair_index(df, text_col, id_col, n, max_df)
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    # sizes is one row PER DOCUMENT (same stats-less LogicalRDD lineage
-    # as the index) — shuffle-hash it too, never a corpus-sized broadcast
+    # sizes ride the index rows (see _shingle_pair_index) — no post-hoc
+    # size joins, so the candidate-pair table is never re-shuffled
     return (
-        inter.join(sz_a.hint("shuffle_hash"), "id_a")
-        .join(sz_b.hint("shuffle_hash"), "id_b")
-        .select("id_a", "id_b", round4(jac).alias("jaccard"))
+        inter.select("id_a", "id_b", round4(jac).alias("jaccard"))
         .where(round4(jac) >= threshold)
     )
 
@@ -1326,18 +1345,14 @@ def ngram_containment_pairs(
     direction's containment clears the threshold. Output keeps both
     directions plus the Jaccard for triage.
     """
-    sizes, inter = _shingle_pair_index(df, text_col, id_col, n, max_df)
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    inter = _shingle_pair_index(df, text_col, id_col, n, max_df)
     c_ab = round4(F.col("inter") / F.col("sz_a"))
     c_ba = round4(F.col("inter") / F.col("sz_b"))
     jac = round4(
         F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     )
     return (
-        inter.join(sz_a.hint("shuffle_hash"), "id_a")
-        .join(sz_b.hint("shuffle_hash"), "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             c_ab.alias("contain_a_in_b"),
