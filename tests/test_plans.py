@@ -506,11 +506,14 @@ def test_index_self_joins_never_broadcast_corpus_sized_sides(spark, sf_dir):
     plans of the pair-generating queries must contain NO
     BroadcastExchange at all — their only legitimate broadcasts
     (1-row stats, eval probes) don't appear in these plans — and the
-    shingle self-join must be a ShuffledHashJoin."""
+    shingle self-join must be a shuffle join (merge-hinted spillable
+    SortMergeJoin since the r11 256x OOM finding; the r12 size-carry
+    removed the two ShuffledHashJoin size joins that used to also
+    appear in this plan — set sizes now ride the index rows)."""
     jac = registry.REGISTRY["dedup_ngram_jaccard_pairs"].fn(spark, sf_dir)
     plan = _executed_plan(jac)
     assert "BroadcastExchange" not in plan, plan[:2000]
-    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
     for q in ("dedup_minhash_lsh_pairs", "doc_novelty_scores"):
         p = _executed_plan(registry.REGISTRY[q].fn(spark, sf_dir))
         assert "BroadcastExchange" not in p, (q, p[:2000])
