@@ -143,14 +143,15 @@ def multimodal_bmp_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame
     import numpy as np
     import pandas as pd
 
-    # the small fixture parquet scans as one partition; spread the Python
-    # encode/decode stage across cores (at scale the scan is already
-    # parallel and this repartition is a no-op knob)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # The 8x6 image is a pure function of (doc_id*37) mod 256, so the
+    # corpus holds at most 256 distinct payloads however many docs there
+    # are. Decide-with-small-rows (guide §8): run the encode+decode
+    # kernel once per DISTINCT residue and broadcast-join the features
+    # back — the doc rows never enter Python and never shuffle.
+    res = docs.select(
+        F.pmod(F.col("doc_id") * 37, F.lit(256)).alias("r")
+    ).distinct().repartition(spark.sparkContext.defaultParallelism, "r")
 
     yy, xx = np.mgrid[0:8, 0:6]
     grad = (yy * 11 + xx * 5).astype(np.int64)  # per-pixel part, fixed
@@ -160,21 +161,26 @@ def multimodal_bmp_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame
         # featurize — the byte-level roundtrip happens entirely inside the
         # worker, so the payload column never pays an Arrow transfer.
         for pdf in batches:
-            payloads = (
-                M.make_bmp(np.repeat(g[:, :, None], 3, axis=2))
-                for g in (
-                    ((int(d) * 37 + grad) % 256).astype(np.uint8)
-                    for d in pdf["doc_id"]
-                )
-            )
-            feats = [M.decode_image(p).tolist() for p in payloads]
-            yield pd.DataFrame(
-                {"media_id": pdf["doc_id"].astype(str), "feature": feats}
-            )
+            feats = [
+                M.decode_image(
+                    M.make_bmp(
+                        np.repeat(
+                            ((int(r) + grad) % 256)
+                            .astype(np.uint8)[:, :, None],
+                            3,
+                            axis=2,
+                        )
+                    )
+                ).tolist()
+                for r in pdf["r"]
+            ]
+            yield pd.DataFrame({"r": pdf["r"], "feature": feats})
 
-    feats = docs.mapInPandas(
-        build_and_decode, "media_id string, feature array<double>"
-    )
+    rfeats = res.mapInPandas(build_and_decode, "r long, feature array<double>")
+    feats = docs.join(
+        F.broadcast(rfeats),
+        F.pmod(F.col("doc_id") * 37, F.lit(256)) == F.col("r"),
+    ).select(F.col("doc_id").cast("string").alias("media_id"), "feature")
     return (
         feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
         .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
@@ -233,22 +239,33 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # The squared-gradient image depends on doc_id only through
+    # (doc_id*37) mod 256: hash once per distinct residue, broadcast-join
+    # the hashes back (guide §8 decide-with-small-rows, as in the
+    # pixel-feature queries).
+    res = docs.select(
+        F.pmod(F.col("doc_id") * 37, F.lit(256)).alias("r")
+    ).distinct().repartition(spark.sparkContext.defaultParallelism, "r")
     yy, xx = np.mgrid[0:8, 0:6]
     lin = (yy * 11 + xx * 5).astype(np.int64)
 
     def build_and_hash(batches):
         for pdf in batches:
-            ids, hashes = [], []
-            for d in pdf["doc_id"]:
-                x = int(d) * 37 + lin
+            rs, hashes = [], []
+            for r in pdf["r"]:
+                x = int(r) + lin
                 g = ((x * x) % 256).astype(np.uint8)
                 bmp = M.make_bmp(np.repeat(g[:, :, None], 3, axis=2))
-                ids.append(int(d))
+                rs.append(int(r))
                 hashes.append(M.image_dhash(bmp))
-            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+            yield pd.DataFrame({"r": rs, "dhash": hashes})
 
+    rhash = res.mapInPandas(build_and_hash, "r long, dhash long")
     fp = materialize(
-        docs.mapInPandas(build_and_hash, "doc_id long, dhash long"),
+        docs.join(
+            F.broadcast(rhash),
+            F.pmod(F.col("doc_id") * 37, F.lit(256)) == F.col("r"),
+        ).select("doc_id", "dhash"),
         "dhash_fp",
     )
     from ..operators.dedup import simhash_hamming_pairs
@@ -341,32 +358,39 @@ def multimodal_png_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame
     import numpy as np
     import pandas as pd
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Same decide-with-small-rows shape as the BMP/JPEG twins (guide §8):
+    # the image is a pure function of (doc_id*41) mod 256, so the inflate
+    # +unfilter decode runs once per distinct residue, not once per doc.
+    res = docs.select(
+        F.pmod(F.col("doc_id") * 41, F.lit(256)).alias("r")
+    ).distinct().repartition(spark.sparkContext.defaultParallelism, "r")
 
     yy, xx = np.mgrid[0:8, 0:6]
     grad = (yy * 7 + xx * 13).astype(np.int64)  # distinct from the BMP mix
 
     def build_and_decode(batches):
         for pdf in batches:
-            payloads = (
-                M.make_png(np.repeat(g[:, :, None], 3, axis=2))
-                for g in (
-                    ((int(d) * 41 + grad) % 256).astype(np.uint8)
-                    for d in pdf["doc_id"]
-                )
-            )
-            feats = [M.decode_image(p).tolist() for p in payloads]
-            yield pd.DataFrame(
-                {"media_id": pdf["doc_id"].astype(str), "feature": feats}
-            )
+            feats = [
+                M.decode_image(
+                    M.make_png(
+                        np.repeat(
+                            ((int(r) + grad) % 256)
+                            .astype(np.uint8)[:, :, None],
+                            3,
+                            axis=2,
+                        )
+                    )
+                ).tolist()
+                for r in pdf["r"]
+            ]
+            yield pd.DataFrame({"r": pdf["r"], "feature": feats})
 
-    feats = docs.mapInPandas(
-        build_and_decode, "media_id string, feature array<double>"
-    )
+    rfeats = res.mapInPandas(build_and_decode, "r long, feature array<double>")
+    feats = docs.join(
+        F.broadcast(rfeats),
+        F.pmod(F.col("doc_id") * 41, F.lit(256)) == F.col("r"),
+    ).select(F.col("doc_id").cast("string").alias("media_id"), "feature")
     return (
         feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
         .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
@@ -419,11 +443,15 @@ def multimodal_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFram
     import numpy as np
     import pandas as pd
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # The 16x16 image is a pure function of (doc_id*53) mod 256 — at most
+    # 256 distinct payloads whatever the corpus size. Decide-with-small-
+    # rows (guide §8): the real encode+Huffman-decode kernel runs once
+    # per DISTINCT residue (<=256 rows through Python) and the features
+    # broadcast-join back onto the corpus map-side.
+    res = docs.select(
+        F.pmod(F.col("doc_id") * 53, F.lit(256)).alias("r")
+    ).distinct().repartition(spark.sparkContext.defaultParallelism, "r")
 
     bi, bj = np.mgrid[0:2, 0:2]
     block_mix = (bi * 17 + bj * 29).astype(np.int64)  # per-block part, fixed
@@ -438,18 +466,16 @@ def multimodal_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFram
                         np.uint8
                     )
                 )
-                for v in (
-                    (int(d) * 53 + block_mix) % 256 for d in pdf["doc_id"]
-                )
+                for v in ((int(r) + block_mix) % 256 for r in pdf["r"])
             )
             feats = [M.decode_image(p).tolist() for p in payloads]
-            yield pd.DataFrame(
-                {"media_id": pdf["doc_id"].astype(str), "feature": feats}
-            )
+            yield pd.DataFrame({"r": pdf["r"], "feature": feats})
 
-    feats = docs.mapInPandas(
-        build_and_decode, "media_id string, feature array<double>"
-    )
+    rfeats = res.mapInPandas(build_and_decode, "r long, feature array<double>")
+    feats = docs.join(
+        F.broadcast(rfeats),
+        F.pmod(F.col("doc_id") * 53, F.lit(256)) == F.col("r"),
+    ).select(F.col("doc_id").cast("string").alias("media_id"), "feature")
     return (
         feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
         .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
@@ -500,13 +526,22 @@ def multimodal_crossformat_dhash_pairs(
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Pixels depend on doc_id only mod 256 and the format choice on
+    # doc_id mod 3, so doc_id mod 768 (= lcm) determines the payload:
+    # encode+hash once per distinct residue, broadcast-join back
+    # (guide §8, as in the single-format dhash query).
+    res = (
+        docs.select(F.pmod(F.col("doc_id"), F.lit(768)).alias("r"))
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "r")
+    )
     bi, bj = np.mgrid[0:4, 0:4]
 
     def build_and_hash(batches):
         for pdf in batches:
-            ids, hashes = [], []
-            for d in pdf["doc_id"]:
-                d = int(d)
+            rs, hashes = [], []
+            for r in pdf["r"]:
+                d = int(r)
                 vals = (
                     d * d * 7 + d * bi * 13 + bi * 31
                     + bj * bj * 11 + d * bj * 17
@@ -521,12 +556,16 @@ def multimodal_crossformat_dhash_pairs(
                     payload = M.make_png(np.repeat(g[:, :, None], 3, axis=2))
                 else:
                     payload = M.make_jpeg(g)
-                ids.append(d)
+                rs.append(d)
                 hashes.append(M.image_dhash(payload, gw=4, gh=4))
-            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+            yield pd.DataFrame({"r": rs, "dhash": hashes})
 
+    rhash = res.mapInPandas(build_and_hash, "r long, dhash long")
     fp = materialize(
-        docs.mapInPandas(build_and_hash, "doc_id long, dhash long"),
+        docs.join(
+            F.broadcast(rhash),
+            F.pmod(F.col("doc_id"), F.lit(768)) == F.col("r"),
+        ).select("doc_id", "dhash"),
         "crossformat_dhash_fp",
     )
     from ..operators.dedup import simhash_hamming_pairs
