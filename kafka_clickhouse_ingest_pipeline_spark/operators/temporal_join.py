@@ -86,6 +86,7 @@ def range_join_binned(
     probe_ts: str,
     interval_start: str,
     width_days: int,
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Inner range join: probe rows whose ts lies in any build interval
     ``[interval_start, interval_start + width_days)``. No equi-key.
@@ -94,6 +95,13 @@ def range_join_binned(
     two bins; the build side is exploded into its covered bins and the
     join runs as a plain equi-join on the bin id plus the exact predicate.
     Returns probe ⨝ build columns (both sides' columns, probe ts retained).
+
+    ``broadcast_probe``: set True when the caller KNOWS the probe side is
+    bounded (e.g. pre-aggregated to distinct calendar days — O(era), not
+    O(events)). Catalyst sees only size estimates and will otherwise
+    happily broadcast the interval side, which scales with the build
+    table (measured on range_join_order_windows: the 2400-row per-day
+    probe streamed while orders × bins was collected and shipped).
     """
     day = 86400
     pbin = (F.unix_timestamp(F.col(probe_ts)) / F.lit(day * width_days)).cast("long")
@@ -114,6 +122,8 @@ def range_join_binned(
         ),
     )
     p = probe.withColumn("_bin", pbin)
+    if broadcast_probe:
+        p = F.broadcast(p)
     joined = p.join(b, "_bin").where(
         (F.col(probe_ts) >= F.col(interval_start))
         & (

@@ -250,10 +250,12 @@ def _grams5(df: DataFrame) -> DataFrame:
     "side is small by construction); no shuffle of the corpus grams.",
 )
 def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    raw_docs = load_table(spark, sf_dir, "documents")
     # Small parquet files scan as one partition locally; spread the gram
     # explode across cores first (at scale the scan is already parallel).
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # Only the gram build (inside the checkpoint) pays this exchange; the
+    # timed train side reads raw_docs directly (guide §2.4).
+    docs = raw_docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     w = F.split(F.col("text"), " ")
     grams5 = F.when(
         F.size(w) >= 5,
@@ -277,7 +279,7 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    train = docs.select("doc_id").where(~is_bench)
+    train = raw_docs.select("doc_id").where(~is_bench)
     # shuffle_hash (256x-probe finding): hits is bounded by CONTAMINATED
     # docs — corpus-sized in the worst case — and its checkpointed-grams
     # lineage carries underestimated stats, so Catalyst auto-broadcast
@@ -394,8 +396,11 @@ def _bloom_contam_sql(pfx: str, bench: str, probe: str) -> str:
     "(Kirsch-Mitzenmacher) derives k=5 positions from one md5 per gram.",
 )
 def decontaminate_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    raw_docs = load_table(spark, sf_dir, "documents")
+    # the repartition spreads the explode across cores INSIDE the gram
+    # checkpoint build; the timed train side below reads raw_docs so it
+    # doesn't pay this exchange per probe (guide §2.4)
+    docs = raw_docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     w = F.split(F.col("text"), " ")
     grams5 = F.when(
         F.size(w) >= 5,
@@ -461,7 +466,7 @@ def decontaminate_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_true_hits"),
         )
     )
-    train = docs.select("doc_id").where(~is_bench)
+    train = raw_docs.select("doc_id").where(~is_bench)
     nb = F.coalesce(F.col("n_bloom_hits"), F.lit(0))
     nt = F.coalesce(F.col("n_true_hits"), F.lit(0))
     return train.join(per_doc, "doc_id", "left").select(

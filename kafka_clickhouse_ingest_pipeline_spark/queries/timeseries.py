@@ -295,8 +295,17 @@ def range_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sum")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # per_day is bounded by distinct calendar days (<= 2400 by
+    # construction of the probe instants) — broadcast it so the
+    # orders-scaled interval side streams instead of being collected
+    # and shipped (guide §3.1; pre-fix plan broadcast orders x bins).
     joined = TJ.range_join_binned(
-        per_day, orders, probe_ts="pts", interval_start="o_orderdate", width_days=3
+        per_day,
+        orders,
+        probe_ts="pts",
+        interval_start="o_orderdate",
+        width_days=3,
+        broadcast_probe=True,
     )
     return joined.groupBy("o_orderkey").agg(
         F.sum("_n").alias("n_events"),
