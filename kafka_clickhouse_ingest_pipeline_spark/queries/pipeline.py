@@ -42,12 +42,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     ev = ingest.filter_nonempty(ev, "props")  # A2
-    ev = ingest.json_validity_gate(ev, "props", variant_col="_vj")  # A3
-    # A9-lenient parse + A11 projection of the one real payload field,
-    # extracted from the variant the gate already parsed (was a third
-    # full get_json_object parse of props; value-identical — both paths
-    # yield the field's text then cast)
-    ev = ev.withColumn("k", F.try_variant_get("_vj", "$.k", "string").cast("int"))
+    ev = ingest.json_validity_gate(ev, "props")  # A3
+    # A9-lenient parse + A11 projection of the one real payload field.
+    # Carrying the gate's parsed variant through the aggregate was probed
+    # both ways (r12): on these event-sized payloads the extra
+    # get_json_object re-parse is CHEAPER than materializing the variant
+    # column (interleaved quiet-box A/B 0.78-0.86 s vs 1.07-1.66 s), so
+    # the gate drops its parse and k re-extracts; value-identical — both
+    # paths yield the field's text then cast (oracle-pinned).
+    ev = ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
     return (
         ev.groupBy("event_type")
         .agg(

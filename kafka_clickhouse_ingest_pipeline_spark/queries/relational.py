@@ -751,8 +751,13 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="C8: math functions — sqrt/ln/pow/floor/ceil/abs/mod.",
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # testdata lineitem is one parquet row group, so the 4.2M HALF_UP
+    # rounds (BigDecimal each) otherwise run in the single scan task;
+    # repartition right after the read (guide §2.5 unsplittable input —
+    # measured 0.92-1.04 s serial vs 0.52-0.70 s spread, interleaved)
     return (
         _t(spark, sf_dir, "lineitem")
+        .repartition(F.col("l_orderkey"))
         .select(
             "l_orderkey",
             "l_linenumber",
