@@ -826,3 +826,30 @@ def test_best_keeper_curation_never_broadcasts_and_builds_narrow(spark, sf_dir):
     semis = _join_lines(plan, "LeftSemi")
     assert semis and all("BuildRight" in ln for ln in semis), semis
     assert "ShuffledHashJoin" in plan
+
+
+def test_image_queries_feed_only_distinct_residues_to_python(spark, sf_dir):
+    """Round-12 optimization pin: the synthetic-image queries run their
+    encode+decode kernel over the DISTINCT pixel residues (bounded by
+    the mod-256/768 seed domain, whatever the corpus size) and
+    broadcast-join the features back onto the doc rows — exactly one
+    Python node, sitting on the bounded side of a BroadcastHashJoin, so
+    the doc rows themselves never cross the Python boundary."""
+    for q in ("multimodal_jpeg_pixel_features", "multimodal_png_pixel_features"):
+        df = registry.REGISTRY[q].fn(spark, sf_dir)
+        plan = _executed_plan(df)
+        assert plan.count("MapInPandas") == 1, q
+        assert "BroadcastHashJoin" in plan, q
+        assert "pmod" in plan, q
+
+
+def test_range_join_broadcasts_the_bounded_probe_side(spark, sf_dir):
+    """Round-12 optimization pin: range_join_order_windows broadcasts
+    the per-day probe aggregate (bounded by calendar days), never the
+    orders-scaled exploded-interval side — the join must be BuildLeft
+    with a single BroadcastExchange."""
+    df = registry.REGISTRY["range_join_order_windows"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BuildLeft" in plan
+    assert "BuildRight" not in plan, plan[:2000]
