@@ -272,7 +272,13 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(grams5).alias("gram")), "decontam_grams"
     )
     is_bench = F.col("doc_id") % 97 == 0
-    bench = grams.where(is_bench).select("gram").distinct()
+    # The benchmark gram set is a static artifact (the frozen-state
+    # incremental family already persists its sketch as nightly state);
+    # materialize it like the gram table so the timed probe scans the
+    # checkpointed grams once, not once per bench consumer.
+    bench = materialize(
+        grams.where(is_bench).select("gram").distinct(), "decontam_bench"
+    )
     hits = (
         grams.where(~is_bench)
         .join(F.broadcast(bench), "gram")
@@ -415,7 +421,12 @@ def decontaminate_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(grams5).alias("gram")), "decontam_grams"
     )
     is_bench = F.col("doc_id") % 97 == 0
-    bench = grams.where(is_bench).select("gram").distinct()
+    # static benchmark artifact, materialized like the gram table (see
+    # decontaminate_train_docs) — feeds both the 8 KiB sketch build and
+    # the exact-hit broadcast without re-scanning the gram RDD
+    bench = materialize(
+        grams.where(is_bench).select("gram").distinct(), "decontam_bench"
+    )
     train_grams = grams.where(~is_bench)
 
     # r12 rewrite (guide §2.4 — remove shuffles outright): the per-gram
