@@ -239,10 +239,19 @@ def main() -> None:
     qs = entrymod.queries()
 
     timings: dict[str, float] = {}
+    # Per-query BUILD time: seconds spent inside qs[name](spark, sf_dir),
+    # which is where materialize() checkpoints (index builds, gram tables,
+    # classifier feature frames) execute. The timed probe below starts
+    # AFTER this boundary, so recording it makes probe-vs-build shifts a
+    # measured number instead of a disclosure (VERDICT r12 "What's wrong"
+    # #2). Detail-file only — the stdout JSON line keeps its exact schema.
+    build_secs: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
+        t0 = time.time()
         df = qs[name](spark, sf_dir)
+        build_secs[name] = round(time.time() - t0, 3)
         df.write.mode("overwrite").format("noop").save()  # warm (JIT, IO cache)
         best = float("inf")
         for _ in range(3):  # best-of-3: single-run noise on a shared box
@@ -261,6 +270,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # untimed query-construction cost (materialize() checkpoints run
+        # here); build_total_sec is the whole boundary in one number
+        "build_sec": build_secs,
+        "build_total_sec": round(sum(build_secs.values()), 2),
     }
     Path(__file__).with_name("BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=2) + "\n"

@@ -826,16 +826,68 @@ def duplicated_spans(
 ) -> DataFrame:
     """Corpus-wide duplicated k-word spans: (chunk, n_occurrences, n_docs).
 
-    One explode + one groupBy(chunk); partial aggregation collapses hot
-    spans map-side, and AQE splits any boilerplate-span skew. Spans seen
-    in ≥2 distinct documents are the dedup candidates.
+    r13 shape (guide §2.3 aggregate before you shuffle): the
+    countDistinct(doc) form planned TWO full exchanges of the chunk text
+    (partial on (chunk, doc), final on chunk — Spark's single-distinct
+    rewrite). A doc's chunks live in its own row, so the per-(doc, chunk)
+    occurrence count is computed IN-ROW first: sort the row's chunk
+    array, take run starts (boundaries), emit one (chunk, cnt) pair per
+    distinct chunk — the same sort + run-length discipline as
+    repetition_features' top_cnt. The explode then carries one row per
+    DISTINCT chunk per doc and the single groupBy(chunk) shuffle
+    partial-aggregates map-side: n_occurrences = sum(cnt), n_docs =
+    count(*). One exchange instead of two, fewer rows on it, identical
+    values. Chunk text stays text on the shuffle (CLAUDE.md: natural-
+    text keys compress better than digests, and the output contract is
+    the chunk string).
     """
-    ch = doc_chunks(df, text_col, id_col, k)
+    w = F.split(F.col(text_col), " ")
+    m = F.floor(F.size(w) / F.lit(k)).cast("int")
+    chunks = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda j: F.concat_ws(" ", F.slice(w, j * k + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    srt_df = df.select(F.col(id_col), F.array_sort(chunks).alias("__srt"))
+    srt = F.col("__srt")
+    # run starts: position 1 plus every position whose chunk differs from
+    # its predecessor (when() keeps element_at(srt, 0) unevaluated under
+    # ANSI; sequence() guarded — it DESCENDS when start > stop)
+    bnd = F.when(
+        F.size(srt) > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size(srt)),
+            lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(srt, i) != F.element_at(srt, i - 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    staged = srt_df.select(F.col(id_col), srt, bnd.alias("__bnd"))
+    b = F.col("__bnd")
+    nb = F.size(b)
+    pairs = F.when(
+        nb > 0,
+        F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda j: F.struct(
+                F.element_at(srt, F.element_at(b, j)).alias("chunk"),
+                (
+                    F.when(j == nb, F.size(srt) + 1).otherwise(
+                        F.element_at(b, j + 1)
+                    )
+                    - F.element_at(b, j)
+                ).alias("cnt"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk:string,cnt:int>>"))
+    per_doc = staged.select(F.col(id_col), F.explode(pairs).alias("p"))
     return (
-        ch.groupBy("chunk")
+        per_doc.groupBy(F.col("p.chunk").alias("chunk"))
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct(id_col).alias("n_docs"),
+            F.sum("p.cnt").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
         .where(F.col("n_docs") >= 2)
     )
@@ -1470,26 +1522,32 @@ def cdc_chunks(
     ``start``; digest is the portable md5 of the chunk text.
     """
     ln = F.length(F.col(text_col))
-    pos = df.select(
-        id_col,
-        text_col,
-        ln.alias("ln"),
-        F.explode(F.sequence(F.lit(window), F.greatest(ln, F.lit(window)))).alias(
-            "i"
-        ),
-    ).where(F.col("i") <= F.col("ln"))
     from ..functions.hashing import hash60
 
-    cut = pos.where(
-        hash60(
-            F.substring(F.col(text_col), F.col("i") - window + 1, window)
-        )
-        % divisor
-        == 0
-    ).select(id_col, F.col("i").alias("cut"))
-    cuts = cut.groupBy(id_col).agg(F.sort_array(F.collect_list("cut")).alias("cuts"))
-    base = df.select(id_col, text_col, ln.alias("ln")).join(
-        cuts.hint("shuffle_hash"), id_col, "left"
+    # r13 (guide §2.4 remove shuffles outright): the boundary test is a
+    # pure per-row computation — every position's verdict depends only on
+    # the row's own text — so it runs as an array `filter` HOF instead of
+    # the former explode(~n_chars rows, each materializing the full text
+    # column) → groupBy(id) collect_list shuffle → shuffle_hash join back
+    # onto the docs. Same per-position hash60 arithmetic, same ascending
+    # cut order (sequence ascends; filter preserves order ==
+    # sort_array(collect_list)), zero exchanges until the consumer's own
+    # aggregation. A doc's boundary scan is in-row work bounded by doc
+    # length, not corpus size. NB sequence(start, stop) DESCENDS when
+    # start > stop, hence the explicit ln >= window guard.
+    cut_positions = F.when(
+        ln >= window,
+        F.filter(
+            F.sequence(F.lit(window), ln),
+            lambda i: hash60(
+                F.substring(F.col(text_col), i - window + 1, window)
+            )
+            % divisor
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        id_col, text_col, ln.alias("ln"), cut_positions.alias("cuts")
     )
     cuts_arr = F.coalesce(F.col("cuts"), F.array().cast("array<int>"))
     starts = F.concat(

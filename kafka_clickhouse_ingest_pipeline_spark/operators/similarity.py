@@ -91,9 +91,13 @@ def lsh_bucket(vec: Column) -> Column:
     literal makes the column non-nullable, so no filter is inferred and
     each side pays exactly one ArrowEvalPython. The kernel returns a
     non-null long for every non-null vector (sums of floats; NaNs
-    compare false and still yield a bucket), and no corpus ships null
-    vectors, so the -1 arm is dead — it exists so the type system
-    proves it.
+    compare false and still yield a bucket). A NULL vector would land
+    in bucket -1 on every side and could pair with other null rows —
+    the pre-coalesce plans dropped such rows via the inferred filter —
+    so every bucket-join consumer filters ``vec IS NOT NULL`` on its
+    input column BEFORE bucketing (a JVM filter on the raw column, so
+    no second kernel eval is induced; pinned by
+    tests/test_ml_lsh.py::test_null_vectors_never_pair).
     """
     from .udfs import lsh_bucket_udf
 
@@ -184,12 +188,16 @@ def bucketed_topk(
     of the data for 8 planes. Recall < 1 by construction; raise it by
     probing Hamming-adjacent buckets (multi-probe) or adding tables.
     """
-    q = query.select(
+    # NULL vectors must never reach the bucket join (they would all land
+    # in coalesce's -1 bucket and pair with each other); the filter is on
+    # the RAW column, so it cannot re-induce the double kernel eval the
+    # coalesce exists to prevent (see lsh_bucket docstring).
+    q = query.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("q_id"),
         as_double(F.col(vec_col)).alias("qv"),
         lsh_bucket(as_double(F.col(vec_col))).alias("q_bucket"),
     )
-    c = emb.select(
+    c = emb.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),
         lsh_bucket(as_double(F.col(vec_col))).alias("bucket"),
@@ -221,7 +229,8 @@ def multiprobe_topk(
     (7/64 here) — still sub-linear, and the probe list is a broadcast of
     N_PLANES+1 rows, never a shuffle of the corpus side.
     """
-    q = query.select(
+    # null-vector guard: see bucketed_topk / lsh_bucket docstring
+    q = query.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("q_id"),
         as_double(F.col(vec_col)).alias("qv"),
         lsh_bucket(as_double(F.col(vec_col))).alias("q_bucket"),
@@ -233,7 +242,7 @@ def multiprobe_topk(
     probes = q.select(
         "q_id", "qv", F.explode(probe_buckets).alias("bucket")
     )
-    c = emb.select(
+    c = emb.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),
         lsh_bucket(as_double(F.col(vec_col))).alias("bucket"),
@@ -270,7 +279,8 @@ def batch_multiprobe_topk(
     Ranking uses the raw cosine (identical doubles in any engine);
     round4 only on the output column.
     """
-    q = queries.select(
+    # null-vector guard: see bucketed_topk / lsh_bucket docstring
+    q = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("q_id"),
         as_double(F.col(vec_col)).alias("qv"),
         lsh_bucket(as_double(F.col(vec_col))).alias("q_bucket"),
@@ -280,7 +290,7 @@ def batch_multiprobe_topk(
         *[F.col("q_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
     )
     probes = q.select("q_id", "qv", F.explode(probe_buckets).alias("bucket"))
-    c = emb.select(
+    c = emb.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),
         lsh_bucket(as_double(F.col(vec_col))).alias("bucket"),

@@ -96,12 +96,18 @@ def range_join_binned(
     join runs as a plain equi-join on the bin id plus the exact predicate.
     Returns probe ⨝ build columns (both sides' columns, probe ts retained).
 
-    ``broadcast_probe``: set True when the caller KNOWS the probe side is
-    bounded (e.g. pre-aggregated to distinct calendar days — O(era), not
-    O(events)). Catalyst sees only size estimates and will otherwise
-    happily broadcast the interval side, which scales with the build
-    table (measured on range_join_order_windows: the 2400-row per-day
-    probe streamed while orders × bins was collected and shipped).
+    ``broadcast_probe``: set True ONLY when the caller KNOWS the probe
+    side is bounded — the contract is a side that stays well under the
+    default 10 MB auto-broadcast threshold at ANY data size, i.e. rows
+    bounded by a calendar/era/config constant (≤ ~100k narrow rows),
+    never by table cardinality. A caller passing an events-scaled probe
+    gets a driver-fatal broadcast at scale with no diagnostic (the flag
+    is the caller's assertion of boundedness; there is no runtime
+    count() guard because the check itself would cost a pass). Catalyst
+    sees only size estimates and will otherwise happily broadcast the
+    interval side, which scales with the build table (measured on
+    range_join_order_windows: the 2400-row per-day probe streamed while
+    orders × bins was collected and shipped).
     """
     day = 86400
     pbin = (F.unix_timestamp(F.col(probe_ts)) / F.lit(day * width_days)).cast("long")

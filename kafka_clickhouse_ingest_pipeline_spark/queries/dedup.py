@@ -2171,19 +2171,27 @@ def dedup_cdc_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cdc_savings(docs: DataFrame) -> DataFrame:
     ch = D.cdc_chunks(docs, "text", "doc_id", window=8, divisor=64)
-    w = Window.partitionBy("digest").orderBy("doc_id", "start")
-    owned = ch.select(
-        "length", "digest", F.row_number().over(w).alias("rn")
+    # r13 (guide §2.3 aggregate before you shuffle): first-owner bytes via
+    # a mergeable min_by(length, (doc_id, start)) per digest instead of a
+    # row_number window — the window shape paid Exchange+Sort over EVERY
+    # chunk row and then a count_distinct re-aggregation; this shape
+    # partial-aggregates map-side and shuffles one row per distinct
+    # digest. min_by's (doc_id, start) struct ordering picks exactly the
+    # window's rn=1 row (the pair is unique within a digest group), and
+    # every rollup value is integer arithmetic until the final division —
+    # bit-identical dedup_ratio.
+    per_digest = ch.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("length").alias("bytes"),
+        F.min_by("length", F.struct("doc_id", "start")).alias("first_len"),
     )
-    first_bytes = F.sum(F.when(F.col("rn") == 1, F.col("length")).otherwise(0))
-    return owned.agg(
-        F.count(F.lit(1)).cast("long").alias("n_chunks"),
-        F.count_distinct("digest").cast("long").alias("n_unique_chunks"),
-        F.sum("length").cast("long").alias("total_bytes"),
-        (F.sum("length") - first_bytes).cast("long").alias("dup_bytes"),
-        round4(
-            (F.sum("length") - first_bytes) * 1.0 / F.sum("length")
-        ).alias("dedup_ratio"),
+    dup_bytes = F.sum("bytes") - F.sum("first_len")
+    return per_digest.agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        dup_bytes.cast("long").alias("dup_bytes"),
+        round4(dup_bytes * 1.0 / F.sum("bytes")).alias("dedup_ratio"),
     )
 
 

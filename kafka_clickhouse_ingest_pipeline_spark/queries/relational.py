@@ -753,11 +753,17 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata lineitem is one parquet row group, so the 4.2M HALF_UP
     # rounds (BigDecimal each) otherwise run in the single scan task;
-    # repartition right after the read (guide §2.5 unsplittable input —
-    # measured 0.92-1.04 s serial vs 0.52-0.70 s spread, interleaved)
+    # spread them ONLY when the scan is observably under-partitioned
+    # (guide §2.5 is for genuinely unsplittable inputs — measured
+    # 0.92-1.04 s serial vs 0.52-0.70 s spread, interleaved). A
+    # splittable production scan is already parallel and the exchange
+    # would shuffle the whole table before a map-only projection
+    # (VERDICT r12 "What's wrong" #1).
+    base = _t(spark, sf_dir, "lineitem")
+    if base.rdd.getNumPartitions() * 4 <= spark.sparkContext.defaultParallelism:
+        base = base.repartition(F.col("l_orderkey"))
     return (
-        _t(spark, sf_dir, "lineitem")
-        .repartition(F.col("l_orderkey"))
+        base
         .select(
             "l_orderkey",
             "l_linenumber",

@@ -612,3 +612,40 @@ def test_lsh_incremental_pairs_equal_full_cross_pairs(spark, sf_dir):
         ).collect()
     }
     assert inc == cross and len(inc) > 0
+
+
+def test_null_vectors_never_pair(spark):
+    """Round-12 VERDICT #7 pin: lsh_bucket's coalesce(-1) makes the
+    bucket non-nullable (the single-ArrowEvalPython plan shape), so a
+    NULL vector would land in bucket -1 on every join side and pair
+    with other null rows. The bucket-join operators therefore filter
+    null vectors on the RAW input column before bucketing — this test
+    plants two null-vector rows (corpus + query batch) and asserts no
+    output row ever references them on any LSH path."""
+    from kafka_clickhouse_ingest_pipeline_spark.operators import dedup as D
+
+    rows = [
+        (0, [1.0] * S.EMB_DIM),
+        (1, [1.0] * S.EMB_DIM),
+        (2, None),  # corpus null
+        (3, [-1.0] * S.EMB_DIM),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    null_q = spark.createDataFrame(
+        [(90, None), (91, [1.0] * S.EMB_DIM)],
+        "vec_id long, embedding array<double>",
+    )
+
+    got = S.bucketed_topk(emb, null_q.where("vec_id = 90"), k=10).collect()
+    assert got == [], got  # null query matches nothing, not bucket -1
+
+    got = S.multiprobe_topk(emb, null_q.where("vec_id = 90"), k=10).collect()
+    assert got == [], got
+
+    batch = S.batch_multiprobe_topk(emb, null_q, k=10).collect()
+    ids = {(r.q_id, r.vec_id) for r in batch}
+    assert all(q != 90 and v != 2 for q, v in ids), ids
+
+    pairs = D.embedding_near_dup_pairs(emb, threshold=-2.0).collect()
+    touched = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert 2 not in touched, pairs

@@ -835,12 +835,46 @@ def test_image_queries_feed_only_distinct_residues_to_python(spark, sf_dir):
     broadcast-join the features back onto the doc rows — exactly one
     Python node, sitting on the bounded side of a BroadcastHashJoin, so
     the doc rows themselves never cross the Python boundary."""
-    for q in ("multimodal_jpeg_pixel_features", "multimodal_png_pixel_features"):
+    for q in (
+        "multimodal_jpeg_pixel_features",
+        "multimodal_png_pixel_features",
+        "multimodal_bmp_pixel_features",
+    ):
         df = registry.REGISTRY[q].fn(spark, sf_dir)
         plan = _executed_plan(df)
         assert plan.count("MapInPandas") == 1, q
         assert "BroadcastHashJoin" in plan, q
         assert "pmod" in plan, q
+    # The dhash-pair composites reuse the same distinct-residue kernel for
+    # their fingerprint subplans (ADVICE r12: a revert to per-doc Python
+    # passed the pixel-feature pins alone). The fp frame is materialize()d,
+    # so the query plan only shows the checkpoint scan — audit at the
+    # operator, not the query (CLAUDE.md): bypass materialize to expose
+    # the fp subplan and assert exactly one MapInPandas on the bounded
+    # side of a BroadcastHashJoin keyed on the pmod residue.
+    import kafka_clickhouse_ingest_pipeline_spark.queries.multimodal as QM
+
+    orig = QM.materialize
+    QM.materialize = lambda df, name, **kw: df
+    try:
+        for q in (
+            "multimodal_image_dhash_pairs",
+            "multimodal_crossformat_dhash_pairs",
+        ):
+            df = registry.REGISTRY[q].fn(spark, sf_dir)
+            plan = _executed_plan(df)
+            # the un-checkpointed fp subtree replicates per consumer, so
+            # the node COUNT is shape-dependent — the invariant is that
+            # EVERY Python node consumes only the residue column `r`
+            # (a per-doc revert would feed it doc_id/payload columns)
+            # and the features re-attach through a broadcast join on
+            # the pmod residue key
+            mip = [ln for ln in plan.splitlines() if "MapInPandas" in ln]
+            assert mip and all("(r#" in ln for ln in mip), (q, mip)
+            assert "BroadcastHashJoin" in plan, q
+            assert "pmod" in plan, q
+    finally:
+        QM.materialize = orig
 
 
 def test_range_join_broadcasts_the_bounded_probe_side(spark, sf_dir):
@@ -850,6 +884,29 @@ def test_range_join_broadcasts_the_bounded_probe_side(spark, sf_dir):
     with a single BroadcastExchange."""
     df = registry.REGISTRY["range_join_order_windows"].fn(spark, sf_dir)
     plan = _executed_plan(df)
-    assert "BroadcastHashJoin" in plan
-    assert "BuildLeft" in plan
-    assert "BuildRight" not in plan, plan[:2000]
+    # Scope the build-side assertion to the range join itself (the BHJ
+    # lines keyed on _bin) so an unrelated future join or AQE naming
+    # drift can't fail the pin (ADVICE r12).
+    bin_joins = [
+        ln for ln in _join_lines(plan, "BroadcastHashJoin") if "_bin#" in ln
+    ]
+    assert bin_joins, plan[:2000]
+    assert all("BuildLeft" in ln for ln in bin_joins), bin_joins
+
+
+def test_scalar_math_repartition_only_when_underpartitioned(spark, sf_dir):
+    """Round-13 pin (VERDICT r12 "What's wrong" #1): scalar_math_funcs'
+    repartition-after-read exists for the single-row-group local
+    testdata; on a scan that is already split (production parquet is
+    splittable) the query must NOT pay a full-table exchange before a
+    map-only projection."""
+    df = registry.REGISTRY["scalar_math_funcs"].fn(spark, sf_dir)
+    assert "Exchange" in _executed_plan(df)  # local 1-split scan: spread
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024))
+    try:
+        df_split = registry.REGISTRY["scalar_math_funcs"].fn(spark, sf_dir)
+        assert "Exchange" not in _executed_plan(df_split)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -31,7 +31,7 @@ from kafka_clickhouse_ingest_pipeline_spark.session import (  # noqa: E402
     build_session,
 )
 
-PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r12"
+PLANS_DIR = Path(__file__).resolve().parent.parent / "plans" / "r13"
 
 FEATURES = [
     ("Exchange", "Exchange"),
