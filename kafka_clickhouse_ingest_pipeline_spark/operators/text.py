@@ -551,8 +551,17 @@ def bm25_query_indexed(
     stats = dl.agg(
         F.avg("dl").alias("avgdl"), (F.count(F.lit(1)) * 1.0).alias("n_docs")
     )
-    tf = postings.join(F.broadcast(qterms), "term")
-    dfq = df_tbl.join(F.broadcast(qterms), "term")
+    # r13 (guide §3 / VERDICT r12 #4 — fewer, fatter broadcasts): the
+    # probe used to ship FOUR broadcast builds (qterms onto postings,
+    # qterms onto df_tbl, the dfq result, the 1-row stats cross), each
+    # its own job under AQE — the per-job floor stacked. All per-term
+    # constants now ride ONE |terms|-row broadcast: df_tbl ⋈ qterms ×
+    # stats. Joining postings directly with it is identical to the old
+    # double join (df_tbl derives from postings, so every posting term
+    # exists there; the term equi-join both filters to query terms and
+    # attaches df/avgdl/n_docs). Postings-side row order is untouched,
+    # so the per-doc float sum folds in the same order.
+    qstats = df_tbl.join(F.broadcast(qterms), "term").crossJoin(stats)
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -561,9 +570,8 @@ def bm25_query_indexed(
     )
     term_score = idf * F.col("tf") * (k1 + 1.0) / denom
     return (
-        tf.join(F.broadcast(dfq), "term")
+        postings.join(F.broadcast(qstats), "term")
         .join(dl.hint("shuffle_hash"), id_col)  # dl: per-doc, corpus-sized
-        .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(round4(F.sum(term_score)).alias("bm25"))
         .orderBy(F.col("bm25").desc(), id_col)
