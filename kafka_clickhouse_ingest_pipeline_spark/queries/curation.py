@@ -485,7 +485,12 @@ def decontaminate_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = raw_docs.select("doc_id").where(~is_bench)
     nb = F.coalesce(F.col("n_bloom_hits"), F.lit(0))
     nt = F.coalesce(F.col("n_true_hits"), F.lit(0))
-    return train.join(per_doc, "doc_id", "left").select(
+    # shuffle_hash (r13, guide §3.2 + CLAUDE.md narrow-build rule): per_doc
+    # is doc_id + two longs — narrow — but corpus-sized in the worst case
+    # and behind the checkpointed-gram lineage, so it must not broadcast;
+    # the hint also swaps the SortMergeJoin for a hash join, dropping both
+    # sides' sorts (matches decontaminate_train_docs's landed shape).
+    return train.join(per_doc.hint("shuffle_hash"), "doc_id", "left").select(
         "doc_id",
         nb.cast("long").alias("n_bloom_hits"),
         nt.cast("long").alias("n_true_hits"),

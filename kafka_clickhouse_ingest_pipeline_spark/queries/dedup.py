@@ -1429,9 +1429,13 @@ def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("n_lower_dups")
     )
+    # shuffle_hash (r13, guide §3.2): drops is vec_id + one long — narrow —
+    # but corpus-sized in the worst case behind the checkpointed bucket
+    # index, so it must not broadcast; the hint also swaps the final
+    # SortMergeJoin for a hash join, dropping both sides' sorts.
     return (
         emb.select("vec_id", "label")
-        .join(drops, "vec_id", "left")
+        .join(drops.hint("shuffle_hash"), "vec_id", "left")
         .select(
             "vec_id",
             "label",
