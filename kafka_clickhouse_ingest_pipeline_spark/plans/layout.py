@@ -309,3 +309,25 @@ def write_hilbert(
         .drop("_h")
     )
     out.write.mode(mode).parquet(path)
+
+
+def bounded_sort(df: DataFrame, *cols) -> DataFrame:
+    """Total order for a DOMAIN-BOUNDED final frame without the range
+    exchange.
+
+    ``orderBy`` plans a rangepartitioning Exchange whose bounds come from
+    a separate sampling job — pure overhead when the frame is a final
+    aggregate over enum/domain-bounded keys (return flags, nations,
+    languages, event types, fixed-width z-buckets): the whole result is
+    at most a few hundred rows at ANY corpus size, by construction, not
+    by testdata luck. ``coalesce(1) + sortWithinPartitions`` yields the
+    same total order in one task with no sampling job and no exchange;
+    AQE folds the coalesce into the final-aggregate stage, so only the
+    ≤|domain|-row merge runs single-task — every stage below keeps its
+    parallelism (r13, guide §2.4; interleaved A/B on pipeline_flagship:
+    ~0.1 s, one job off the per-query floor).
+
+    ONLY for domain-bounded outputs — never for corpus-scaled frames,
+    where the single-task sort would serialize real data.
+    """
+    return df.coalesce(1).sortWithinPartitions(*cols)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round4
+from ..plans import layout as ZL
 from ..registry import query
 from ..tables import load_table
 
@@ -105,7 +106,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
-        .orderBy(F.col("revenue").desc(), "nation")
+        # bounded final: nations of one region — a fixed reference domain
+        .transform(lambda d: ZL.bounded_sort(d, F.col("revenue").desc(), "nation"))
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.temporal import epoch_ms
 from ..operators import ingest
+from ..plans import layout as ZL
 from ..registry import query
 from ..tables import load_table
 
@@ -51,25 +52,19 @@ def pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gate drops its parse and k re-extracts; value-identical — both
     # paths yield the field's text then cast (oracle-pinned).
     ev = ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
-    # Final sort without a range exchange (r13, guide §2.4): the aggregate
-    # output is one row per event_type — a domain-bounded enum at ANY
-    # corpus size — so coalesce(1) + sortWithinPartitions gives the same
-    # total order while dropping the rangepartitioning exchange and its
-    # bounds-sampling job (interleaved A/B/A: 0.78/0.65 -> 0.66/0.56, a
-    # consistent ~0.1 s = one job off the floor). The heavy exchanges
-    # below the final aggregate keep their parallelism; only the ≤|enum|-
-    # row final merge runs single-task.
-    return (
-        ev.groupBy("event_type")
-        .agg(
+    # Final sort without a range exchange (r13, guide §2.4): one row per
+    # event_type — a domain-bounded enum at ANY corpus size (interleaved
+    # A/B/A: 0.78/0.65 -> 0.66/0.56, one bounds-sampling job off the
+    # floor; invariant documented on plans/layout.bounded_sort).
+    return ZL.bounded_sort(
+        ev.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 4).alias("sum_value"),
             F.round(F.avg("value"), 4).alias("avg_value"),
             F.round(F.avg("k"), 4).alias("avg_k"),
-        )
-        .coalesce(1)
-        .sortWithinPartitions("event_type")
+        ),
+        "event_type",
     )
 
 

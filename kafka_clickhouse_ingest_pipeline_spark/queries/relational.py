@@ -149,7 +149,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # bounded final: returnflag × linestatus is an enum domain
+        .transform(lambda d: ZL.bounded_sort(d, "l_returnflag", "l_linestatus"))
     )
 
 
@@ -204,7 +205,8 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("o_orderstatus")
+        # bounded final: o_orderstatus is an enum domain
+        .transform(lambda d: ZL.bounded_sort(d, "o_orderstatus"))
     )
 
 
@@ -391,9 +393,13 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
         )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
+        # bounded final: rollup of an enum domain (+ null subtotal rows)
+        .transform(
+            lambda d: ZL.bounded_sort(
+                d,
+                F.col("l_returnflag").asc_nulls_first(),
+                F.col("l_linestatus").asc_nulls_first(),
+            )
         )
     )
 
@@ -1837,7 +1843,8 @@ def agg_filtered_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_price_recent"),
             F.count_if(bulk).alias("n_bulk"),
         )
-        .orderBy("l_returnflag")
+        # bounded final: l_returnflag is an enum domain
+        .transform(lambda d: ZL.bounded_sort(d, "l_returnflag"))
     )
 
 
@@ -2225,7 +2232,8 @@ def hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("within_20pct"),
         )
-        .orderBy("event_type")
+        # bounded final: event_type is an enum domain
+        .transform(lambda d: ZL.bounded_sort(d, "event_type"))
     )
 
 
@@ -2299,7 +2307,9 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("bbox_area"),
         )
-        .orderBy("zbucket")
+        # bounded final: zbucket < 2^10 by construction of the 16-bit
+        # interleave and the 2^22 divisor — fixed-width at any scale
+        .transform(lambda d: ZL.bounded_sort(d, "zbucket"))
     )
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash60_sql
 from ..functions.rounding import round4, round4_sql
 from ..operators import sampling as SMP
+from ..plans import layout as ZL
 from ..registry import query
 from ..tables import load_table
 
@@ -98,7 +99,8 @@ def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
         )
-        .orderBy("split", "source")
+        # bounded final: split × source — both fixed domains
+        .transform(lambda d: ZL.bounded_sort(d, "split", "source"))
     )
 
 
@@ -178,7 +180,8 @@ def mix_corpus_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs_kept"),
             F.sum("n_chars").alias("chars_kept"),
         )
-        .orderBy("lang")
+        # bounded final: lang is an enum domain
+        .transform(lambda d: ZL.bounded_sort(d, "lang"))
     )
 
 
