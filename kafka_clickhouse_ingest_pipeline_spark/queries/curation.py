@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions.rounding import round4, round4_sql
 from ..operators import packing as PK
+from ..plans import layout as ZL
 from ..plans.materialize import materialize
 from ..operators import text as T
 from ..registry import query
@@ -2004,7 +2005,8 @@ def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bins_row)
         .unionByName(split_rows)
     )
-    return funnel.orderBy("stage_ord")
+    # bounded final: the stage list is fixed by the pipeline definition
+    return ZL.bounded_sort(funnel, "stage_ord")
 
 
 # --- the incremental twin: a crawl increment vs FROZEN nightly state -----

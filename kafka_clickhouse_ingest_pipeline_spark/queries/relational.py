@@ -3941,5 +3941,6 @@ def quantile_hist_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.abs(F.col("est_v") - F.col("exact_v"))).alias("abs_err"),
             F.col("n").cast("long").alias("n"),
         )
-        .orderBy("l_returnflag", "q")
+        # bounded final: returnflag enum x the 3 fixed quantiles = 9 rows
+        .transform(lambda d: ZL.bounded_sort(d, "l_returnflag", "q"))
     )

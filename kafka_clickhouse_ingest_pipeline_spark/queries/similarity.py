@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash60_sql
 from ..functions.rounding import round4, round4_sql
 from ..operators import similarity as S
+from ..plans import layout as ZL
 from ..plans.materialize import materialize
 from ..registry import query
 from ..tables import load_table
@@ -1738,7 +1739,10 @@ _BATCH_PROBES = ", ".join(
 def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 8)
-    return S.batch_multiprobe_topk(emb, qs, k=5).orderBy("q_id", "rank")
+    # bounded final: 8 fixed probes x k=5 rows at any corpus size
+    return ZL.bounded_sort(
+        S.batch_multiprobe_topk(emb, qs, k=5), "q_id", "rank"
+    )
 
 
 def _centroid_sql(src: str) -> str:
