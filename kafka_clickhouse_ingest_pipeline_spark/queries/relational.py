@@ -460,14 +460,21 @@ def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
+    # Same one-exchange window shape as window_running_revenue (r13,
+    # guide §2.1). The map-side WindowGroupLimit partial the hash shape got
+    # is no real loss: with ~k orders per customer spread over P map
+    # partitions it passes ~min(k, P) rows per key — barely below k — while
+    # this drops an entire full-table exchange (interleaved probe:
+    # 0.649/0.396 -> 0.389/0.330, collect()-equal row order).
     return (
         _t(spark, sf_dir, "orders")
+        .repartitionByRange("o_custkey")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice")
         )
-        .orderBy("o_custkey")
+        .sortWithinPartitions("o_custkey")
     )
 
 
@@ -520,14 +527,21 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # One exchange instead of two (r13, guide §2.1): range-partitioning on
+    # the window's partition key up front satisfies the window's clustering
+    # requirement (same-key rows co-locate), and the final total order then
+    # needs only a partition-local sort — the window's hash exchange AND the
+    # post-window range exchange collapse into this single range exchange.
+    # Row-for-row identical output order (probe-verified collect equality).
     return (
         _t(spark, sf_dir, "orders")
+        .repartitionByRange("o_custkey")
         .select(
             "o_custkey",
             "o_orderkey",
             F.round(F.sum("o_totalprice").over(w), 4).alias("running_revenue"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
     )
 
 
@@ -1248,8 +1262,12 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-6, 0)
     )
+    # Same one-exchange window shape as window_running_revenue (r13,
+    # guide §2.1): range-partition on the partition key, window reuses the
+    # clustering, final order is partition-local.
     return (
         _t(spark, sf_dir, "orders")
+        .repartitionByRange("o_custkey")
         .select(
             "o_custkey",
             "o_orderkey",
@@ -1257,7 +1275,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rolling_median_price"
             ),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
     )
 
 
