@@ -181,10 +181,16 @@ def multimodal_bmp_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame
         F.broadcast(rfeats),
         F.pmod(F.col("doc_id") * 37, F.lit(256)) == F.col("r"),
     ).select(F.col("doc_id").cast("string").alias("media_id"), "feature")
+    # Sort at doc grain, not exploded grain (r13, guide §2.2): posexplode
+    # emits dim ascending within each row and Generate preserves row
+    # order, so range-sorting the per-doc rows BEFORE the explode yields
+    # the identical (media_id, dim) total order while the range exchange
+    # moves |docs| rows instead of |docs|x|dims| (collect()-equal, probed).
     return (
-        feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
+        feats.repartitionByRange("media_id")
+        .sortWithinPartitions("media_id")
+        .select("media_id", F.posexplode("feature").alias("dim", "val"))
         .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
-        .orderBy("media_id", "dim")
     )
 
 
@@ -391,10 +397,16 @@ def multimodal_png_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame
         F.broadcast(rfeats),
         F.pmod(F.col("doc_id") * 41, F.lit(256)) == F.col("r"),
     ).select(F.col("doc_id").cast("string").alias("media_id"), "feature")
+    # Sort at doc grain, not exploded grain (r13, guide §2.2): posexplode
+    # emits dim ascending within each row and Generate preserves row
+    # order, so range-sorting the per-doc rows BEFORE the explode yields
+    # the identical (media_id, dim) total order while the range exchange
+    # moves |docs| rows instead of |docs|x|dims| (collect()-equal, probed).
     return (
-        feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
+        feats.repartitionByRange("media_id")
+        .sortWithinPartitions("media_id")
+        .select("media_id", F.posexplode("feature").alias("dim", "val"))
         .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
-        .orderBy("media_id", "dim")
     )
 
 
@@ -476,10 +488,16 @@ def multimodal_jpeg_pixel_features(spark: SparkSession, sf_dir: str) -> DataFram
         F.broadcast(rfeats),
         F.pmod(F.col("doc_id") * 53, F.lit(256)) == F.col("r"),
     ).select(F.col("doc_id").cast("string").alias("media_id"), "feature")
+    # Sort at doc grain, not exploded grain (r13, guide §2.2): posexplode
+    # emits dim ascending within each row and Generate preserves row
+    # order, so range-sorting the per-doc rows BEFORE the explode yields
+    # the identical (media_id, dim) total order while the range exchange
+    # moves |docs| rows instead of |docs|x|dims| (collect()-equal, probed).
     return (
-        feats.select("media_id", F.posexplode("feature").alias("dim", "val"))
+        feats.repartitionByRange("media_id")
+        .sortWithinPartitions("media_id")
+        .select("media_id", F.posexplode("feature").alias("dim", "val"))
         .select("media_id", "dim", round4(F.col("val")).alias("feat_val"))
-        .orderBy("media_id", "dim")
     )
 
 
