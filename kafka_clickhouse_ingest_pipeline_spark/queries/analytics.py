@@ -445,8 +445,15 @@ def agg_entropy_user_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # One exchange fused out (r13, guide §2.1): the per-user rollup and the
+    # final total order both key on user_id, so range-partitioning the
+    # (user, type, cnt) rows once serves the second aggregate's clustering
+    # AND the output order — Exchange 3 -> 2, collect()-equal (probed
+    # 0.500/0.318 -> 0.386/0.253). The first exchange stays on
+    # (user, type): it moves map-side partial counts, not raw events.
     return (
-        counts.groupBy("user_id")
+        counts.repartitionByRange("user_id")
+        .groupBy("user_id")
         .agg(
             F.sum("cnt").alias("n_events"),
             F.count(F.lit(1)).alias("n_types"),
@@ -455,7 +462,7 @@ def agg_entropy_user_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.sum(F.col("cnt") * F.log2("cnt")) / F.sum("cnt")
             ).alias("type_entropy"),
         )
-        .orderBy("user_id")
+        .sortWithinPartitions("user_id")
     )
 
 
