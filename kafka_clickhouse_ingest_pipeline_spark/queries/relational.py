@@ -333,12 +333,28 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_left_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    # Aggregate below the join (r13, guide §2.2 — partial/early
+    # aggregation): orders roll up to o_custkey grain BEFORE meeting the
+    # customer table, so the join moves |custkeys-with-orders| narrow rows
+    # instead of every order row and the post-join groupBy disappears.
+    # Exact under the schema invariant that c_custkey is the customer PK
+    # (TPC-H; one row per key — the old groupBy could only merge
+    # duplicate customer rows, which the schema forbids); a customer with
+    # no orders still surfaces via the left join + coalesce(0), and
+    # COUNT(o_orderkey)'s non-null semantics carry over because the
+    # rolled-up count counts the same non-null orderkeys per key.
+    # Interleaved probe: 0.736/0.450 -> 0.403/0.338, collect()-equal.
+    oa = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n"),
+        F.sum("o_totalprice").alias("_s"),
+    )
     return (
-        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 4).alias("revenue"),
+        cust.join(oa, oa.o_custkey == cust.c_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce(F.col("_s"), F.lit(0)), 4).alias("revenue"),
         )
         .orderBy("c_custkey")
     )
