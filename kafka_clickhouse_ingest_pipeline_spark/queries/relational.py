@@ -310,7 +310,8 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 4).alias("revenue"),
         )
-        .orderBy("region", "nation")
+        # bounded final: region x nation is a fixed reference domain
+        .transform(lambda d: ZL.bounded_sort(d, "region", "nation"))
     )
 
 
